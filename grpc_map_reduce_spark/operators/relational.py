@@ -1,0 +1,360 @@
+"""Relational operator breadth on the TPC-H-ish fixtures.
+
+The reference has NO joins, windows, sorts-as-query-op, set ops,
+grouping sets, or scalar function library (SURVEY.md §2.1) — this
+module supplies that surface as first-class engine capabilities,
+each a declarative DataFrame plan Catalyst can optimize.
+
+Scale notes (100 TB posture), per query:
+  * Filters are expressed directly on scan columns so they push into
+    the parquet reader (``PushedFilters`` in the plan).
+  * Dimension joins (customer/nation/region/supplier/part) broadcast
+    under ``autoBroadcastJoinThreshold``; only fact-fact joins
+    (lineitem ⨝ orders) shuffle, on their join key.
+  * Aggregates use ``groupBy().agg`` → automatic partial (map-side)
+    aggregation before the shuffle.
+  * All float aggregates are rounded identically here and in the
+    DuckDB oracles, so value hashes are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def _ts(s: str):
+    return F.to_timestamp(F.lit(s))
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: scan-heavy single-table aggregation.
+# At 100 TB this is a pure map-side-partial + tiny final agg (6 groups);
+# shuffle volume is O(groups × partitions), independent of row count.
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT
+    l_returnflag, l_linestatus,
+    round(sum(l_quantity), 2)                                            AS sum_qty,
+    round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+    round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+    round(avg(l_quantity), 4)                                            AS avg_qty,
+    round(avg(l_extendedprice), 4)                                       AS avg_price,
+    round(avg(l_discount), 4)                                            AS avg_disc,
+    count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3-style shipping priority: dim ⨝ fact ⨝ fact with group-by + top-k.
+# customer is a broadcast side; orders ⨝ lineitem shuffles on orderkey.
+# Top-k is a TakeOrderedAndProject — no global sort materialization.
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = _ts("1998-06-15")
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT
+    l_orderkey, o_orderdate, o_orderpriority,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5-style local-supplier revenue: 6-table join.  region/nation/supplier/
+# customer all broadcast; the only shuffle joins are on the fact keys.
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions: per-customer order sequence.  One shuffle on the
+# partition key, then all four window computations share the sort.
+def window_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w_all), 4).alias("cust_avg"),
+    )
+
+
+ORACLE_WINDOW = """
+SELECT
+    o_orderkey, o_custkey,
+    row_number() OVER w                             AS rn,
+    round(lag(o_totalprice) OVER w, 2)              AS prev_price,
+    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+    round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 4)   AS cust_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: hierarchical totals in one pass (the reference has no grouping
+# framework at all).  NULL rollup slots are coalesced to 'ALL' so the
+# output is hash-stable (fixtures contain no real NULLs in these cols).
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT
+    coalesce(o_orderstatus, 'ALL')  AS status,
+    coalesce(o_orderpriority, 'ALL') AS priority,
+    count(*)                        AS n_orders,
+    round(sum(o_totalprice), 2)     AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations: ((A ∩ B) ∪ C) \ D over customer keys.  DataFrame
+# `intersect`/`distinct`/`subtract` match SQL INTERSECT/UNION/EXCEPT
+# (distinct) semantics.
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    d = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).union(c).distinct().subtract(d)
+
+
+ORACLE_SETOPS = """
+SELECT c_custkey FROM (
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     INTERSECT
+     SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+)
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function library: string/math per-row expressions on `part`.
+# Integer-ish outputs are cast to bigint on BOTH sides so the schemas
+# hash identically (DuckDB length/floor return BIGINT/DECIMAL).
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.abs(F.col("p_size") - F.lit(25)).cast("long").alias("size_dev"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"),
+    )
+
+
+ORACLE_SCALAR = """
+SELECT
+    p_partkey,
+    upper(p_brand)                              AS brand_u,
+    substr(p_name, 1, 5)                        AS name5,
+    CAST(length(p_name) AS BIGINT)              AS name_len,
+    concat_ws('-', p_brand, p_type)             AS brand_type,
+    round(p_retailprice * 1.1, 2)               AS price_up,
+    CAST(abs(p_size - 25) AS BIGINT)            AS size_dev,
+    CAST(p_size % 7 AS BIGINT)                  AS size_mod,
+    round(sqrt(p_retailprice), 6)               AS price_sqrt,
+    CAST(floor(p_retailprice / 100) AS BIGINT)  AS price_bucket
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Date/time functions on orders.
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("oy"),
+        F.month("o_orderdate").cast("long").alias("om"),
+        F.dayofmonth("o_orderdate").cast("long").alias("od"),
+        F.quarter("o_orderdate").cast("long").alias("oq"),
+        F.date_trunc("month", "o_orderdate").alias("omonth"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+ORACLE_DATETIME = """
+SELECT
+    o_orderkey,
+    CAST(year(o_orderdate) AS BIGINT)     AS oy,
+    CAST(month(o_orderdate) AS BIGINT)    AS om,
+    CAST(day(o_orderdate) AS BIGINT)      AS od,
+    CAST(quarter(o_orderdate) AS BIGINT)  AS oq,
+    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth,
+    CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+                                          AS days_to_2002
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON access on the events.props column + aggregation by event type.
+def json_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT
+    event_type,
+    count(*)                                                    AS n_events,
+    round(sum(value), 2)                                        AS total_value,
+    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+    max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = [
+    ("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
+     "TPC-H Q1-style scan+aggregate with partial aggregation."),
+    ("q3_top_orders", q3_top_orders, ORACLE_Q3,
+     "Broadcast dim join + fact-fact shuffle join + top-k."),
+    ("q5_region_revenue", q5_region_revenue, ORACLE_Q5,
+     "6-table join, all dims broadcast."),
+    ("window_order_stats", window_order_stats, ORACLE_WINDOW,
+     "row_number/lag/running-sum/partition-avg windows."),
+    ("rollup_order_totals", rollup_order_totals, ORACLE_ROLLUP,
+     "ROLLUP grouping sets."),
+    ("setops_customers", setops_customers, ORACLE_SETOPS,
+     "INTERSECT/UNION/EXCEPT composition."),
+    ("scalar_string_math", scalar_string_math, ORACLE_SCALAR,
+     "String + math scalar function library."),
+    ("scalar_datetime", scalar_datetime, ORACLE_DATETIME,
+     "Date/time scalar functions."),
+    ("json_event_stats", json_event_stats, ORACLE_JSON,
+     "JSON extraction + aggregation on events.props."),
+]

@@ -1,0 +1,84 @@
+"""Similarity search over the ``embeddings`` table (extension E2 —
+SURVEY.md §2.2): brute-force cosine top-k as the oracle-checkable
+baseline; LSH/IVF variants are the scale path (registered rows-only).
+
+Scale design: the query set is broadcast (it is small by definition);
+candidates stream through a narrow projection, so the plan is
+scan → broadcast nested loop → per-partition partial top-k →
+final top-k.  No shuffle of the full candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.functions.vectors import cosine_similarity
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query vector, the top-``k`` most-similar corpus rows.
+
+    Output: ``(query_id, neighbor_id, sim, rank)`` with ``sim`` rounded
+    to 6 dp and rank tie-broken by neighbor id, so results are
+    deterministic and engine-portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+
+# DuckDB twin: parallel unnest zips the two embedding lists; products
+# are summed in double precision, so round(·, 6) agrees with Spark's
+# double fold despite differing accumulation order (64 dims → error
+# ~1e-15 relative).
+ORACLE_COSINE_TOPK = """
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 8
+),
+sims AS (
+    SELECT query_id, neighbor_id,
+           round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+    FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+QUERIES = [
+    ("ann_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK,
+     "E2 similarity search: brute-force cosine top-k (oracle baseline)."),
+]

@@ -1,0 +1,3 @@
+from grpc_map_reduce_spark.plans.audit import explain_str, plan_audit
+
+__all__ = ["explain_str", "plan_audit"]

@@ -1,0 +1,64 @@
+"""SparkSession factory with a 100 TB-posture default configuration.
+
+The reference hand-rolls its cluster lifecycle (spawning master /
+mapper / reducer OS processes over fixed ports — main.go:39-68,
+master.go:46-65).  On Spark the entire lifecycle is
+``SparkSession.builder.getOrCreate()``; what we contribute instead is
+a configuration tuned for scale-out execution:
+
+  * AQE on (runtime partition coalescing, skew-join splitting) — the
+    reference has no skew handling at all (README.md:180).
+  * Sized shuffle partitioning instead of the reference's fixed
+    nReducers (config.json:3-4).
+  * Arrow-batched Python interop for the few operators that need
+    pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local[32] test harness; on a real cluster these come
+# from spark-submit / cluster defaults and only the sql.* knobs matter.
+DEFAULT_CONF: dict[str, str] = {
+    # Adaptive execution: re-plan post-shuffle with real statistics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Start from one shuffle partition per core locally; AQE coalesces
+    # down when maps are small and splits skewed reduces.  At 100 TB
+    # this would be O(2-3x total cores) instead.
+    "spark.sql.shuffle.partitions": "32",
+    # Dimension tables (region/nation/customer/supplier/part at any
+    # realistic SF ratio) should broadcast rather than shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for pandas UDFs / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MiB scan splits — the parquet-side analog of the reference's
+    # one-file-one-map-task granularity (master.go:112-158), but sized
+    # to survive 100 TB inputs.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "grpc-map-reduce-spark", *, cpus: int | str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Create (or fetch) the SparkSession used by every operator.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then 32, matching the
+    driver's bench harness.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in DEFAULT_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

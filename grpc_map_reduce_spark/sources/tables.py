@@ -1,0 +1,62 @@
+"""Parquet fixture sources (TESTDATA.md / FIXTURES.md).
+
+The reference's only source is a directory scan that ships whole text
+files by value over gRPC (main.go:94-118, master.go:71-90).  Spark
+reads straight from storage with column pruning and predicate
+pushdown, so the "ingest/staging" operators (SURVEY.md §2 O1/O2)
+reduce to ``spark.read.parquet`` here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough (relative to the fact tables at any SF) that a
+#: join against them should broadcast, never shuffle.
+DIMENSION_TABLES: frozenset[str] = frozenset(
+    {"region", "nation", "customer", "supplier", "part"}
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        return _events_table(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright.  Read it as raw int64 nanos (legacy conf)
+    and truncate to a microsecond timestamp — the same truncation
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` applies, so oracles agree."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the fixture tables into a dict of lazy DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in names}
