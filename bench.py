@@ -34,11 +34,25 @@ def main() -> None:
     spark = get_spark("grpc-map-reduce-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Absorb JVM/executor/Arrow-worker startup outside the timed
+    # region so the first query isn't charged for session warmup.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # ...and the Python/Arrow worker pool (pandas-UDF operators).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop_udf(s):
+        return s
+
+    spark.range(10_000).select(_noop_udf("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, q in sorted(registry.all_queries().items()):
-        # Warm the JVM/codegen path once outside the timed region for
-        # the first query only; per-query plans differ enough that
-        # per-query warmup would just double total runtime.
         t0 = time.perf_counter()
         df = q.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.functions.text import shingles
+from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, shingles
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -63,8 +63,30 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
     before the self-join (stop-shingle guard for skew at scale); the
     oracle-checked configuration leaves it off.
     """
+    # Per-doc shingle set size is computed BEFORE the explode and
+    # carried on every exploded row, so the pair sizes (na, nb) ride
+    # along through the self-join for free — one shuffle join + one
+    # aggregation total, instead of joining a separate sizes table
+    # twice afterwards (3 shuffle joins).  The duplicated column costs
+    # 8 bytes/row on the shuffle; the avoided joins cost two full
+    # shuffles of the pair set.
+    # Shingling runs as a vectorized Arrow UDF *after* a repartition:
+    # the exchange spreads the work across all cores (the corpus
+    # arrives as a handful of large parquet files), and the UDF is a
+    # single ArrowEvalPython node evaluated once per row — the Column-
+    # expression alternative gets duplicated by Catalyst into inferred
+    # filters/generator projections and re-runs the tokenizer per
+    # slice (measured ~10× slower at sf0.1; see functions.text).
+    spark = docs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
     sh = (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles("text", n))).alias("shingle"))
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", distinct_shingles_udf(n)("text").alias("sh_set"))
+        .select(
+            "doc_id",
+            F.size("sh_set").alias("n_shingles"),
+            F.explode("sh_set").alias("shingle"),
+        )
     )
     if max_df is not None:
         hot = (
@@ -72,20 +94,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
             .filter(F.col("df") > max_df).select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        common.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.functions.vectors import cosine_similarity
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -25,18 +24,34 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     to 6 dp and rank tie-broken by neighbor id, so results are
     deterministic and engine-portable.
     """
+    # Pre-normalize each side once per ROW (not once per pair): cosine
+    # then reduces to a single dot product in the pair loop.  For k
+    # queries × n corpus rows this turns 3(n·k) fold expressions into
+    # n + k normalizations and n·k dots.
+    def _unit(v):
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.transform(v, lambda x: x / norm)
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), _unit(vec_d).alias("q_vec")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), _unit(vec_d).alias("c_vec")
     )
     sims = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(
+                F.aggregate(
+                    F.zip_with("q_vec", "c_vec", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
