@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, shingles
+from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, shingles, words
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -149,9 +149,222 @@ WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.008
 """
 
 
+# --------------------------------------------------------------------------
+# SimHash: 60-bit locality-sensitive document signature.
+#
+# Token hash = first 15 hex chars of md5 → int64 (identical in Spark
+# and DuckDB, which is what makes this oracle-checkable).  Each bit of
+# the signature is the sign of the tf-weighted vote of that bit across
+# the document's tokens.  Hamming-near signatures ⇒ similar documents.
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """Per-document 60-bit SimHash over tf-weighted md5 token hashes."""
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    votes = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    vote_cols = ",\n        ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tf AS (
+    SELECT doc_id, word, count(*) AS tf,
+           (('0x' || substr(md5(word), 1, 15))::BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY doc_id, word
+),
+votes AS (
+    SELECT doc_id,
+        {vote_cols}
+    FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: sub-quadratic near-dup candidate generation.
+#
+# 16 permutation hashes h_i(x) = (A_i·x + B_i) mod P over the md5
+# shingle hash, banded 2 rows × 8 bands; docs sharing any band bucket
+# are candidates.  At scale this replaces the quadratic Jaccard
+# self-join: shuffle volume is O(docs × bands), and only candidates
+# get exact rescoring (``ngram_jaccard_pairs`` is the rescorer).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = [7, 13, 31, 57, 101, 181, 331, 607, 1103, 2003, 3643, 6607, 11987, 21601, 39019, 70607]
+MINHASH_B = [3, 11, 29, 53, 97, 173, 313, 577, 1049, 1907, 3469, 6277, 11369, 20521, 37057, 66943]
+MINHASH_ROWS_PER_BAND = 2
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature columns m0..m15."""
+    sh = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(distinct_shingles_udf(n)("text")).alias("shingle"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        )
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Output: (doc_a, doc_b, n_bands) — how many of the 8 band buckets
+    the pair shares.
+    """
+    sig = minhash_signatures(docs, n)
+    r = MINHASH_ROWS_PER_BAND
+    n_bands = len(MINHASH_A) // r
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    r = MINHASH_ROWS_PER_BAND
+    n_bands = len(MINHASH_A) // r
+    min_cols = ",\n        ".join(
+        f"min(({a}*h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        f"concat_ws('_', {', '.join(f'm{j * r + k}' for k in range(r))}) AS key FROM sig"
+        for j in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           )) AS shingle
+    FROM toks
+),
+hashed AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS h
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+        {min_cols}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle()
+
+
+def lsh_near_dup(docs: DataFrame, n: int = 3, threshold: float = 0.008) -> DataFrame:
+    """The composed scale path: LSH candidates → exact Jaccard rescore.
+
+    Same output contract as :func:`ngram_jaccard_pairs` restricted to
+    candidate pairs — sub-quadratic end to end.
+    """
+    cand = minhash_candidates(docs, n).select("doc_a", "doc_b")
+    exact = ngram_jaccard_pairs(docs, n, threshold)
+    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
 QUERIES = [
     ("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
      "E1 exact dedup: keeper id + copy count per identical text."),
     ("dedup_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
      "E2 near-dup: word-3-gram Jaccard similarity self-join."),
+    ("dedup_simhash", q_simhash, ORACLE_SIMHASH,
+     "E2 near-dup: 60-bit tf-weighted SimHash signatures."),
+    ("dedup_minhash_lsh", q_minhash_candidates, ORACLE_MINHASH,
+     "E2 near-dup: MinHash LSH band-bucket candidate pairs."),
 ]

@@ -1,0 +1,208 @@
+"""Event-stream operators over the ``events`` fixture.
+
+The reference has no streaming or temporal semantics at all
+(SURVEY.md §2.1); these operators supply the batch forms, and
+:mod:`grpc_map_reduce_spark.streaming` runs the same windowed
+aggregation under Structured Streaming (same results, verified in
+tests — the batch query here is the oracle-checkable twin).
+
+Scale notes:
+  * Tumbling-window aggregation is an ordinary groupBy on the
+    window bucket — partial aggregation applies, shuffle volume is
+    O(windows × types), independent of event count.
+  * The as-of join uses the union + partitioned-sort trick (tag both
+    streams, one window pass per user) instead of a per-key loop or
+    range cross-join: one shuffle on ``user_id``, one sort — the
+    standard scalable formulation for "latest left row ≤ right ts".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.sources.tables import table
+
+
+# --------------------------------------------------------------------------
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (hour, event_type): event count + value sum + distinct users."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(table(spark, sf_dir, "events"))
+
+
+# Spark's window('1 hour') buckets align to the epoch = date_trunc hour.
+ORACLE_TUMBLING = """
+SELECT
+    date_trunc('hour', CAST(ts AS TIMESTAMP))                   AS window_start,
+    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+    event_type,
+    count(*)                  AS n_events,
+    round(sum(value), 2)      AS total_value,
+    count(DISTINCT user_id)   AS n_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+              ts_col: str = "ts") -> DataFrame:
+    """For each ``left`` row, attach the most recent ``right`` row with
+    ``right.ts <= left.ts`` for the same key (an as-of join).
+
+    Implemented by unioning the two tagged streams and taking a
+    running ``last(..., ignorenulls)`` over a single per-key ordered
+    window — O(n log n) per key with one shuffle, no range cross-join.
+    Ties (right row exactly at left.ts) match, like DuckDB ASOF JOIN.
+    """
+    r = right.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(F.col(ts_col).alias("r_ts"), F.col("value").alias("r_value")).alias("_r"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("struct<r_ts:timestamp,r_value:double>").alias("_r"),
+        "event_id",
+        "value",
+    )
+    # _side orders the right row before the left row at equal ts, so
+    # "<=" semantics fall out of the running last().
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.unionByName(l)
+        .withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(
+            "event_id",
+            F.col(on),
+            F.col("_ts").alias("ts"),
+            "value",
+            F.col("_last_r.r_ts").alias("matched_ts"),
+            F.col("_last_r.r_value").alias("matched_value"),
+        )
+    )
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the user's most recent click at or
+    before it.  Clicks are first reduced to one row per (user, ts)
+    (max event_id wins) so the as-of match is deterministic."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks1 = (
+        clicks.withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return asof_join(purchases, clicks1)
+
+
+ORACLE_ASOF = """
+WITH clicks1 AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+),
+purchases AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS matched_ts, c.value AS matched_value
+FROM purchases p
+ASOF LEFT JOIN clicks1 c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --------------------------------------------------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, expressed as the
+    classic gaps-and-islands window computation (works identically at
+    any scale: one shuffle on user_id + one sort)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_new = ev.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = with_new.withColumn("session_seq", F.sum("_new_session").over(wrun))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                     - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*)             AS n_events,
+       min(ts)              AS session_start,
+       max(ts)              AS session_end,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = [
+    ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
+     "Tumbling 1h window aggregation (batch twin of the streaming op)."),
+    ("events_asof_join", q_asof_purchase_click, ORACLE_ASOF,
+     "As-of join: each purchase ← most recent click ≤ ts, per user."),
+    ("events_sessionize", q_sessionize, ORACLE_SESSIONIZE,
+     "30-min-gap sessionization (gaps-and-islands windows)."),
+]

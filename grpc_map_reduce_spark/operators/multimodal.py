@@ -1,0 +1,174 @@
+"""Multimodal (image/audio/video) column handling — extension E4.
+
+Design: media payloads are opaque ``binary`` columns with a typed
+metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over
+``mapInPandas``, so executors stream record batches through Python
+without ever materializing a partition.
+
+The container has no codec libraries, so the *decode* step is stubbed
+(`NotImplementedError` for real formats) behind a deterministic fake
+format ``"rawtext"`` whose payload is just the document's UTF-8
+bytes.  Everything Spark-side — schema, partitioning, the mapInPandas
+batch contract, the feature math — is real and tested; swapping the
+stub for PIL/ffmpeg changes one function body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.sources.tables import table
+
+#: Metadata carried next to every media payload.
+MEDIA_META_DDL = "struct<format:string,width:int,height:int,n_frames:int>"
+
+FEAT_DIM = 8
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Deterministically synthesize a media column over ``documents``:
+    payload = UTF-8 text bytes, format = 'rawtext', dimensions derived
+    from doc_id.  Stands in for `spark.read.format("binaryFile")`."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.struct(
+            F.lit("rawtext").alias("format"),
+            (F.lit(32) + (F.col("doc_id") % 480)).cast("int").alias("width"),
+            (F.lit(32) + (F.col("doc_id") % 270)).cast("int").alias("height"),
+            (F.lit(1) + (F.col("doc_id") % 16)).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode(payload: bytes, fmt: str) -> bytes:
+    """Decode stub.  Real codecs are not available in this
+    environment; only the deterministic fake format passes through."""
+    if fmt == "rawtext":
+        return payload
+    raise NotImplementedError(
+        f"codec for format {fmt!r} not available; plug PIL/ffmpeg in here"
+    )
+
+
+def _fake_features(raw: bytes) -> list[float]:
+    """Deterministic stand-in for an embedding model: 8 floats from
+    the md5 digest of the decoded payload (oracle-computable)."""
+    digest = hashlib.md5(raw).hexdigest()
+    return [
+        round(int(digest[i * 4:(i + 1) * 4], 16) / 65535.0, 4)
+        for i in range(FEAT_DIM)
+    ]
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """decode → featurize as a streaming Arrow batch pipeline.
+
+    Output: ``(doc_id, n_bytes, feat: array<double>)``.  mapInPandas
+    keeps memory bounded by the Arrow batch size regardless of
+    partition size — the right shape for multi-MB payloads at scale.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raws = [
+                _decode(payload, meta["format"])
+                for payload, meta in zip(pdf["media"], pdf["media_meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(r) for r in raws],
+                    "feat": [_fake_features(r) for r in raws],
+                }
+            )
+
+    return media_df.mapInPandas(
+        batches, schema="doc_id long, n_bytes long, feat array<double>"
+    )
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: for ``rawtext`` the payload is truncated/zero-padded
+    to width×height bytes (deterministic); real images raise in
+    :func:`_decode`'s spirit.  Metadata is updated Spark-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            out = []
+            for payload, meta in zip(pdf["media"], pdf["media_meta"]):
+                raw = _decode(payload, meta["format"])
+                out.append(raw[:target].ljust(target, b"\0"))
+            pdf = pdf.copy()
+            pdf["media"] = out
+            yield pdf
+
+    resized = media_df.mapInPandas(
+        batches, schema=f"doc_id long, media binary, media_meta {MEDIA_META_DDL}"
+    )
+    return resized.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.format").alias("format"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("media_meta.n_frames").alias("n_frames"),
+        ),
+    )
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sample stub for fake video: split the payload into
+    n_frames equal chunks, keep every ``every_n``-th, one output row
+    per kept frame (explodes like a real frame sampler would)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_meta"]
+            ):
+                raw = _decode(payload, meta["format"])
+                nf = max(int(meta["n_frames"]), 1)
+                size = max(len(raw) // nf, 1)
+                for i in range(0, nf, every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(raw[i * size:(i + 1) * size])
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches, schema="doc_id long, frame_idx int, frame binary"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return extract_features(attach_fake_media(docs.repartition(n_part, "doc_id")))
+
+
+# The fake featurizer is pure md5 math, so even the multimodal path is
+# oracle-checkable: DuckDB reproduces the same 8 floats from md5(text).
+ORACLE_MULTIMODAL = f"""
+SELECT
+    doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    list_transform(
+        range(0, {FEAT_DIM}),
+        i -> round((('0x' || substr(md5(text), i * 4 + 1, 4))::BIGINT) / 65535.0, 4)
+    ) AS feat
+FROM documents
+"""
+
+QUERIES = [
+    ("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL,
+     "E4 multimodal: binary media column → decode stub → md5 features."),
+]

@@ -338,6 +338,98 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Semi/anti joins: EXISTS / NOT EXISTS as first-class plan nodes
+# (LeftSemi/LeftAnti), not materialized subqueries.  The orders side
+# builds a broadcast hash set of custkeys at this scale; at 100 TB the
+# same plan becomes a shuffled semi join on the key.
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    with_urgent = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("has_urgent").alias("bucket"))
+    )
+    without_urgent = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.lit("no_urgent").alias("bucket"))
+    )
+    return with_urgent.unionByName(without_urgent)
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, c_name, 'has_urgent' AS bucket
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, c_name, 'no_urgent' AS bucket
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE: all grouping-set combinations in one pass.
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT
+    coalesce(l_returnflag, 'ALL') AS returnflag,
+    coalesce(l_linestatus, 'ALL') AS linestatus,
+    count(*)                      AS n_items,
+    round(sum(l_quantity), 2)     AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates: exact COUNT(DISTINCT) (expand + two-phase agg in
+# Spark) alongside plain aggregates in the same groupBy.
+def distinct_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT
+    l_returnflag,
+    count(DISTINCT l_suppkey)        AS n_supp,
+    count(DISTINCT l_partkey)        AS n_parts,
+    count(*)                         AS n_rows,
+    round(sum(l_extendedprice), 2)   AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = [
     ("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
      "TPC-H Q1-style scan+aggregate with partial aggregation."),
@@ -357,4 +449,10 @@ QUERIES = [
      "Date/time scalar functions."),
     ("json_event_stats", json_event_stats, ORACLE_JSON,
      "JSON extraction + aggregation on events.props."),
+    ("semi_anti_customers", semi_anti_customers, ORACLE_SEMI_ANTI,
+     "LeftSemi/LeftAnti joins (EXISTS / NOT EXISTS)."),
+    ("cube_lineitem", cube_lineitem, ORACLE_CUBE,
+     "CUBE grouping sets."),
+    ("distinct_agg_stats", distinct_agg_stats, ORACLE_DISTINCT_AGG,
+     "Exact distinct aggregates alongside plain aggregates."),
 ]

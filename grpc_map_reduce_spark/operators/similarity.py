@@ -93,7 +93,62 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+# --------------------------------------------------------------------------
+def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs (a < b) with cosine similarity ≥ threshold — the
+    embedding-space analog of near-dup detection.
+
+    This is the exact O(n²) formulation (the oracle baseline).  At
+    100 TB-scale vector counts the same output is produced by the
+    LSH-bucketed path (:func:`lsh_bucket_candidates` + exact rescore
+    of candidates only); this operator stays as the rescoring kernel.
+    """
+
+    def _unit(v):
+        vd = F.transform(v, lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.transform(vd, lambda x: x / norm)
+
+    a = corpus.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vb"))
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_NEAR_DUP = """
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+           CAST(unnest(b.embedding) AS DOUBLE) AS be
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+),
+sims AS (
+    SELECT id_a, id_b,
+           round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6) AS sim
+    FROM pairs GROUP BY 1, 2
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.4
+"""
+
+
 QUERIES = [
     ("ann_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK,
      "E2 similarity search: brute-force cosine top-k (oracle baseline)."),
+    ("embedding_near_dup", q_embedding_near_dup, ORACLE_NEAR_DUP,
+     "E2 embedding-cosine near-dup pairs above a similarity threshold."),
 ]

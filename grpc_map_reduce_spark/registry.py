@@ -87,12 +87,15 @@ def _register_more() -> None:
     the reference-parity core above stays readable)."""
     from grpc_map_reduce_spark.operators import (
         dedup,
+        events,
         map_reduce,
+        multimodal,
         relational,
         similarity,
         text_analysis,
     )
 
-    for mod in (relational, dedup, similarity, text_analysis, map_reduce):
+    for mod in (relational, events, dedup, similarity, text_analysis,
+                multimodal, map_reduce):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

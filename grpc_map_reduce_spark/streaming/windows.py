@@ -1,0 +1,115 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference has no streaming at all (its gRPC "stream" is a bulk
+file upload — SURVEY.md §2.1); this module supplies the streaming
+surface the way Spark means it: ``readStream`` file source →
+event-time windows with watermarks → any sink.  The batch twins in
+:mod:`grpc_map_reduce_spark.operators.events` are the oracle-checked
+versions; tests assert stream == batch on a replayed corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events.parquet physical schema (ts is int64 *nanoseconds*; the
+#: parquet reader only accepts it as a long — see sources.tables).
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events with a proper timestamp column.
+
+    A directory of parquet files is the canonical replay/backfill
+    source; in production the same dataflow reads Kafka — only this
+    function changes.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # Glob, not a bare file path — the streaming file source requires
+    # a directory/pattern it can re-list for new files.
+    df = reader.parquet(f"{sf_dir}/events*.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(events: DataFrame, width: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.events.tumbling_window_agg``.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped from the store, so state size
+    is O(active windows), not O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running per-user value total + event count, carried in explicit
+    per-key state across micro-batches (the engine-managed analog of
+    the reference reducer's in-memory ``map[string][]string``,
+    reducer.go:47 — but bounded, partitioned, and fault-tolerant)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            total, n = state.get
+        else:
+            total, n = 0.0, 0
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total_value double, n_events long",
+        stateStructType="total double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, query_name: str,
+                  output_mode: str = "complete") -> None:
+    """Replay the whole backlog (availableNow) into an in-memory table
+    and block until done — the test/bench harness for streaming ops.
+
+    Use ``complete`` for windowed aggregations (emits every window);
+    ``applyInPandasWithState`` plans only support ``update``/``append``.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: schema, batch contract, determinism,
+stub behavior for unsupported codecs."""
+
+from __future__ import annotations
+
+import pytest
+
+from grpc_map_reduce_spark.operators.multimodal import (
+    FEAT_DIM,
+    _decode,
+    attach_fake_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def test_media_schema(spark, sf_dir):
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,media:binary,"
+        "media_meta:struct<format:string,width:int,height:int,n_frames:int>>"
+    )
+    row = media.orderBy("doc_id").first()
+    assert isinstance(row.media, (bytes, bytearray)) and len(row.media) > 0
+
+
+def test_extract_features_shape_and_determinism(spark, sf_dir):
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    rows = {r.doc_id: r for r in feats.collect()}
+    docs = {r.doc_id: r for r in table(spark, sf_dir, "documents").collect()}
+    assert set(rows) == set(docs)
+    any_row = next(iter(rows.values()))
+    assert len(any_row.feat) == FEAT_DIM
+    assert all(0.0 <= x <= 1.0 for x in any_row.feat)
+    # payload length == utf-8 byte length of the source text
+    sample = list(rows)[:20]
+    for d in sample:
+        assert rows[d].n_bytes == len(docs[d].text.encode("utf-8"))
+    again = {r.doc_id: r.feat for r in extract_features(media).collect()}
+    assert all(again[d] == rows[d].feat for d in sample)
+
+
+def test_resize_pads_or_truncates(spark, sf_dir):
+    media = attach_fake_media(table(spark, sf_dir, "documents")).limit(50)
+    resized = resize_media(media, 16, 16)
+    for r in resized.collect():
+        assert len(r.media) == 256
+        assert r.media_meta.width == 16 and r.media_meta.height == 16
+
+
+def test_frame_sampling(spark, sf_dir):
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=4)
+    meta = {r.doc_id: r.media_meta.n_frames for r in media.collect()}
+    counts: dict[int, int] = {}
+    for r in frames.collect():
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+        assert r.frame_idx % 4 == 0
+    for d, n in counts.items():
+        expected = (meta[d] + 3) // 4  # ceil(n_frames / 4)
+        assert n == expected
+
+
+def test_decode_stub_rejects_real_codecs():
+    with pytest.raises(NotImplementedError):
+        _decode(b"\x89PNG...", "png")

@@ -1,0 +1,54 @@
+"""Streaming == batch parity on a replayed corpus: the whole events
+table goes through Structured Streaming (availableNow) and must agree
+with the batch operators the DuckDB oracles already check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.operators.events import tumbling_window_agg
+from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    stateful_user_totals,
+    streaming_tumbling_agg,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    run_to_memory(streaming_tumbling_agg(stream), "stream_tumbling")
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("stream_tumbling").collect()
+    }
+    batch = tumbling_window_agg(table(spark, sf_dir, "events"))
+    want = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(stateful_user_totals(stream), "stream_user_totals",
+                  output_mode="update")
+    rows = spark.table("stream_user_totals").collect()
+    # availableNow may run several micro-batches; the *last* update per
+    # user is the final state.  With one input file there is exactly
+    # one update per user.
+    got = {r.user_id: (r.total_value, r.n_events) for r in rows}
+    want = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
