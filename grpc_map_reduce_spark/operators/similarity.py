@@ -16,47 +16,89 @@ from pyspark.sql import functions as F
 from grpc_map_reduce_spark.sources.tables import table
 
 
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str,
+                 n_blocks: int) -> DataFrame:
+    """Hash rows into ``n_blocks`` blocks and pack each block into one
+    ``(blk, ids, mat)`` summary row: ids int64 array + the block's
+    L2-normalized float64 matrix as bytes.  The shared building block
+    of the vectorized similarity kernels below — joins then replicate
+    whole-block summaries (O(n·B) bytes) instead of per-pair rows."""
+    import numpy as np
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {"blk": [int(pdf["blk"].iloc[0])],
+             "ids": [pdf["id"].to_numpy(np.int64)],
+             "mat": [mat.tobytes()]}
+        )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    return base.groupBy("blk").applyInPandas(
+        _pack, schema="blk long, ids array<long>, mat binary"
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                n_blocks: int = 16) -> DataFrame:
     """For each query vector, the top-``k`` most-similar corpus rows.
 
     Output: ``(query_id, neighbor_id, sim, rank)`` with ``sim`` rounded
     to 6 dp and rank tie-broken by neighbor id, so results are
     deterministic and engine-portable.
-    """
-    # Pre-normalize each side once per ROW (not once per pair): cosine
-    # then reduces to a single dot product in the pair loop.  For k
-    # queries × n corpus rows this turns 3(n·k) fold expressions into
-    # n + k normalizations and n·k dots.
-    def _unit(v):
-        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-        return F.transform(v, lambda x: x / norm)
 
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _unit(vec_d).alias("q_vec")
+    Plan: pack the (small) query set into one summary row and the
+    corpus into ``n_blocks`` blocks; the broadcast cross join ships
+    the queries to every corpus block; one numpy matmul per block
+    yields a block-local top-k per query (sorted by (-sim, id), so the
+    global top-k is contained in the union); a final k-row-per-query
+    window rank over B·k·|Q| candidate rows finishes.  The corpus is
+    never shuffled and no pair rows are materialized."""
+    import numpy as np
+    import pandas as pd
+
+    qpacked = _pack_blocks(queries, id_col, vec_col, 1).select(
+        F.col("ids").alias("q_ids"), F.col("mat").alias("q_mat")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _unit(vec_d).alias("c_vec")
-    )
-    sims = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("q_vec", "c_vec", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("sim"),
-        )
+    cpacked = _pack_blocks(corpus, id_col, vec_col, n_blocks)
+    joined = cpacked.join(F.broadcast(qpacked))
+
+    def _block_topk(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                q_ids = np.asarray(row["q_ids"], dtype=np.int64)
+                c_ids = np.asarray(row["ids"], dtype=np.int64)
+                Q = np.frombuffer(row["q_mat"], dtype=np.float64).reshape(len(q_ids), -1)
+                C = np.frombuffer(row["mat"], dtype=np.float64).reshape(len(c_ids), -1)
+                sims = np.round(Q @ C.T, 6)
+                sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-match
+                # block-local top-k by (-sim, neighbor_id): lexsort is
+                # ascending, so sort on (id, -sim) keys reversed.
+                order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
+                take = order[:, :k]
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(q_ids, take.shape[1]),
+                    "neighbor_id": c_ids[take].ravel(),
+                    "sim": np.take_along_axis(sims, take, axis=1).ravel(),
+                }))
+            out = pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []})
+            yield out[out["sim"] > -np.inf]
+
+    cand = joined.mapInPandas(
+        _block_topk, schema="query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -95,34 +137,62 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 
 # --------------------------------------------------------------------------
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_blocks: int = 16) -> DataFrame:
     """All pairs (a < b) with cosine similarity ≥ threshold — the
     embedding-space analog of near-dup detection.
 
-    This is the exact O(n²) formulation (the oracle baseline).  At
-    100 TB-scale vector counts the same output is produced by the
-    LSH-bucketed path (:func:`lsh_bucket_candidates` + exact rescore
-    of candidates only); this operator stays as the rescoring kernel.
+    Exact all-pairs, executed as a *blocked* self-join with a
+    vectorized numpy kernel: rows are hashed into ``n_blocks`` blocks,
+    each block is packed into one (ids, float64-matrix) summary row via
+    ``applyInPandas``, the tiny B×B block-pair cross join replicates
+    only block summaries, and ``mapInPandas`` runs one BLAS matmul per
+    block pair.  Shuffle volume is O(n·B) vector bytes instead of
+    O(n²) pair rows, every dot product runs inside one Arrow batch,
+    and nothing is collected to the driver.  At 100 TB vector counts
+    the same kernel rescores only LSH-bucket candidates; size
+    ``n_blocks`` so a block pair (~2·n/B vectors) fits an executor.
     """
+    import numpy as np
+    import pandas as pd
 
-    def _unit(v):
-        vd = F.transform(v, lambda x: x.cast("double"))
-        norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
-        return F.transform(vd, lambda x: x / norm)
+    packed = _pack_blocks(corpus, id_col, vec_col, n_blocks)
+    pairs = (
+        packed.select(F.col("blk").alias("ba"), F.col("ids").alias("ids_a"),
+                      F.col("mat").alias("mat_a"))
+        .join(packed.select(F.col("blk").alias("bb"), F.col("ids").alias("ids_b"),
+                            F.col("mat").alias("mat_b")),
+              F.col("ba") <= F.col("bb"))
+        # spread the B(B+1)/2 block-pair tasks across the cluster
+        .repartition(n_blocks, "ba", "bb")
+    )
 
-    a = corpus.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vb"))
-    sim = F.round(
-        F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        ),
-        6,
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    def _dots(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.frombuffer(row["mat_a"], dtype=np.float64).reshape(len(ids_a), -1)
+                Bm = np.frombuffer(row["mat_b"], dtype=np.float64).reshape(len(ids_b), -1)
+                sims = np.round(A @ Bm.T, 6)
+                if row["ba"] == row["bb"]:
+                    # same block on both sides: each unordered pair
+                    # appears twice — keep the (a < b) orientation.
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    # distinct blocks: each unordered pair appears
+                    # once, in arbitrary orientation — orient below.
+                    mask = ids_a[:, None] != ids_b[None, :]
+                ia, ib = np.nonzero((sims >= threshold) & mask)
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                out_a.append(lo); out_b.append(hi); out_s.append(sims[ia, ib])
+            yield pd.DataFrame({"id_a": np.concatenate(out_a) if out_a else [],
+                                "id_b": np.concatenate(out_b) if out_b else [],
+                                "sim": np.concatenate(out_s) if out_s else []})
+
+    return pairs.mapInPandas(_dots, schema="id_a long, id_b long, sim double")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
