@@ -198,9 +198,123 @@ GROUP BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------------
+def range_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+               ts_col: str = "ts", lookback_s: int = 900) -> DataFrame:
+    """Per ``left`` row: count + value-sum of same-key ``right`` rows in
+    the window ``[left.ts - lookback, left.ts]`` (a bounded range join).
+
+    The equi-key ``on`` makes this a shuffled hash/sort-merge join with
+    the range predicate evaluated inside the matched key group — per-key
+    fan-out is bounded by the lookback, so no cross-join blow-up.  For
+    keys hot enough that a single key's rows overwhelm one task, bucket
+    ``ts`` into lookback-sized bins and join on (key, bin) ∪ (key,
+    bin−1) — same results, two narrow joins; not needed at fixture
+    scale.
+    """
+    r = right.select(
+        F.col(on).alias("_rk"),
+        F.col(ts_col).alias("_rts"),
+        F.col("value").alias("_rvalue"),
+    )
+    cond = (
+        (F.col(on) == F.col("_rk"))
+        & (F.col("_rts") >= F.col(ts_col) - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+        & (F.col("_rts") <= F.col(ts_col))
+    )
+    return (
+        left.join(r, cond, "left")
+        .groupBy("event_id", on, ts_col, "value")
+        .agg(
+            F.count("_rts").alias("n_recent"),
+            F.round(F.coalesce(F.sum("_rvalue"), F.lit(0.0)), 2).alias("recent_value"),
+        )
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase ← count/sum of the user's clicks in the preceding
+    15 minutes (inclusive both ends)."""
+    ev = table(spark, sf_dir, "events")
+    return range_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+       count(c.ts)                          AS n_recent,
+       round(coalesce(sum(c.value), 0), 2)  AS recent_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 15 MINUTE
+ AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts, p.value
+"""
+
+
+# --------------------------------------------------------------------------
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` (gap =
+    30 min) — the declarative twin of :func:`q_sessionize`; identical
+    operator under Structured Streaming.  Window end = last event +
+    gap, per session_window semantics."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# Note ">= 1800": session_window assigns each event [ts, ts+gap) and
+# merges on *overlap*, so a gap of exactly 30 min starts a new session
+# (unlike q_sessionize's "> gap" islands convention above).  epoch()
+# returns fractional seconds — keep the full precision for the diff.
+ORACLE_SESSION_WINDOW = """
+WITH flagged AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                     - lag(epoch(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800.0
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)                             AS session_start,
+       max(ts) + INTERVAL 30 MINUTE        AS session_end,
+       count(*)                            AS n_events,
+       round(sum(value), 2)                AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = [
     ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
      "Tumbling 1h window aggregation (batch twin of the streaming op)."),
+    ("events_range_join", q_range_join, ORACLE_RANGE_JOIN,
+     "Bounded range join: purchases ← clicks within a 15-min lookback."),
+    ("events_session_window", q_session_window, ORACLE_SESSION_WINDOW,
+     "Built-in session_window sessionization (30-min gap)."),
     ("events_asof_join", q_asof_purchase_click, ORACLE_ASOF,
      "As-of join: each purchase ← most recent click ≤ ts, per user."),
     ("events_sessionize", q_sessionize, ORACLE_SESSIONIZE,

@@ -430,6 +430,93 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Top-k per group: the rank-then-filter window pattern.  AQE plans the
+# partial window as a shuffle on the group key; for heavily-skewed
+# groups the same result comes from groupBy(key).agg(max_by/top-k
+# sketch), but rank-filter is the general exact form.
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id — finer-grained than rollup/cube:
+# exactly the requested combinations, one shared shuffle.
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT
+            coalesce(o_orderpriority, 'ALL') AS priority,
+            coalesce(o_orderstatus,   'ALL') AS status,
+            CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+            count(*)                    AS n_orders,
+            round(sum(o_totalprice), 2) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT
+    coalesce(o_orderpriority, 'ALL') AS priority,
+    coalesce(o_orderstatus,   'ALL') AS status,
+    CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+    count(*)                    AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (sort-based within each group) next to min/max.
+# At 100 TB exact quantiles become approx_percentile (t-digest, one
+# pass, mergeable) — swap the function, same query shape.
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(pct[0], 2).alias("p50"),
+        F.round(pct[1], 2).alias("p90"),
+        F.round(pct[2], 2).alias("p99"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       round(min(o_totalprice), 2)                 AS min_price,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       round(max(o_totalprice), 2)                 AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = [
     ("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
      "TPC-H Q1-style scan+aggregate with partial aggregation."),
@@ -455,4 +542,10 @@ QUERIES = [
      "CUBE grouping sets."),
     ("distinct_agg_stats", distinct_agg_stats, ORACLE_DISTINCT_AGG,
      "Exact distinct aggregates alongside plain aggregates."),
+    ("topk_per_group", topk_orders_per_priority, ORACLE_TOPK_PER_GROUP,
+     "Top-3 orders per priority (rank-then-filter window pattern)."),
+    ("grouping_sets_orders", grouping_sets_orders, ORACLE_GROUPING_SETS,
+     "GROUPING SETS with grouping_id."),
+    ("percentile_order_values", percentile_order_values, ORACLE_PERCENTILES,
+     "Exact percentiles (p50/p90/p99) per group."),
 ]
