@@ -150,9 +150,110 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Composite quality score from length / punctuation / stopword
+    ratios — the standard cheap pre-filter for LLM training corpora.
+    All Column math: map-only, zero shuffle at any scale."""
+    ws = words("text")
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_words
+    punct_ratio = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")) / F.length("text")
+    # length factor: saturating ramp, 1.0 at >= 100 words
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    score = (
+        0.4 * len_score + 0.3 * F.least(stop_ratio * 10, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    # Outputs in basis points via floor, not round(·, 4): these
+    # rationals land exactly on .xxxx5 halves (e.g. 15/96·10⁴),
+    # where Spark's and DuckDB's round() disagree; floor of the same
+    # IEEE double is identical everywhere.
+    bp = lambda c: F.floor(c * 10000).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        bp(stop_ratio).alias("stop_bp"),
+        bp(punct_ratio).alias("punct_bp"),
+        bp(score).alias("quality_bp"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(table(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY = r"""
+WITH f AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> ''))                                AS n_words,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+               w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w)))
+                                                                         AS n_stop,
+           len(regexp_extract_all(text, '[^\w\s]'))                      AS n_punct,
+           length(text)                                                  AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT)                                     AS n_words,
+       CAST(floor((n_stop * 1.0 / n_words) * 10000) AS BIGINT)     AS stop_bp,
+       CAST(floor((n_punct * 1.0 / n_chars) * 10000) AS BIGINT)    AS punct_bp,
+       -- term shapes mirror the Spark expression exactly — e.g.
+       -- (n_stop/n_words)*10, NOT n_stop*10/n_words — so both engines
+       -- produce bit-identical doubles before the floor.
+       CAST(floor((0.4 * least(n_words / 100.0, 1.0)
+           + 0.3 * least((n_stop * 1.0 / n_words) * 10, 1.0)
+           + 0.3 * (1 - least((n_punct * 1.0 / n_chars) * 5, 1.0))) * 10000) AS BIGINT)
+                                                                   AS quality_bp
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# Polynomial rolling hash (Rabin-Karp) over the token stream —
+# order-sensitive (unlike a token-set md5), so reordered words change
+# the fingerprint.  h = fold(h * B + tokhash) mod P with P = 2^31-1,
+# B = 131; intermediate h*B + t < 2^31 * 131 + 2^31 fits int64.
+RH_P = 2_147_483_647
+RH_B = 131
+
+
+def rolling_hash(docs: DataFrame) -> DataFrame:
+    ws = words("text")
+    tok_h = lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % RH_P
+    h = F.aggregate(
+        ws, F.lit(0).cast("long"),
+        lambda acc, w: (acc * RH_B + tok_h(w)) % RH_P,
+    )
+    return docs.select("doc_id", h.alias("rhash"))
+
+
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_hash(table(spark, sf_dir, "documents"))
+
+
+ORACLE_ROLLING_HASH = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> ''),
+                   w -> (('0x' || substr(md5(w), 1, 7))::BIGINT % {RH_P}))),
+           (acc, t) -> (acc * {RH_B} + t) % {RH_P}) AS rhash
+FROM documents
+"""
+
+
 QUERIES = [
     ("doc_stats", q_doc_stats, ORACLE_DOC_STATS,
      "E3 per-document size/shape statistics."),
+    ("doc_quality", q_quality, ORACLE_QUALITY,
+     "E3 quality scoring: length/punctuation/stopword-ratio composite."),
+    ("doc_rolling_hash", q_rolling_hash, ORACLE_ROLLING_HASH,
+     "E3 order-sensitive Rabin-Karp rolling hash over the token stream."),
     ("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,
      "E3 whitespace + BPE-ish regex token counting."),
     ("lang_id", q_lang_id, ORACLE_LANG_ID,

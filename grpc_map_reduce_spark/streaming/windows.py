@@ -67,6 +67,38 @@ def streaming_tumbling_agg(events: DataFrame, width: str = "1 hour",
     )
 
 
+def streaming_sliding_agg(events: DataFrame, width: str = "1 hour",
+                          slide: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Sliding (hopping) windows: each event lands in width/slide
+    overlapping windows.  State cost scales with the overlap factor —
+    at 100 TB keep width/slide small (here 2×) or pre-aggregate into
+    slide-sized tumbling panes and roll up downstream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: ``dropDuplicates`` keyed by
+    id + event-time with a watermark, so the dedup state store is
+    bounded by the watermark horizon instead of growing forever — the
+    streaming-ingest form of extension E1."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a running per-user value total + event count, carried in explicit

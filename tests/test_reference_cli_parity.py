@@ -1,0 +1,85 @@
+"""End-to-end parity with the reference CLI (`main client <dir> wc|ii`):
+text-file directory in, `key: value` text lines out, content checked
+against an independent pure-Python computation of the reference
+semantics (tokenize on non-letters → count / sorted-distinct sources).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from pathlib import Path
+
+import pytest
+
+from grpc_map_reduce_spark.sinks import run_reference_job
+from grpc_map_reduce_spark.sources import read_text_corpus
+
+CORPUS = {
+    "a.txt": "The quick brown fox; the lazy dog!",
+    "b.txt": "Dog days... quick-quick: 42 foxes?",
+    "c.txt": "lazy\nlazy\nLAZY",
+}
+
+_SPLIT = re.compile(r"[^a-zA-Z]+")
+
+
+def _write_corpus(tmp_path: Path) -> str:
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for name, text in CORPUS.items():
+        (d / name).write_text(text)
+    return str(d)
+
+
+def _read_output(path: str) -> dict[str, str]:
+    lines = []
+    for f in Path(path).glob("part-*"):
+        lines += f.read_text().splitlines()
+    out = dict(line.split(": ", 1) for line in lines)
+    assert len(out) == len(lines), "duplicate keys across output files"
+    return out
+
+
+def test_wc_job_end_to_end(spark, tmp_path):
+    corpus_dir = _write_corpus(tmp_path)
+    out_dir = str(tmp_path / "out_wc")
+    run_reference_job(spark, corpus_dir, "wc", out_dir, num_files=2)
+
+    expected = Counter(
+        w for text in CORPUS.values() for w in _SPLIT.split(text.lower()) if w
+    )
+    got = {k: int(v) for k, v in _read_output(out_dir).items()}
+    assert got == dict(expected)
+
+
+def test_ii_job_end_to_end(spark, tmp_path):
+    corpus_dir = _write_corpus(tmp_path)
+    out_dir = str(tmp_path / "out_ii")
+    run_reference_job(spark, corpus_dir, "ii", out_dir)
+
+    index = defaultdict(set)
+    for name, text in CORPUS.items():
+        for w in _SPLIT.split(text.lower()):
+            if w:
+                index[w].add(name)
+    expected = {
+        w: f"{len(srcs)} {','.join(sorted(srcs))}" for w, srcs in index.items()
+    }
+    assert _read_output(out_dir) == expected
+
+
+def test_read_text_corpus_granularity(spark, tmp_path):
+    corpus_dir = _write_corpus(tmp_path)
+    whole = read_text_corpus(spark, corpus_dir).collect()
+    assert {r.source for r in whole} == set(CORPUS)
+    assert {r.source: r.text for r in whole} == CORPUS
+
+    lines = read_text_corpus(spark, corpus_dir, whole_files=False).collect()
+    # line-granularity: c.txt contributes 3 rows
+    assert sum(1 for r in lines if r.source == "c.txt") == 3
+
+
+def test_unknown_job_rejected(spark, tmp_path):
+    with pytest.raises(ValueError):
+        run_reference_job(spark, str(tmp_path), "nope", str(tmp_path / "x"))

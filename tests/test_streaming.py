@@ -12,6 +12,8 @@ from grpc_map_reduce_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     stateful_user_totals,
+    streaming_dedup,
+    streaming_sliding_agg,
     streaming_tumbling_agg,
 )
 
@@ -30,6 +32,34 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(streaming_sliding_agg(stream), "stream_sliding")
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("stream_sliding").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    want = {(r.w.start, r.w.end, r.event_type): (r.n, r.v) for r in batch.collect()}
+    assert got == want
+    # every event is in exactly width/slide = 2 windows
+    n_events = table(spark, sf_dir, "events").count()
+    assert sum(n for n, _ in got.values()) == 2 * n_events
+
+
+def test_streaming_dedup_bounds_duplicates(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(streaming_dedup(stream), "stream_dedup", output_mode="append")
+    deduped = spark.table("stream_dedup")
+    batch = table(spark, sf_dir, "events").dropDuplicates(["event_id", "ts"])
+    assert deduped.count() == batch.count()
+    assert deduped.select("event_id", "ts").distinct().count() == deduped.count()
 
 
 def test_stateful_user_totals_matches_batch(spark, sf_dir):
