@@ -21,12 +21,18 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 def plan_audit(df: DataFrame) -> dict[str, bool | int]:
     """Coarse plan-quality signals for a DataFrame's physical plan."""
+    import re
+
     plan = explain_str(df)
+    # Under AQE the pre-execution plan carries no `*(n)` codegen tags;
+    # "codegen" mode reports "Found N WholeStageCodegen subtrees".
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
+                  explain_str(df, "codegen"))
     return {
         "has_broadcast_join": "BroadcastHashJoin" in plan,
         "has_sortmerge_join": "SortMergeJoin" in plan,
         "has_partial_agg": "partial_" in plan or "HashAggregate" in plan,
         "has_pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
-        "codegen_stages": plan.count("WholeStageCodegen"),
+        "codegen_stages": int(m.group(1)) if m else 0,
         "has_python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
     }
