@@ -1,0 +1,357 @@
+"""Extended TPC-H-style relational suite over the fixture star schema.
+
+The reference engine has no joins, subqueries, or conditional
+aggregation at all (SURVEY.md §2.1 — its surface ends at group-by +
+fold, reducer.go:159-186), so this module is pure extension surface:
+the classic decision-support shapes (scalar subqueries, correlated
+per-group thresholds, HAVING, conditional aggregates, argmax rows)
+each expressed as a declarative DataFrame plan.
+
+Queries are adapted to the fixture schema (FIXTURES.md) — the
+synthetic tables lack some TPC-H columns (no partsupp, no
+l_commitdate / l_shipmode, p_type is a flat category) — predicates
+are re-targeted to existing columns with selectivities probed at
+sf0.01.
+
+Scale notes (100 TB posture), per query:
+  * Every date/category filter is on a scan column → parquet
+    predicate pushdown prunes row groups before the join.
+  * Scalar subqueries (q15 max, q22 avg) produce 1-row DataFrames
+    that Spark broadcasts — no driver collect, no second pass over
+    the fact table on the driver.
+  * Per-key thresholds (q17) are a self-aggregate joined back on the
+    key: both sides shuffle on the SAME key, so AQE plans a
+    co-partitioned join with no extra exchange.
+  * HAVING (q18) is a post-aggregation filter — runs on the already
+    reduced groups, never on raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def _ts(s: str):
+    return F.to_timestamp(F.lit(s))
+
+
+# --------------------------------------------------------------------------
+# Q6-style forecast revenue: filter-only single-table aggregate.  The
+# whole WHERE clause reaches the parquet scan (PushedFilters); at
+# 100 TB this reads only matching row groups and reduces map-side to
+# one double per partition.
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)                                    AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9-style product-type profit by nation and year.  part filter prunes
+# the probe side early; supplier/nation broadcast; the only shuffles
+# are lineitem⨝orders on orderkey and the final small group-by.
+def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10-style returned-item report: which customers returned the most
+# revenue in a quarter.  Top-20 is TakeOrderedAndProject (per-partition
+# heap + driver merge of 20×P rows) — no global sort.
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14-style promo share: conditional aggregation (CASE inside SUM) —
+# one scan, two accumulators, no second pass.
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(revenue), 4).alias("promo_pct"),
+            F.round(F.sum(revenue), 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT
+    round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+    round(sum(l_extendedprice * (1 - l_discount)), 2)         AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15-style top supplier: argmax via scalar subquery.  The 1-row max
+# aggregate broadcasts into the join — revenue is computed ONCE and
+# reused for both the ranking and the filter (no re-scan).  Revenue is
+# rounded before the max comparison so FP ties resolve identically in
+# both engines.
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(revenue), 2).alias("total_revenue")
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.join(
+            F.broadcast(max_rev),
+            per_supp.total_revenue == max_rev.max_revenue,
+        )
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17-style small-quantity revenue: correlated per-part threshold
+# (l_quantity < 0.2 × that part's average), decorrelated into a
+# self-aggregate joined back on the key.  Both sides partition on
+# l_partkey → co-partitioned join, one shuffle total.
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q17 = """
+WITH agg AS (
+    SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_limit
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)                             AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN agg  ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < qty_limit
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18-style large-volume customers: HAVING on an aggregate, then join
+# the qualifying keys back to orders/customer.  The qualifying-order
+# set is tiny after the HAVING filter → broadcasts into the join.
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("t_orderkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.t_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey AS t_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 300
+) ON o_orderkey = t_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22-style idle rich customers: scalar AVG subquery (broadcast 1-row
+# aggregate, crossJoin — never a driver collect) + NOT EXISTS anti
+# join, then a per-nation rollup of the survivors.  The anti side is
+# finalized ('F') orders — every fixture customer has SOME order, so
+# plain "no orders" would be vacuously empty (probed at sf0.01).
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       count(*)                    AS numcust,
+       round(sum(c_acctbal), 2)    AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = [
+    ("q6_forecast_revenue", q6_forecast_revenue, ORACLE_Q6,
+     "Filter-only aggregate; full predicate pushdown to the scan."),
+    ("q9_nation_year_profit", q9_nation_year_profit, ORACLE_Q9,
+     "5-table join, profit by nation × year; dims broadcast."),
+    ("q10_returned_customers", q10_returned_customers, ORACLE_Q10,
+     "Returned-revenue top-20 customers (TakeOrderedAndProject)."),
+    ("q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
+     "Conditional aggregation (promo revenue share)."),
+    ("q15_top_supplier", q15_top_supplier, ORACLE_Q15,
+     "Argmax supplier via broadcast scalar-subquery max."),
+    ("q17_small_quantity_revenue", q17_small_quantity_revenue, ORACLE_Q17,
+     "Correlated per-part threshold, decorrelated to a co-partitioned self-join."),
+    ("q18_large_volume_customers", q18_large_volume_customers, ORACLE_Q18,
+     "HAVING on aggregate + join-back of qualifying keys."),
+    ("q22_idle_customers", q22_idle_customers, ORACLE_Q22,
+     "Scalar AVG subquery + NOT EXISTS anti join + rollup."),
+]

@@ -93,9 +93,10 @@ def _register_more() -> None:
         relational,
         similarity,
         text_analysis,
+        tpch_suite,
     )
 
-    for mod in (relational, events, dedup, similarity, text_analysis,
-                multimodal, map_reduce):
+    for mod in (relational, tpch_suite, events, dedup, similarity,
+                text_analysis, multimodal, map_reduce):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
