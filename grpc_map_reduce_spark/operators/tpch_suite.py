@@ -16,12 +16,12 @@ sf0.01.
 Scale notes (100 TB posture), per query:
   * Every date/category filter is on a scan column → parquet
     predicate pushdown prunes row groups before the join.
-  * Scalar subqueries (q15 max, q22 avg) produce 1-row DataFrames
-    that Spark broadcasts — no driver collect, no second pass over
-    the fact table on the driver.
-  * Per-key thresholds (q17) are a self-aggregate joined back on the
-    key: both sides shuffle on the SAME key, so AQE plans a
-    co-partitioned join with no extra exchange.
+  * Scalar subqueries are reformulated to avoid double fact scans:
+    q15's global max and q17's per-key threshold are WINDOW functions
+    over already-reduced (or key-partitioned) rows, because a
+    subquery-join form makes Spark re-scan lineitem (no
+    common-subplan reuse).  q22's avg is a genuine 1-row broadcast
+    (its subquery is over the small customer table, not the fact).
   * HAVING (q18) is a post-aggregation filter — runs on the already
     reduced groups, never on raw rows.
 """
@@ -186,12 +186,16 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 
 
 # --------------------------------------------------------------------------
-# Q15-style top supplier: argmax via scalar subquery.  The 1-row max
-# aggregate broadcasts into the join — revenue is computed ONCE and
-# reused for both the ranking and the filter (no re-scan).  Revenue is
-# rounded before the max comparison so FP ties resolve identically in
-# both engines.
+# Q15-style top supplier: argmax over an aggregate.  Expressing the
+# max as a scalar-subquery join would make Spark scan lineitem TWICE
+# (no common-subplan reuse); instead the global max is a window over
+# the already-aggregated per-supplier rows — ONE fact scan, one
+# shuffle, and the single-partition window only sees |suppliers|
+# rows, not raw lineitem.  Revenue is rounded before the max
+# comparison so FP ties resolve identically in both engines.
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
@@ -201,12 +205,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(revenue), 2).alias("total_revenue")
     )
-    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    w_all = Window.partitionBy()
     return (
-        per_supp.join(
-            F.broadcast(max_rev),
-            per_supp.total_revenue == max_rev.max_revenue,
-        )
+        per_supp.withColumn("max_revenue", F.max("total_revenue").over(w_all))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -229,18 +231,21 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 
 # --------------------------------------------------------------------------
 # Q17-style small-quantity revenue: correlated per-part threshold
-# (l_quantity < 0.2 × that part's average), decorrelated into a
-# self-aggregate joined back on the key.  Both sides partition on
-# l_partkey → co-partitioned join, one shuffle total.
+# (l_quantity < 0.2 × that part's average).  The textbook
+# decorrelation (self-aggregate + join-back) scans lineitem twice;
+# here the threshold is a window AVG partitioned by l_partkey over
+# the brand-filtered rows — ONE scan, ONE shuffle on the part key.
+# (The brand filter keeps whole parts, and l_partkey determines
+# p_brand, so the windowed avg equals the full-table per-part avg.)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_limit")
-    )
+    w_part = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == per_part.t_partkey)
+        .withColumn("qty_limit", 0.2 * F.avg("l_quantity").over(w_part))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -347,9 +352,9 @@ QUERIES = [
     ("q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
      "Conditional aggregation (promo revenue share)."),
     ("q15_top_supplier", q15_top_supplier, ORACLE_Q15,
-     "Argmax supplier via broadcast scalar-subquery max."),
+     "Argmax supplier via window max over the aggregate (one fact scan)."),
     ("q17_small_quantity_revenue", q17_small_quantity_revenue, ORACLE_Q17,
-     "Correlated per-part threshold, decorrelated to a co-partitioned self-join."),
+     "Correlated per-part threshold as a window avg (one scan, one shuffle)."),
     ("q18_large_volume_customers", q18_large_volume_customers, ORACLE_Q18,
      "HAVING on aggregate + join-back of qualifying keys."),
     ("q22_idle_customers", q22_idle_customers, ORACLE_Q22,

@@ -98,6 +98,49 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
     }
 
 
+def test_q6_full_predicate_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    # every conjunct of the WHERE clause reaches the parquet reader
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount,0.05)",
+                   "LessThanOrEqual(l_discount,0.07)",
+                   "LessThan(l_quantity,24.0)"):
+        assert pushed in plan, f"missing pushed filter {pushed}"
+    # and the scan reads only the 4 referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q15_q17_single_fact_scan(spark, sf_dir):
+    # the window reformulations must not re-scan lineitem for the
+    # scalar-subquery side (Spark has no common-subplan reuse)
+    for name in ("q15_top_supplier", "q17_small_quantity_revenue"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("lineitem.parquet]") == 1, (
+            f"{name}: lineitem scanned more than once\n{plan}"
+        )
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q10_returned_customers")
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    audit = plan_audit(
+        registry.all_queries()["q9_nation_year_profit"].spark_fn(spark, sf_dir)
+    )
+    assert audit["has_broadcast_join"]
+    assert not audit["has_python_udf"]
+
+
+def test_q22_anti_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_partition_filter_prunes(spark, sf_dir):
     # predicate on the scan column shows up as a pushed filter
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
