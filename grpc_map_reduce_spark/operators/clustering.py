@@ -1,0 +1,189 @@
+"""Dedup clustering: connected components over the near-dup pair graph.
+
+Pair-wise near-dup detection (dedup.py) answers "are A and B copies?";
+production dedup needs the transitive closure — A~B and B~C must
+land in ONE cluster with one keeper.  The reference engine has no
+iterative dataflow at all (its pipeline is a single map→shuffle→reduce
+pass, master.go:112-234), so this is pure extension surface.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard shuffle-based CC algorithm, converging in O(log² n) rounds
+independent of component diameter.  Plain min-label propagation needs
+O(diameter) rounds; a 100 TB corpus with chained near-dups (A~B~C~…)
+makes diameter the tail risk, so the star algorithm is the scale
+choice.
+
+Scale notes:
+  * Each round is two groupBy-shuffles on the node id — no driver
+    state; the edge set lives entirely in executors.
+  * ``localCheckpoint`` truncates lineage each round (iterative plans
+    otherwise grow unboundedly and re-execute from the scan); on a
+    real cluster use ``spark.sparkContext.setCheckpointDir`` + HDFS
+    ``checkpoint()`` for fault-tolerant truncation instead.
+  * Convergence test is a 2-value aggregate (count + xxhash64 sum of
+    the edge set) — O(1) driver traffic per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+from grpc_map_reduce_spark.sources.tables import table
+
+CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 29 edges / 55 nodes
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+    m = F.least(F.col("src"), F.col("min_nbr"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges downward, connect each neighborhood to its min."""
+    d = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        d.join(mins, "src")
+        .select(F.col("dst").alias("v"), "m")
+        .union(mins.select(F.col("src").alias("v"), "m"))
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in ``edges`` (src/dst columns).
+
+    ``component`` is the minimum node id of the connected component.
+    Root nodes map to themselves.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # bit_xor, not sum: order-insensitive like sum but cannot
+        # overflow (ANSI mode makes a sum of 2^63-scale hashes throw)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).first()
+        cur = (sig["n"], sig["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # At the fixpoint the edge set is a star forest: (member, root).
+    # The groupBy(min) is defensive canonicalization, free on the
+    # already-tiny star edge set.
+    members = e.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    )
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots)
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = CLUSTER_JACCARD_THRESHOLD,
+                   n: int = 3) -> DataFrame:
+    """Every document's dedup cluster id (min doc_id of its component).
+
+    Documents with no near-dup partner form singleton clusters of
+    themselves, so the output is a total assignment: one row per doc,
+    ``cluster_id`` is the keeper.
+    """
+    edges = ngram_jaccard_pairs(docs, n=n, threshold=threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(cc.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(table(spark, sf_dir, "documents"))
+
+
+# DuckDB twin: recursive transitive closure, min reachable id per node.
+# (Exponential-ish on dense graphs — fine at the 0.05 threshold's
+# sparse edge set; the Spark side has no such restriction.)
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           )) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+          >= {CLUSTER_JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.src AS id, reach.r AS r
+    FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+QUERIES = [
+    ("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+     "Transitive near-dup clusters via large-star/small-star connected components."),
+]

@@ -86,6 +86,7 @@ def _register_more() -> None:
     """Registrations for the wider operator surface (kept separate so
     the reference-parity core above stays readable)."""
     from grpc_map_reduce_spark.operators import (
+        clustering,
         dedup,
         events,
         map_reduce,
@@ -96,7 +97,7 @@ def _register_more() -> None:
         tpch_suite,
     )
 
-    for mod in (relational, tpch_suite, events, dedup, similarity,
-                text_analysis, multimodal, map_reduce):
+    for mod in (relational, tpch_suite, events, dedup, clustering,
+                similarity, text_analysis, multimodal, map_reduce):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

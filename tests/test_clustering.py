@@ -1,0 +1,67 @@
+"""Connected-components correctness beyond the oracle query: the
+large-star/small-star iteration must match a reference union-find on
+arbitrary graphs, including high-diameter paths (the case plain
+min-propagation is slow on and an early-terminating implementation
+gets wrong)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _union_find(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {i: i for i in range(n_nodes)}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp: dict[int, int] = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp[i] = min(comp.get(r, r), r)
+    return {i: comp[find(i)] for i in range(n_nodes)}
+
+
+def _spark_cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    from grpc_map_reduce_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 15), (2, 50, 60), (3, 40, 10)])
+def test_cc_matches_union_find_on_random_graphs(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    expected = _union_find(n_nodes, edges)
+    got = _spark_cc(spark, edges)
+    # spark output only covers nodes that appear in an edge
+    touched = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+    assert got == {i: expected[i] for i in sorted(touched)}
+
+
+def test_cc_path_graph_high_diameter(spark):
+    # 0-1-2-...-19: one component rooted at 0, diameter 19
+    edges = [(i, i + 1) for i in range(19)]
+    got = _spark_cc(spark, edges)
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_cc_two_components_with_dups_and_self_loops(spark):
+    edges = [(5, 3), (3, 5), (3, 9), (9, 9), (20, 11), (11, 20)]
+    got = _spark_cc(spark, edges)
+    assert got == {3: 3, 5: 3, 9: 3, 11: 11, 20: 11}
