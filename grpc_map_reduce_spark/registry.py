@@ -93,11 +93,12 @@ def _register_more() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         text_analysis,
         tpch_suite,
     )
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
-                similarity, text_analysis, multimodal, map_reduce):
+                similarity, text_analysis, multimodal, map_reduce, skew):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
