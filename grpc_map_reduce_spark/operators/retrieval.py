@@ -1,0 +1,115 @@
+"""Ranked retrieval (BM25) — the natural extension of the reference's
+inverted-index job.
+
+The reference stops at `word → sorted file list` (invIndexReduce,
+reducer.go:172-186); a real corpus engine needs the *scored* version:
+given query terms, rank documents.  BM25 (Robertson/Spärck Jones) is
+the standard; every factor is an aggregate the engine already
+computes — tf (the wordcount join key), df (the inverted-index group
+size), doc length, and two corpus scalars (N, avgdl).
+
+Scale notes:
+  * One tokenize pass feeds BOTH per-doc-length and per-(doc,word) tf
+    aggregations; everything downstream operates on the reduced
+    aggregates, never raw tokens.
+  * The query-term filter lands directly after tf aggregation, so the
+    scoring join only moves rows for the queried terms — O(df(term))
+    rows per term, not O(corpus).
+  * N and avgdl are a 1-row aggregate crossJoin-broadcast (no driver
+    round-trip); df per term broadcasts (|terms| rows).
+  * Top-k is TakeOrderedAndProject on the rounded score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.functions.text import words
+from grpc_map_reduce_spark.sources.tables import table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+DEFAULT_TERMS = ("join", "hash", "scan")
+TOP_K = 15
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], k1: float = BM25_K1,
+                b: float = BM25_B, top_k: int = TOP_K) -> DataFrame:
+    """Top-k documents by BM25 score for ``terms`` → (doc_id, bm25).
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
+    never negative, well-defined for df = N).
+    """
+    tokens = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = (
+        tf.filter(F.col("word").isin(*terms))
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_norm = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(table(spark, sf_dir, "documents"), list(DEFAULT_TERMS))
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in DEFAULT_TERMS)
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM toks WHERE word <> '' GROUP BY doc_id, word
+),
+dl AS (
+    SELECT doc_id, count(*) AS dl
+    FROM toks WHERE word <> '' GROUP BY doc_id
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+    SELECT word, count(*) AS df FROM tf
+    WHERE word IN ({_TERMS_SQL}) GROUP BY word
+)
+SELECT doc_id,
+       round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dfreq USING (word)
+JOIN dl    USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+QUERIES = [
+    ("bm25_retrieval", q_bm25, ORACLE_BM25,
+     "BM25 ranked retrieval over the inverted-index aggregates."),
+]

@@ -92,6 +92,7 @@ def _register_more() -> None:
         map_reduce,
         multimodal,
         relational,
+        retrieval,
         similarity,
         skew,
         text_analysis,
@@ -99,6 +100,7 @@ def _register_more() -> None:
     )
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
-                similarity, text_analysis, multimodal, map_reduce, skew):
+                similarity, text_analysis, multimodal, map_reduce, skew,
+                retrieval):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
