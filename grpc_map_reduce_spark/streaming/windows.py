@@ -91,6 +91,70 @@ def streaming_sliding_agg(events: DataFrame, width: str = "1 hour",
     )
 
 
+def streaming_session_agg(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.events.q_session_window``: the
+    SAME ``session_window`` expression runs under Structured
+    Streaming — sessions merge across micro-batches in the state
+    store and finalize once the watermark passes their gap horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_stream_purchase_click_join(events: DataFrame,
+                                      watermark: str = "2 hours",
+                                      horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase to every click by the
+    same user within the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds
+    click_ts to [purchase_ts − horizon, purchase_ts], so Spark can
+    size the join state store from watermark + time bound and evict
+    rows that can no longer match — without the interval condition a
+    stream-stream join would buffer both streams forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "purchase_id", "p_user_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: ``dropDuplicates`` keyed by
     id + event-time with a watermark, so the dedup state store is

@@ -82,3 +82,56 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    from grpc_map_reduce_spark.operators.events import q_session_window
+    from grpc_map_reduce_spark.streaming.windows import streaming_session_agg
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(streaming_session_agg(stream), "stream_sessions")
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value)
+        for r in spark.table("stream_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value)
+        for r in q_session_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from grpc_map_reduce_spark.streaming.windows import (
+        stream_stream_purchase_click_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        stream_stream_purchase_click_join(stream), "stream_ss_join",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in spark.table("stream_ss_join").collect()
+    )
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = sorted(
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == want
