@@ -247,9 +247,98 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# PMI collocations: which word pairs co-occur more than chance?
+# pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) over adjacent-token
+# bigrams.  All four frequency tables come from ONE tokenize pass;
+# unigram counts and the two 1-row totals broadcast into the scoring
+# join (vocabulary ≪ corpus at any scale — a vocab too big to
+# broadcast just flips the joins to shuffle joins, same plan shape).
+# All ratios computed in double (the integer product n_pair·T² would
+# overflow int64 on a large corpus — cast BEFORE multiplying, both
+# engines).
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    toks = docs.select(words("text").alias("ws"))
+    bigram_arr = F.transform(
+        F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(F.col("ws"), i + 2)),
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("double").alias("n_tokens"))
+    bgc = (
+        toks.select(F.explode(bigram_arr).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n_pair"))
+    )
+    btot = bgc.agg(F.sum("n_pair").cast("double").alias("n_bigrams"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("n_tokens") * F.col("n_tokens"))
+        / (F.col("n_bigrams") * F.col("n_w1").cast("double") * F.col("n_w2"))
+    )
+    return (
+        bgc.filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+            "n_pair",
+        )
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(table(spark, sf_dir, "documents"))
+
+
+ORACLE_PMI = f"""
+WITH toks AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+uni AS (
+    SELECT unnest(ws) AS word FROM toks
+),
+unic AS (SELECT word, count(*) AS n_w FROM uni GROUP BY word),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n_tokens FROM unic),
+bg AS (
+    SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS bigram
+    FROM toks
+),
+bgc AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY bigram),
+btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n_bigrams FROM bgc)
+SELECT
+    split_part(bigram, ' ', 1) AS w1,
+    split_part(bigram, ' ', 2) AS w2,
+    n_pair,
+    round(ln((CAST(n_pair AS DOUBLE) * n_tokens * n_tokens)
+             / (n_bigrams * CAST(u1.n_w AS DOUBLE) * u2.n_w)), 6) AS pmi
+FROM bgc
+JOIN unic u1 ON split_part(bigram, ' ', 1) = u1.word
+JOIN unic u2 ON split_part(bigram, ' ', 2) = u2.word
+CROSS JOIN tot
+CROSS JOIN btot
+WHERE n_pair >= {PMI_MIN_COUNT}
+"""
+
+
 QUERIES = [
     ("doc_stats", q_doc_stats, ORACLE_DOC_STATS,
      "E3 per-document size/shape statistics."),
+    ("pmi_collocations", q_pmi_collocations, ORACLE_PMI,
+     "E3 PMI bigram collocations from one tokenize pass."),
     ("doc_quality", q_quality, ORACLE_QUALITY,
      "E3 quality scoring: length/punctuation/stopword-ratio composite."),
     ("doc_rolling_hash", q_rolling_hash, ORACLE_ROLLING_HASH,
