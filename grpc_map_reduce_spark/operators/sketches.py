@@ -1,0 +1,143 @@
+"""Mergeable sketches + deterministic splits — streaming-friendly
+summaries a training-data pipeline runs at 100 TB.
+
+Two operators, both built from md5-derived hashes so the DuckDB
+oracle reproduces them bit-for-bit (the same trick as SimHash /
+MinHash in dedup.py):
+
+  * ``cms_frequency_estimates`` — a Count-Min sketch (Cormode &
+    Muthukrishnan 2005): d hash rows × w counters.  Each counter is a
+    SUM → the sketch is mergeable across partitions/days/shards by
+    pointwise addition, which is the whole point at scale: a fixed
+    d×w-size summary of an unbounded stream.  The query materializes
+    the sketch AND reads estimates back out (est = min over rows of
+    the hashed counter), alongside exact counts so the ε-overestimate
+    guarantee is visible in the result.
+  * ``hash_split`` — deterministic train/test assignment:
+    bucket(id) = md5(id) mod 100.  Hash-based (not random) splits are
+    reproducible across runs, engines, and re-shards — the property
+    that keeps eval sets stable while a corpus is re-crawled.
+    Content-keyed variants (hash of text) additionally survive doc-id
+    reassignment.
+
+Spark's built-ins (``count_min_sketch``, ``approx_count_distinct``,
+``sampleBy``) cover the same ground with opaque binary/engine-specific
+results; these formulations trade a constant factor for exact
+cross-engine checkability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.functions.text import words
+from grpc_map_reduce_spark.sources.tables import table
+
+CMS_DEPTH = 4   # number of hash rows (error probability ~ exp(-depth))
+CMS_WIDTH = 64  # counters per row (overestimate ~ n_tokens / width)
+
+
+def _md5_long(col: Column) -> Column:
+    """First 8 hex chars of md5 → non-negative int64 (same in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _cms_bucket(word: Column, row: Column) -> Column:
+    return _md5_long(F.concat(word, F.lit("#"), row.cast("string"))) % CMS_WIDTH
+
+
+def cms_frequency_estimates(docs: DataFrame) -> DataFrame:
+    """(word, n_exact, n_est) for every token — n_est from the sketch.
+
+    The sketch is built from the already-reduced (word, cnt) table,
+    so the d× row expansion touches O(vocab) rows, not O(corpus).
+    CMS guarantees n_est ≥ n_exact always, and overestimates only on
+    bucket collisions.
+    """
+    wc = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n_exact"))
+    )
+    rows = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
+    hashed = wc.select("word", "n_exact", rows).withColumn(
+        "bucket", _cms_bucket(F.col("word"), F.col("j"))
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(F.sum("n_exact").alias("counter"))
+    return (
+        hashed.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("counter").alias("n_est"))
+    )
+
+
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_frequency_estimates(table(spark, sf_dir, "documents"))
+
+
+ORACLE_CMS = f"""
+WITH wc AS (
+    SELECT word, count(*) AS n_exact FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+hashed AS (
+    SELECT word, n_exact, j,
+           (('0x' || substr(md5(word || '#' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+            % {CMS_WIDTH}) AS bucket
+    FROM wc CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j)
+),
+sketch AS (
+    SELECT j, bucket, sum(n_exact) AS counter FROM hashed GROUP BY j, bucket
+)
+SELECT word, n_exact, min(counter) AS n_est
+FROM hashed JOIN sketch USING (j, bucket)
+GROUP BY word, n_exact
+"""
+
+
+# --------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 90
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train_pct: int = SPLIT_TRAIN_PCT) -> DataFrame:
+    """Add a deterministic ``split`` column ('train' | 'test')."""
+    bucket = _md5_long(F.col(id_col).cast("string")) % 100
+    return df.withColumn(
+        "split", F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split document stats — the sanity report run after any
+    split: sizes close to the target ratio, length distributions
+    comparable between splits."""
+    docs = hash_split(table(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+ORACLE_HASH_SPLIT = f"""
+SELECT
+    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+              < {SPLIT_TRAIN_PCT}
+         THEN 'train' ELSE 'test' END AS split,
+    count(*)                AS n_docs,
+    sum(n_chars)            AS total_chars,
+    round(avg(n_chars), 4)  AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES = [
+    ("cms_frequency_estimates", q_cms, ORACLE_CMS,
+     "Mergeable Count-Min sketch with exact-vs-estimate comparison."),
+    ("hash_split_stats", q_hash_split_stats, ORACLE_HASH_SPLIT,
+     "Deterministic md5 train/test split + per-split stats."),
+]

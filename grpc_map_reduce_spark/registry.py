@@ -94,6 +94,7 @@ def _register_more() -> None:
         relational,
         retrieval,
         similarity,
+        sketches,
         skew,
         text_analysis,
         tpch_suite,
@@ -101,6 +102,6 @@ def _register_more() -> None:
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
-                retrieval):
+                retrieval, sketches):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
