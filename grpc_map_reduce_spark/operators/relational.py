@@ -517,7 +517,72 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# PIVOT: status × priority counts as a cross-tab.  The pivot values are
+# listed explicitly — with them, Spark skips the extra distinct-scan
+# job and the plan is a single groupBy with conditional aggregates
+# (exactly what the SQL oracle spells out).
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[
+                F.coalesce(F.col(p), F.lit(0)).alias(f"p{i + 1}")
+                for i, p in enumerate(_PRIORITIES)
+            ],
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt): wide → long.  Map-only (a generate + project — no
+# shuffle); the inverse reshaping of pivot above.
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.unpivot(
+        "p_partkey",
+        [
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        ],
+        "measure",
+        "val",
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, measure, val FROM (
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+)
+"""
+
+
 QUERIES = [
+    ("pivot_order_counts", pivot_order_counts, ORACLE_PIVOT,
+     "PIVOT cross-tab (status × priority) with explicit pivot values."),
+    ("unpivot_part_measures", unpivot_part_measures, ORACLE_UNPIVOT,
+     "UNPIVOT/melt wide measures to long (map-only)."),
     ("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
      "TPC-H Q1-style scan+aggregate with partial aggregation."),
     ("q3_top_orders", q3_top_orders, ORACLE_Q3,
