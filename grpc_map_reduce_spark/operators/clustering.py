@@ -84,7 +84,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the convergence aggregate below is the
+        # action that materializes it, so each round runs ONE job
+        # (eager=True would run a materialization job AND the agg job)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # bit_xor, not sum: order-insensitive like sum but cannot
         # overflow (ANSI mode makes a sum of 2^63-scale hashes throw)
         sig = e.agg(
