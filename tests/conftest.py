@@ -12,8 +12,15 @@ SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("grpc-map-reduce-spark-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+def spark(tmp_path_factory):
+    s = get_spark(
+        "grpc-map-reduce-spark-tests",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        extra_conf={
+            # keep catalog-table files (bucketing tests) out of the repo
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     yield s
     s.stop()
 

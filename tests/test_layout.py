@@ -1,0 +1,69 @@
+"""Plan-level guarantees of the storage-layout helpers: bucketed
+joins run with zero exchanges; date-partitioned reads prune
+directories at planning time."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.plans.audit import explain_str
+from grpc_map_reduce_spark.sources.layout import (
+    bucketed_join,
+    write_bucketed,
+    write_date_partitioned,
+)
+from grpc_map_reduce_spark.sources.tables import table
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    # the fixture dims are tiny, so the planner would broadcast and
+    # never exercise the bucketed path this test is about
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_auto_broadcast):
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=8)
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, f"bucketed join must not shuffle\n{plan}"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # correctness: same rows as the plain join
+        want = orders.join(li, "o_orderkey").count()
+        assert joined.count() == want
+        # aggregation on the bucket key also skips its shuffle
+        agg_plan = explain_str(
+            spark.table("b_lineitem").groupBy("o_orderkey").agg(F.sum("l_quantity"))
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_date_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "o_date", F.to_date("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_date")
+    write_date_partitioned(orders.filter(F.col("o_orderdate") < F.lit("1995-03-01")), path, "o_date")
+
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("o_date") == F.lit("1995-01-15"))
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "o_date" in plan
+    # partition values survive the directory round trip
+    got = pruned.count()
+    want = orders.filter(F.col("o_date") == F.lit("1995-01-15")).count()
+    assert got == want > 0
