@@ -135,9 +135,49 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Data profiling: the one-pass per-column health report every pipeline
+# runs before training on a new drop — row counts, null counts,
+# ranges, exact cardinalities.  One scan, one (tiny) final aggregate;
+# at 100 TB swap countDistinct for approx_count_distinct (HLL, one
+# pass, mergeable) — same query shape, bounded memory.
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("n_custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("n_status_distinct"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+    )
+
+
+ORACLE_PROFILE = """
+SELECT
+    count(*)                          AS n_rows,
+    count(o_custkey)                  AS n_custkey_nonnull,
+    count(DISTINCT o_custkey)         AS n_custkey_distinct,
+    count(DISTINCT o_orderstatus)     AS n_status_distinct,
+    min(o_orderdate)                  AS min_date,
+    max(o_orderdate)                  AS max_date,
+    round(min(o_totalprice), 2)       AS min_price,
+    round(max(o_totalprice), 2)       AS max_price,
+    round(avg(o_totalprice), 4)       AS avg_price,
+    round(stddev_samp(o_totalprice), 4) AS std_price
+FROM orders
+"""
+
+
 QUERIES = [
     ("cms_frequency_estimates", q_cms, ORACLE_CMS,
      "Mergeable Count-Min sketch with exact-vs-estimate comparison."),
     ("hash_split_stats", q_hash_split_stats, ORACLE_HASH_SPLIT,
      "Deterministic md5 train/test split + per-split stats."),
+    ("profile_orders", q_profile_orders, ORACLE_PROFILE,
+     "One-pass per-column data-profiling report."),
 ]
