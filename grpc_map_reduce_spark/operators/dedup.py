@@ -79,6 +79,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
     # slice (measured ~10× slower at sf0.1; see functions.text).
     spark = docs.sparkSession
     n_part = spark.sparkContext.defaultParallelism
+    # Lazy checkpoint: the self-join consumes sh on BOTH sides, and
+    # Spark would otherwise run the shingling UDF twice over the whole
+    # corpus.  Pinning the exploded shingle table costs O(total
+    # shingles) local storage for a 2× cut in tokenization work — the
+    # right trade below memory pressure; above it, drop the checkpoint
+    # and pay the recompute.
     sh = (
         docs.repartition(n_part, "doc_id")
         .select("doc_id", distinct_shingles_udf(n)("text").alias("sh_set"))
@@ -87,6 +93,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
             F.size("sh_set").alias("n_shingles"),
             F.explode("sh_set").alias("shingle"),
         )
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         hot = (

@@ -42,8 +42,18 @@ def bm25_scores(docs: DataFrame, terms: list[str], k1: float = BM25_K1,
     never negative, well-defined for df = N).
     """
     tokens = docs.select("doc_id", F.explode(words("text")).alias("word"))
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tf feeds FOUR consumers (scoring, dl, stats, df).  Spark has no
+    # common-subplan reuse across branches, so without pinning, each
+    # branch re-scans and re-tokenizes the corpus (4 full scans,
+    # measured).  A lazy localCheckpoint materializes the reduced
+    # (doc,word,tf) table once — O(vocab·docs) rows, far smaller than
+    # the corpus — and every branch reads that.  (On a cluster,
+    # ``checkpoint()`` to HDFS gives the fault-tolerant equivalent.)
+    tf = (
+        tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -55,9 +55,12 @@ def cms_frequency_estimates(docs: DataFrame) -> DataFrame:
     CMS guarantees n_est ≥ n_exact always, and overestimates only on
     bucket collisions.
     """
+    # wc feeds both the sketch build and the estimate join — pin the
+    # reduced (word, count) table so the corpus is tokenized once.
     wc = (
         docs.select(F.explode(words("text")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("n_exact"))
+        .localCheckpoint(eager=False)
     )
     rows = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
     hashed = wc.select("word", "n_exact", rows).withColumn(

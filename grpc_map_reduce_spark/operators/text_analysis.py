@@ -266,14 +266,21 @@ def pmi_collocations(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFra
         F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
         lambda w, i: F.concat_ws(" ", w, F.element_at(F.col("ws"), i + 2)),
     )
+    # uni and bgc each feed two consumers (totals + scoring join);
+    # lazy-checkpoint the REDUCED tables so the corpus is tokenized
+    # once per table instead of once per consumer.  (The raw token
+    # stream is never materialized — at scale re-reading compressed
+    # parquet beats persisting an exploded token table.)
     uni = (
         toks.select(F.explode("ws").alias("word"))
         .groupBy("word").agg(F.count("*").alias("n_w"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("n_w").cast("double").alias("n_tokens"))
     bgc = (
         toks.select(F.explode(bigram_arr).alias("bigram"))
         .groupBy("bigram").agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=False)
     )
     btot = bgc.agg(F.sum("n_pair").cast("double").alias("n_bigrams"))
     u1 = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
