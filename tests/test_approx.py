@@ -1,0 +1,56 @@
+"""The approximate scale path next to its exact twin.
+
+Exact COUNT(DISTINCT) and exact percentiles are fine at test SF but
+become the shuffle bottleneck at 100 TB; the production swap is
+``approx_count_distinct`` (HyperLogLog++, mergeable, one pass) and
+``approx_percentile`` (t-digest-style sketch).  These are
+engine-specific estimators — no DuckDB oracle can hash-match them —
+so the gate here is a relative-error bound against the exact
+operators on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).first()
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.05, f"HLL rel err {rel_err:.4f} (exact={row['exact']})"
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10_000)).alias("approx_p50"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("o_totalprice", F.lit(0.99), F.lit(10_000)).alias("approx_p99"),
+    ).first()
+    for q in ("p50", "p99"):
+        rel_err = abs(row[f"approx_{q}"] - row[f"exact_{q}"]) / row[f"exact_{q}"]
+        assert rel_err < 0.02, f"{q} rel err {rel_err:.4f}"
+
+
+def test_approx_grouped_matches_exact_groups(spark, sf_dir):
+    # grouped HLL: every group's estimate lands within the bound,
+    # and the approximate plan is partial+final (mergeable sketches),
+    # not an expand like exact distinct
+    li = table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("exact"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.05
