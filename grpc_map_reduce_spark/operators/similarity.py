@@ -37,7 +37,7 @@ def _pack_blocks(df: DataFrame, id_col: str, vec_col: str,
 
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
     return base.groupBy("blk").applyInPandas(
@@ -261,7 +261,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     base = corpus.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
     )
     assigned = base.join(F.broadcast(cent)).mapInPandas(
         _assign, schema="id long, v array<double>, list_id long"
@@ -298,7 +298,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     qbase = queries.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
     )
     probes = qbase.join(F.broadcast(cent)).mapInPandas(
         _probe, schema="query_id long, qv array<double>, list_id long"
