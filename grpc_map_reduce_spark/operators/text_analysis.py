@@ -341,9 +341,36 @@ WHERE n_pair >= {PMI_MIN_COUNT}
 """
 
 
+# --------------------------------------------------------------------------
+# Regex scalar functions: extract / count / replace — map-only, pure
+# codegen (no UDF), same POSIX-ish semantics in DuckDB.
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit(r"[aeiou]{2}")).cast("long").alias("n_vowel_pairs"),
+        F.regexp_replace("source", r"[0-9]+", "#").alias("masked_source"),
+        F.col("text").rlike(r"\bjoin\b").alias("mentions_join"),
+    )
+
+
+ORACLE_REGEX = r"""
+SELECT
+    doc_id,
+    coalesce(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word,
+    CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
+    regexp_replace(source, '[0-9]+', '#', 'g')         AS masked_source,
+    regexp_matches(text, '\bjoin\b')                   AS mentions_join
+FROM documents
+"""
+
+
 QUERIES = [
     ("doc_stats", q_doc_stats, ORACLE_DOC_STATS,
      "E3 per-document size/shape statistics."),
+    ("regex_functions", q_regex_functions, ORACLE_REGEX,
+     "Regex extract/count/replace/match scalar functions (map-only)."),
     ("pmi_collocations", q_pmi_collocations, ORACLE_PMI,
      "E3 PMI bigram collocations from one tokenize pass."),
     ("doc_quality", q_quality, ORACLE_QUALITY,
