@@ -338,7 +338,50 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8))
 
 
+# --------------------------------------------------------------------------
+# Pure-JVM vector math: higher-order array functions (transform /
+# zip_with / aggregate) keep per-element arithmetic inside codegen —
+# zero Python, zero shuffle (map-only).  This is the expression-level
+# building block for vector ops embedded in larger relational plans;
+# the numpy-blocked kernels above win only when a whole matmul can be
+# batched.  Elements upcast float32→double per element (exact), and
+# both engines fold left-to-right, so sums agree bit-for-bit.
+def q_vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    rev_prod = F.zip_with(
+        "embedding", F.reverse("embedding"),
+        lambda a, b: a.cast("double") * b.cast("double"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(fold(sq)), 6).alias("l2_norm"),
+        F.round(fold(rev_prod), 6).alias("dot_reversed"),
+    )
+
+
+ORACLE_VECTOR_FUNCTIONS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * x))), 6)
+           AS l2_norm,
+       round(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * embedding[len(embedding) - i + 1])), 6)
+           AS dot_reversed
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
 QUERIES = [
+    ("vector_functions", q_vector_functions, ORACLE_VECTOR_FUNCTIONS,
+     "JVM-side vector math via transform/zip_with/aggregate (map-only)."),
     ("ann_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK,
      "E2 similarity search: brute-force cosine top-k (oracle baseline)."),
     ("embedding_near_dup", q_embedding_near_dup, ORACLE_NEAR_DUP,
