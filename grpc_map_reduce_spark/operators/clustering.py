@@ -186,7 +186,129 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank over the (denser, low-threshold) near-dup graph: which
+# documents sit at the center of duplicate neighborhoods?  High-rank
+# docs are canonical-copy candidates; the iteration pattern is the
+# template for any fixed-point graph computation on DataFrames.
+#
+# Each iteration = one join (ranks onto edges) + one groupBy(dst) —
+# two shuffles on the node id, both AQE-managed; ranks are
+# lazy-checkpointed per round so the plan does not grow with K.
+# K is FIXED (not convergence-tested) so the DuckDB oracle can unroll
+# the same K rounds as chained CTEs; both engines round only the
+# final rank, and per-round double sums differ at ~1e-15 relative,
+# far under the 6 dp comparison.
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+PAGERANK_EDGE_THRESHOLD = 0.008  # dense graph: ~6k edges at sf0.01
+
+
+def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
+             n_iter: int = PAGERANK_ITERS) -> DataFrame:
+    """(node, rank) after ``n_iter`` power iterations on the
+    symmetrized ``edges`` (src/dst).  Nodes = every id in the edge
+    set; the symmetric closure means no dangling nodes."""
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.node)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit((1 - damping) / n)
+                 + damping * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return pagerank(edges).withColumnRenamed("node", "doc_id")
+
+
+def _pagerank_oracle() -> str:
+    d = PAGERANK_DAMPING
+    rounds = "".join(
+        f""",
+r{i + 1} AS (
+    SELECT n.node,
+           (1 - {d}) / (SELECT cnt FROM nn)
+           + {d} * coalesce(sum(r{i}.rank / deg.outd), 0) AS rank
+    FROM nodes n
+    LEFT JOIN sym  ON sym.dst = n.node
+    LEFT JOIN r{i} ON r{i}.node = sym.src
+    LEFT JOIN deg  ON deg.src = sym.src
+    GROUP BY n.node
+)"""
+        for i in range(PAGERANK_ITERS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           )) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+          >= {PAGERANK_EDGE_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS outd FROM sym GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+nn AS (SELECT count(*) AS cnt FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes){rounds}
+SELECT node AS doc_id, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
+"""
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
 QUERIES = [
     ("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
      "Transitive near-dup clusters via large-star/small-star connected components."),
+    ("pagerank_neardup", q_pagerank_neardup, ORACLE_PAGERANK,
+     "Fixed-K PageRank power iteration over the near-dup graph."),
 ]
