@@ -578,7 +578,43 @@ SELECT p_partkey, measure, val FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# RANGE window frame: per-customer trailing-30-day spend at every
+# order.  Unlike the ROWS frames in window_order_stats, the frame
+# bound here is a VALUE offset on event time (orders in the last 30
+# days), the shape behind "rolling spend/rate over a trailing
+# window".  Spark range frames need a numeric ordering column → order
+# by epoch seconds with a seconds offset; DuckDB states the same
+# frame as RANGE BETWEEN INTERVAL ... PRECEDING.
+def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 24 * 3600, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+ORACLE_TRAILING = """
+SELECT
+    o_orderkey, o_custkey,
+    round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+    count(*) OVER w                    AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = [
+    ("window_trailing_spend", window_trailing_spend, ORACLE_TRAILING,
+     "RANGE-frame window: trailing-30-day spend per customer."),
     ("pivot_order_counts", pivot_order_counts, ORACLE_PIVOT,
      "PIVOT cross-tab (status × priority) with explicit pivot values."),
     ("unpivot_part_measures", unpivot_part_measures, ORACLE_UNPIVOT,
