@@ -21,26 +21,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.money import cents
 from grpc_map_reduce_spark.sources.tables import table
 
 
 # --------------------------------------------------------------------------
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
-    """Per (hour, event_type): event count + value sum + distinct users."""
+    """Per (hour, event_type): event count, value sum (exact integer
+    cents — see functions.money), distinct users, and JSON-extracted
+    per-window stats (avg/max of ``props.$.k``) — the windowed
+    aggregation and the JSON scalar-function library in one plan.
+    ``avg_k`` divides an exact integer sum by an exact count, so both
+    engines produce the identical double."""
+    k = F.get_json_object("props", "$.k").cast("long")
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(cents("value")).alias("total_value_cents"),
             F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
             "n_users",
+            "avg_k",
+            "max_k",
         )
     )
 
@@ -56,8 +67,10 @@ SELECT
     date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
     event_type,
     count(*)                  AS n_events,
-    round(sum(value), 2)      AS total_value,
-    count(DISTINCT user_id)   AS n_users
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
+    count(DISTINCT user_id)   AS n_users,
+    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+    max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -161,13 +174,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = with_new.withColumn("session_seq", F.sum("_new_session").over(wrun))
+    # session_value in exact integer cents (functions.money): round 1's
+    # round(sum(double), 2) hash-failed on last-ulp round divergence.
     return (
         sess.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.sum(cents("value")).alias("session_value_cents"),
         )
     )
 
@@ -192,7 +207,7 @@ SELECT user_id, session_seq,
        count(*)             AS n_events,
        min(ts)              AS session_start,
        max(ts)              AS session_end,
-       round(sum(value), 2) AS session_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents
 FROM sessions
 GROUP BY user_id, session_seq
 """
@@ -227,7 +242,8 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         .groupBy("event_id", on, ts_col, "value")
         .agg(
             F.count("_rts").alias("n_recent"),
-            F.round(F.coalesce(F.sum("_rvalue"), F.lit(0.0)), 2).alias("recent_value"),
+            F.coalesce(F.sum(cents("_rvalue")), F.lit(0).cast("long"))
+            .alias("recent_value_cents"),
         )
     )
 
@@ -245,7 +261,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RANGE_JOIN = """
 SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
        count(c.ts)                          AS n_recent,
-       round(coalesce(sum(c.value), 0), 2)  AS recent_value
+       CAST(coalesce(sum(CAST(round(c.value * 100) AS BIGINT)), 0) AS BIGINT)
+                                            AS recent_value_cents
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
@@ -266,14 +283,14 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.sum(cents("value")).alias("session_value_cents"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "session_value",
+            "session_value_cents",
         )
     )
 
@@ -302,7 +319,7 @@ SELECT user_id,
        min(ts)                             AS session_start,
        max(ts) + INTERVAL 30 MINUTE        AS session_end,
        count(*)                            AS n_events,
-       round(sum(value), 2)                AS session_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents
 FROM sessions
 GROUP BY user_id, session_seq
 """
@@ -310,7 +327,8 @@ GROUP BY user_id, session_seq
 
 QUERIES = [
     ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
-     "Tumbling 1h window aggregation (batch twin of the streaming op)."),
+     "Tumbling 1h window aggregation + JSON props extraction "
+     "(batch twin of the streaming op)."),
     ("events_range_join", q_range_join, ORACLE_RANGE_JOIN,
      "Bounded range join: purchases ← clicks within a 15-min lookback."),
     ("events_session_window", q_session_window, ORACLE_SESSION_WINDOW,

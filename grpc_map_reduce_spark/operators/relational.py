@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.money import cents
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -150,75 +151,159 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
-# Window functions: per-customer order sequence.  One shuffle on the
-# partition key, then all four window computations share the sort.
+# Window functions: per-customer order sequence — ROWS frames
+# (row_number / lag / running sum / whole-partition avg) AND a RANGE
+# frame (trailing-30-day spend) in one query.  One shuffle on the
+# partition key; the window computations share it.
+#
+# Money outputs are exact integer cents / basis points (see
+# functions.money): round-1's rounded-double versions hash-failed on
+# last-ulp round() divergence between Spark and DuckDB.
+# The RANGE frame orders by datediff-from-epoch (a timezone-free day
+# number) rather than unix_timestamp, so the 30-day offset cannot
+# shift across DST boundaries (ADVICE round 1).
 def window_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "pc", cents("o_totalprice")
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy("o_custkey")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w_30d = Window.partitionBy("o_custkey").orderBy(day_no).rangeBetween(-30, 0)
+    # avg in basis points of dollars = floor(sum_cents * 100 / n):
+    # IEEE division of exact integers, then floor — identical in both
+    # engines (no rounded-double hashing anywhere).
+    cust_avg_bp = F.floor(
+        F.sum("pc").over(w_all) * 100 / F.count(F.lit(1)).over(w_all)
+    ).cast("long")
     return orders.select(
         "o_orderkey",
         "o_custkey",
         F.row_number().over(w).cast("long").alias("rn"),
-        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
-        F.round(F.avg("o_totalprice").over(w_all), 4).alias("cust_avg"),
+        F.lag("pc").over(w).alias("prev_price_cents"),
+        F.sum("pc").over(w_run).alias("running_total_cents"),
+        cust_avg_bp.alias("cust_avg_bp"),
+        F.sum("pc").over(w_30d).alias("spend_30d_cents"),
+        F.count(F.lit(1)).over(w_30d).alias("n_orders_30d"),
     )
 
 
 ORACLE_WINDOW = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+    FROM orders
+)
 SELECT
     o_orderkey, o_custkey,
-    row_number() OVER w                             AS rn,
-    round(lag(o_totalprice) OVER w, 2)              AS prev_price,
-    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-    round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 4)   AS cust_avg
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    row_number() OVER w                              AS rn,
+    lag(pc) OVER w                                   AS prev_price_cents,
+    CAST(sum(pc) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                                                     AS running_total_cents,
+    CAST(floor(sum(pc) OVER (PARTITION BY o_custkey) * 100
+               / count(*) OVER (PARTITION BY o_custkey)) AS BIGINT)
+                                                     AS cust_avg_bp,
+    CAST(sum(pc) OVER w30 AS BIGINT)                 AS spend_30d_cents,
+    count(*) OVER w30                                AS n_orders_30d
+FROM o
+WINDOW w   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w30 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
 """
 
 
 # --------------------------------------------------------------------------
-# ROLLUP: hierarchical totals in one pass (the reference has no grouping
-# framework at all).  NULL rollup slots are coalesced to 'ALL' so the
-# output is hash-stable (fixtures contain no real NULLs in these cols).
+# ROLLUP + GROUPING SETS in one query (the reference has no grouping
+# framework at all).  The two grouping frameworks are exercised as
+# tagged branches of one union: `rollup` via the DataFrame API,
+# `gsets` via SQL GROUPING SETS, both with grouping_id.  NULL slots
+# are coalesced to 'ALL' so the output is hash-stable (fixtures
+# contain no real NULLs in these cols).  Money totals are exact
+# integer cents (functions.money).
 def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    return (
+    orders = table(spark, sf_dir, "orders").withColumn("pc", cents("o_totalprice"))
+    rolled = (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum("pc").alias("total_price_cents"),
         )
         .select(
+            F.lit("rollup").alias("src"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
             "n_orders",
-            "total_price",
+            "total_price_cents",
         )
     )
+    orders.createOrReplaceTempView("_gs_orders")
+    gsets = spark.sql("""
+        SELECT
+            'gsets' AS src,
+            coalesce(o_orderstatus,   'ALL') AS status,
+            coalesce(o_orderpriority, 'ALL') AS priority,
+            CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+            count(*)     AS n_orders,
+            sum(pc)      AS total_price_cents
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+    return rolled.unionByName(gsets)
 
 
 ORACLE_ROLLUP = """
-SELECT
-    coalesce(o_orderstatus, 'ALL')  AS status,
-    coalesce(o_orderpriority, 'ALL') AS priority,
-    count(*)                        AS n_orders,
-    round(sum(o_totalprice), 2)     AS total_price
-FROM orders
+WITH o AS (
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+    FROM orders
+)
+SELECT 'rollup' AS src,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*)                         AS n_orders,
+       CAST(sum(pc) AS BIGINT)          AS total_price_cents
+FROM o
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets' AS src,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*)                         AS n_orders,
+       CAST(sum(pc) AS BIGINT)          AS total_price_cents
+FROM o
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
 """
 
 
 # --------------------------------------------------------------------------
-# Set operations: ((A ∩ B) ∪ C) \ D over customer keys.  DataFrame
-# `intersect`/`distinct`/`subtract` match SQL INTERSECT/UNION/EXCEPT
-# (distinct) semantics.
-def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Set operations + semi/anti joins in one membership query.
+# Branch 1/2: EXISTS / NOT EXISTS as first-class plan nodes
+# (LeftSemi/LeftAnti — broadcast hash set at this scale, shuffled semi
+# join at 100 TB).  Branch 3: ((A ∩ B) ∪ C) \ D via DataFrame
+# `intersect`/`distinct`/`subtract`, which match SQL
+# INTERSECT/UNION/EXCEPT (distinct) semantics.
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    with_urgent = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("has_urgent").alias("bucket"))
+    )
+    without_urgent = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("no_urgent").alias("bucket"))
+    )
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
@@ -227,19 +312,35 @@ def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orders.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.intersect(b).union(c).distinct().subtract(d)
+    setops = (
+        a.intersect(b).union(c).distinct().subtract(d)
+        .select("c_custkey", F.lit("setops_net").alias("bucket"))
+    )
+    return with_urgent.unionByName(without_urgent).unionByName(setops)
 
 
-ORACLE_SETOPS = """
-SELECT c_custkey FROM (
-    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-     INTERSECT
-     SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F')
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, 'has_urgent' AS bucket
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'no_urgent' AS bucket
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'setops_net' AS bucket FROM (
+    SELECT c_custkey FROM (
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
 )
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
 """
 
 
@@ -307,68 +408,6 @@ SELECT
     CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
                                           AS days_to_2002
 FROM orders
-"""
-
-
-# --------------------------------------------------------------------------
-# JSON access on the events.props column + aggregation by event type.
-def json_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg(k), 4).alias("avg_k"),
-            F.max(k).alias("max_k"),
-        )
-    )
-
-
-ORACLE_JSON = """
-SELECT
-    event_type,
-    count(*)                                                    AS n_events,
-    round(sum(value), 2)                                        AS total_value,
-    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-    max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
-FROM events
-GROUP BY event_type
-"""
-
-
-# --------------------------------------------------------------------------
-# Semi/anti joins: EXISTS / NOT EXISTS as first-class plan nodes
-# (LeftSemi/LeftAnti), not materialized subqueries.  The orders side
-# builds a broadcast hash set of custkeys at this scale; at 100 TB the
-# same plan becomes a shuffled semi join on the key.
-def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    urgent = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    ).select("o_custkey")
-    with_urgent = (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", F.lit("has_urgent").alias("bucket"))
-    )
-    without_urgent = (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", F.lit("no_urgent").alias("bucket"))
-    )
-    return with_urgent.unionByName(without_urgent)
-
-
-ORACLE_SEMI_ANTI = """
-SELECT c_custkey, c_name, 'has_urgent' AS bucket
-FROM customer
-WHERE EXISTS (SELECT 1 FROM orders
-              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-UNION ALL
-SELECT c_custkey, c_name, 'no_urgent' AS bucket
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -459,37 +498,6 @@ FROM (
 
 
 # --------------------------------------------------------------------------
-# GROUPING SETS with grouping_id — finer-grained than rollup/cube:
-# exactly the requested combinations, one shared shuffle.
-def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
-    return spark.sql("""
-        SELECT
-            coalesce(o_orderpriority, 'ALL') AS priority,
-            coalesce(o_orderstatus,   'ALL') AS status,
-            CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
-            count(*)                    AS n_orders,
-            round(sum(o_totalprice), 2) AS total_price
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
-                                (o_orderpriority, o_orderstatus))
-    """)
-
-
-ORACLE_GROUPING_SETS = """
-SELECT
-    coalesce(o_orderpriority, 'ALL') AS priority,
-    coalesce(o_orderstatus,   'ALL') AS status,
-    CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
-    count(*)                    AS n_orders,
-    round(sum(o_totalprice), 2) AS total_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
-                        (o_orderpriority, o_orderstatus))
-"""
-
-
-# --------------------------------------------------------------------------
 # Exact percentiles (sort-based within each group) next to min/max.
 # At 100 TB exact quantiles become approx_percentile (t-digest, one
 # pass, mergeable) — swap the function, same query shape.
@@ -518,16 +526,18 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
-# PIVOT: status × priority counts as a cross-tab.  The pivot values are
-# listed explicitly — with them, Spark skips the extra distinct-scan
-# job and the plan is a single groupBy with conditional aggregates
-# (exactly what the SQL oracle spells out).
+# PIVOT → UNPIVOT round trip: status × priority counts as a cross-tab,
+# then melted back to long form — both reshaping operators in one
+# plan.  The pivot values are listed explicitly — with them, Spark
+# skips the extra distinct-scan job and the pivot is a single groupBy
+# with conditional aggregates; the unpivot is a map-only generate +
+# project on the (tiny) wide result.
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def pivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    return (
+    wide = (
         orders.groupBy("o_orderstatus")
         .pivot("o_orderpriority", _PRIORITIES)
         .agg(F.count(F.lit(1)))
@@ -539,86 +549,36 @@ def pivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+    return wide.unpivot(
+        "o_orderstatus",
+        [f"p{i + 1}" for i in range(len(_PRIORITIES))],
+        "priority_slot",
+        "n_orders",
+    )
 
 
 ORACLE_PIVOT = """
-SELECT o_orderstatus,
-       count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
-       count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
-       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
-       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
-       count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
-FROM orders
-GROUP BY o_orderstatus
-"""
-
-
-# --------------------------------------------------------------------------
-# UNPIVOT (melt): wide → long.  Map-only (a generate + project — no
-# shuffle); the inverse reshaping of pivot above.
-def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = table(spark, sf_dir, "part")
-    return part.unpivot(
-        "p_partkey",
-        [
-            F.col("p_retailprice").alias("retailprice"),
-            F.col("p_size").cast("double").alias("size"),
-        ],
-        "measure",
-        "val",
-    )
-
-
-ORACLE_UNPIVOT = """
-SELECT p_partkey, measure, val FROM (
-    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
-    UNION ALL
-    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+WITH wide AS (
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+    FROM orders
+    GROUP BY o_orderstatus
 )
-"""
-
-
-# --------------------------------------------------------------------------
-# RANGE window frame: per-customer trailing-30-day spend at every
-# order.  Unlike the ROWS frames in window_order_stats, the frame
-# bound here is a VALUE offset on event time (orders in the last 30
-# days), the shape behind "rolling spend/rate over a trailing
-# window".  Spark range frames need a numeric ordering column → order
-# by epoch seconds with a seconds offset; DuckDB states the same
-# frame as RANGE BETWEEN INTERVAL ... PRECEDING.
-def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 24 * 3600, 0)
-    )
-    return orders.select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
-        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
-    )
-
-
-ORACLE_TRAILING = """
-SELECT
-    o_orderkey, o_custkey,
-    round(sum(o_totalprice) OVER w, 2) AS spend_30d,
-    count(*) OVER w                    AS n_orders_30d
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
-             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+SELECT o_orderstatus, 'p1' AS priority_slot, p1 AS n_orders FROM wide
+UNION ALL SELECT o_orderstatus, 'p2', p2 FROM wide
+UNION ALL SELECT o_orderstatus, 'p3', p3 FROM wide
+UNION ALL SELECT o_orderstatus, 'p4', p4 FROM wide
+UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
 """
 
 
 QUERIES = [
-    ("window_trailing_spend", window_trailing_spend, ORACLE_TRAILING,
-     "RANGE-frame window: trailing-30-day spend per customer."),
     ("pivot_order_counts", pivot_order_counts, ORACLE_PIVOT,
-     "PIVOT cross-tab (status × priority) with explicit pivot values."),
-    ("unpivot_part_measures", unpivot_part_measures, ORACLE_UNPIVOT,
-     "UNPIVOT/melt wide measures to long (map-only)."),
+     "PIVOT cross-tab (explicit values) melted back long via UNPIVOT."),
     ("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
      "TPC-H Q1-style scan+aggregate with partial aggregation."),
     ("q3_top_orders", q3_top_orders, ORACLE_Q3,
@@ -626,27 +586,23 @@ QUERIES = [
     ("q5_region_revenue", q5_region_revenue, ORACLE_Q5,
      "6-table join, all dims broadcast."),
     ("window_order_stats", window_order_stats, ORACLE_WINDOW,
-     "row_number/lag/running-sum/partition-avg windows."),
+     "ROWS (row_number/lag/running-sum/avg) + RANGE (trailing-30-day) "
+     "window frames, decimal-safe integer outputs."),
     ("rollup_order_totals", rollup_order_totals, ORACLE_ROLLUP,
-     "ROLLUP grouping sets."),
-    ("setops_customers", setops_customers, ORACLE_SETOPS,
-     "INTERSECT/UNION/EXCEPT composition."),
+     "ROLLUP + GROUPING SETS with grouping_id, tagged union."),
     ("scalar_string_math", scalar_string_math, ORACLE_SCALAR,
      "String + math scalar function library."),
     ("scalar_datetime", scalar_datetime, ORACLE_DATETIME,
      "Date/time scalar functions."),
-    ("json_event_stats", json_event_stats, ORACLE_JSON,
-     "JSON extraction + aggregation on events.props."),
     ("semi_anti_customers", semi_anti_customers, ORACLE_SEMI_ANTI,
-     "LeftSemi/LeftAnti joins (EXISTS / NOT EXISTS)."),
+     "LeftSemi/LeftAnti joins (EXISTS/NOT EXISTS) + "
+     "INTERSECT/UNION/EXCEPT composition, tagged union."),
     ("cube_lineitem", cube_lineitem, ORACLE_CUBE,
      "CUBE grouping sets."),
     ("distinct_agg_stats", distinct_agg_stats, ORACLE_DISTINCT_AGG,
      "Exact distinct aggregates alongside plain aggregates."),
     ("topk_per_group", topk_orders_per_priority, ORACLE_TOPK_PER_GROUP,
      "Top-3 orders per priority (rank-then-filter window pattern)."),
-    ("grouping_sets_orders", grouping_sets_orders, ORACLE_GROUPING_SETS,
-     "GROUPING SETS with grouping_id."),
     ("percentile_order_values", percentile_order_values, ORACLE_PERCENTILES,
      "Exact percentiles (p50/p90/p99) per group."),
 ]

@@ -20,7 +20,9 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 # --------------------------------------------------------------------------
 def doc_stats(docs: DataFrame) -> DataFrame:
-    """Per-document size/shape statistics (quality-scoring features)."""
+    """Per-document size/shape statistics (quality-scoring features),
+    plus token counts two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation marks)."""
     ws = words("text")
     word_lens = F.transform(ws, lambda w: F.length(w).cast("double"))
     total_word_chars = F.aggregate(word_lens, F.lit(0.0), lambda acc, x: acc + x)
@@ -31,6 +33,10 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct(ws)).cast("long").alias("n_uniq_words"),
         F.round(total_word_chars / F.size(ws), 4).alias("avg_word_len"),
         F.array_max(F.transform(ws, lambda w: F.length(w).cast("long"))).alias("max_word_len"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_tokens"),
     )
 
 
@@ -38,7 +44,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(table(spark, sf_dir, "documents"))
 
 
-ORACLE_DOC_STATS = """
+ORACLE_DOC_STATS = r"""
 WITH toks AS (
     SELECT doc_id, text,
            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
@@ -51,103 +57,36 @@ SELECT
     CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq_words,
     round(list_sum(list_transform(ws, w -> CAST(length(w) AS DOUBLE))) / len(ws), 4)
                                           AS avg_word_len,
-    CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_word_len
-FROM toks
-"""
-
-
-# --------------------------------------------------------------------------
-def token_counts(docs: DataFrame) -> DataFrame:
-    """Token counting two ways: whitespace split and a BPE-ish regex
-    (letter runs / digit runs / single punctuation marks)."""
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
-        .cast("long")
-        .alias("bpe_tokens"),
-    )
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(table(spark, sf_dir, "documents"))
-
-
-ORACLE_TOKEN_COUNTS = r"""
-SELECT
-    doc_id,
+    CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_word_len,
     CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
         AS bpe_tokens
-FROM documents
-"""
-
-
-# --------------------------------------------------------------------------
-def lang_id_scores(docs: DataFrame) -> DataFrame:
-    """Deterministic language-ID heuristic: share of tokens that are
-    common English stopwords.  (A real n-gram model would be trained;
-    this keeps the operator oracle-checkable.)"""
-    ws = words("text")
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
-    score = F.round(n_stop / F.size(ws), 4)
-    return docs.select(
-        "doc_id",
-        "lang",
-        score.alias("en_score"),
-        (score > 0.03).alias("looks_en"),
-    )
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id_scores(table(spark, sf_dir, "documents"))
-
-
-ORACLE_LANG_ID = """
-WITH toks AS (
-    SELECT doc_id, lang,
-           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
-    FROM documents
-)
-SELECT
-    doc_id, lang,
-    round(len(list_filter(ws, w -> list_contains(
-        ['the','a','of','and','to','in','is','on','for','with'], w))) * 1.0 / len(ws), 4)
-        AS en_score,
-    round(len(list_filter(ws, w -> list_contains(
-        ['the','a','of','and','to','in','is','on','for','with'], w))) * 1.0 / len(ws), 4)
-        > 0.03 AS looks_en
 FROM toks
 """
 
 
 # --------------------------------------------------------------------------
 def fingerprints(docs: DataFrame) -> DataFrame:
-    """Content fingerprint: md5 of the normalized token stream.
+    """Content fingerprints, order-insensitive AND order-sensitive:
 
-    Collapses whitespace/punctuation variation, so it is the exact-dup
-    key for "same words, different formatting" — one digest per doc,
-    16 bytes on the shuffle regardless of document size.
+    * ``fingerprint`` — md5 of the normalized token stream.  Collapses
+      whitespace/punctuation variation, so it is the exact-dup key for
+      "same words, different formatting" — one digest per doc, 16
+      bytes on the shuffle regardless of document size.
+    * ``rhash`` — polynomial rolling hash (Rabin-Karp) over the same
+      token stream; reordered words change it (see
+      :func:`rolling_hash` below for the arithmetic).
     """
     norm = F.concat_ws(" ", words("text"))
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
+        _rolling_hash_col().alias("rhash"),
     )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(table(spark, sf_dir, "documents"))
-
-
-ORACLE_FINGERPRINTS = """
-SELECT doc_id,
-       md5(array_to_string(
-           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''),
-           ' ')) AS fingerprint
-FROM documents
-"""
 
 
 # --------------------------------------------------------------------------
@@ -171,12 +110,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     # where Spark's and DuckDB's round() disagree; floor of the same
     # IEEE double is identical everywhere.
     bp = lambda c: F.floor(c * 10000).cast("long")
+    # Language-ID heuristic rides along: stopword-share in basis
+    # points is exactly the en-ness score, so `looks_en` is a pure
+    # integer comparison (no double in the hash).
     return docs.select(
         "doc_id",
+        "lang",
         n_words.cast("long").alias("n_words"),
         bp(stop_ratio).alias("stop_bp"),
         bp(punct_ratio).alias("punct_bp"),
         bp(score).alias("quality_bp"),
+        (bp(stop_ratio) >= 300).alias("looks_en"),
     )
 
 
@@ -197,6 +141,7 @@ WITH f AS (
     FROM documents
 )
 SELECT doc_id,
+       lang,
        CAST(n_words AS BIGINT)                                     AS n_words,
        CAST(floor((n_stop * 1.0 / n_words) * 10000) AS BIGINT)     AS stop_bp,
        CAST(floor((n_punct * 1.0 / n_chars) * 10000) AS BIGINT)    AS punct_bp,
@@ -206,7 +151,8 @@ SELECT doc_id,
        CAST(floor((0.4 * least(n_words / 100.0, 1.0)
            + 0.3 * least((n_stop * 1.0 / n_words) * 10, 1.0)
            + 0.3 * (1 - least((n_punct * 1.0 / n_chars) * 5, 1.0))) * 10000) AS BIGINT)
-                                                                   AS quality_bp
+                                                                   AS quality_bp,
+       floor((n_stop * 1.0 / n_words) * 10000) >= 300              AS looks_en
 FROM f
 """
 
