@@ -31,8 +31,10 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     cents — see functions.money), distinct users, and JSON-extracted
     per-window stats (avg/max of ``props.$.k``) — the windowed
     aggregation and the JSON scalar-function library in one plan.
-    ``avg_k`` divides an exact integer sum by an exact count, so both
-    engines produce the identical double."""
+    ``avg_k_bp`` is the mean of k in basis points as
+    ``floor(sum·10⁴ / count)`` — exact int64 sum and count, one IEEE
+    division, floor: bit-identical across engines (functions.money
+    rationale; never hash a rounded double)."""
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
@@ -40,7 +42,7 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(cents("value")).alias("total_value_cents"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            F.floor(F.sum(k) * 10000 / F.count(k)).cast("long").alias("avg_k_bp"),
             F.max(k).alias("max_k"),
         )
         .select(
@@ -50,7 +52,7 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
             "n_events",
             "total_value_cents",
             "n_users",
-            "avg_k",
+            "avg_k_bp",
             "max_k",
         )
     )
@@ -69,7 +71,9 @@ SELECT
     count(*)                  AS n_events,
     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
     count(DISTINCT user_id)   AS n_users,
-    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+    CAST(floor(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000
+               / count(CAST(json_extract_string(props, '$.k') AS BIGINT))) AS BIGINT)
+                              AS avg_k_bp,
     max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
 FROM events
 GROUP BY 1, 2, 3

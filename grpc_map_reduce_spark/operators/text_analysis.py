@@ -66,6 +66,25 @@ FROM toks
 
 
 # --------------------------------------------------------------------------
+# Polynomial rolling hash (Rabin-Karp) over the token stream —
+# order-sensitive (unlike a token-set md5), so reordered words change
+# the fingerprint.  h = fold(h * B + tokhash) mod P with P = 2^31-1,
+# B = 131; intermediate h*B + t < 2^31 * 131 + 2^31 fits int64.
+RH_P = 2_147_483_647
+RH_B = 131
+
+
+def _rolling_hash_col():
+    """Polynomial rolling-hash Column over the token stream (see the
+    RH_P/RH_B constants below for the arithmetic)."""
+    ws = words("text")
+    tok_h = lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % RH_P
+    return F.aggregate(
+        ws, F.lit(0).cast("long"),
+        lambda acc, w: (acc * RH_B + tok_h(w)) % RH_P,
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprints, order-insensitive AND order-sensitive:
 
@@ -87,6 +106,24 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(table(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINTS = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       w -> w <> '') AS ws
+    FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(ws, ' ')) AS fingerprint,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws,
+                   w -> (('0x' || substr(md5(w), 1, 7))::BIGINT % {RH_P}))),
+           (acc, t) -> (acc * {RH_B} + t) % {RH_P}) AS rhash
+FROM toks
+"""
 
 
 # --------------------------------------------------------------------------
@@ -131,6 +168,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_QUALITY = r"""
 WITH f AS (
     SELECT doc_id,
+           lang,
            len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                            w -> w <> ''))                                AS n_words,
            len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -158,22 +196,8 @@ FROM f
 
 
 # --------------------------------------------------------------------------
-# Polynomial rolling hash (Rabin-Karp) over the token stream —
-# order-sensitive (unlike a token-set md5), so reordered words change
-# the fingerprint.  h = fold(h * B + tokhash) mod P with P = 2^31-1,
-# B = 131; intermediate h*B + t < 2^31 * 131 + 2^31 fits int64.
-RH_P = 2_147_483_647
-RH_B = 131
-
-
 def rolling_hash(docs: DataFrame) -> DataFrame:
-    ws = words("text")
-    tok_h = lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % RH_P
-    h = F.aggregate(
-        ws, F.lit(0).cast("long"),
-        lambda acc, w: (acc * RH_B + tok_h(w)) % RH_P,
-    )
-    return docs.select("doc_id", h.alias("rhash"))
+    return docs.select("doc_id", _rolling_hash_col().alias("rhash"))
 
 
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,10 +347,6 @@ QUERIES = [
      "E3 quality scoring: length/punctuation/stopword-ratio composite."),
     ("doc_rolling_hash", q_rolling_hash, ORACLE_ROLLING_HASH,
      "E3 order-sensitive Rabin-Karp rolling hash over the token stream."),
-    ("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,
-     "E3 whitespace + BPE-ish regex token counting."),
-    ("lang_id", q_lang_id, ORACLE_LANG_ID,
-     "E3 deterministic stopword-ratio language heuristic."),
     ("doc_fingerprints", q_fingerprints, ORACLE_FINGERPRINTS,
-     "E3 md5 fingerprint of the normalized token stream."),
+     "E3 md5 + Rabin-Karp fingerprints of the normalized token stream."),
 ]

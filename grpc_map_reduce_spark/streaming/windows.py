@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.money import cents
+
 #: events.parquet physical schema (ts is int64 *nanoseconds*; the
 #: parquet reader only accepts it as a long — see sources.tables).
 EVENTS_RAW_SCHEMA = (
@@ -47,13 +49,17 @@ def streaming_tumbling_agg(events: DataFrame, width: str = "1 hour",
     The watermark bounds state: windows older than (max event time −
     watermark) are finalized and dropped from the store, so state size
     is O(active windows), not O(stream length).
+
+    Emits ``total_value_cents`` in exact integer cents — the SAME
+    contract as the batch twin (functions.money): no rounded double
+    ever leaves a windowed aggregate.
     """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(cents("value")).alias("total_value_cents"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
@@ -61,7 +67,7 @@ def streaming_tumbling_agg(events: DataFrame, width: str = "1 hour",
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
             "approx_users",
         )
     )
@@ -79,14 +85,14 @@ def streaming_sliding_agg(events: DataFrame, width: str = "1 hour",
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(cents("value")).alias("total_value_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
         )
     )
 
@@ -102,14 +108,14 @@ def streaming_session_agg(events: DataFrame, gap: str = "30 minutes",
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.sum(cents("value")).alias("session_value_cents"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "session_value",
+            "session_value_cents",
         )
     )
 
@@ -173,21 +179,24 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
-            total, n = state.get
+            total_cents, n = state.get
         else:
-            total, n = 0.0, 0
+            total_cents, n = 0, 0
         for pdf in pdf_iter:
-            total += float(pdf["value"].sum())
+            # Exact integer cents per the batch contract (functions
+            # .money): round each 2-decimal value, THEN sum — float
+            # accumulation would drift from the batch twin.
+            total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
             n += len(pdf)
-        state.update((total, n))
+        state.update((total_cents, n))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n]}
+            {"user_id": [key[0]], "total_value_cents": [total_cents], "n_events": [n]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, total_value double, n_events long",
-        stateStructType="total double, n long",
+        outputStructType="user_id long, total_value_cents long, n_events long",
+        stateStructType="total_cents long, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

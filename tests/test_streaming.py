@@ -23,12 +23,12 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert stream.isStreaming
     run_to_memory(streaming_tumbling_agg(stream), "stream_tumbling")
     got = {
-        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value_cents)
         for r in spark.table("stream_tumbling").collect()
     }
     batch = tumbling_window_agg(table(spark, sf_dir, "events"))
     want = {
-        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value_cents)
         for r in batch.collect()
     }
     assert got == want
@@ -38,13 +38,15 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     run_to_memory(streaming_sliding_agg(stream), "stream_sliding")
     got = {
-        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value_cents)
         for r in spark.table("stream_sliding").collect()
     }
+    from grpc_map_reduce_spark.functions.money import cents
+
     batch = (
         table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("n"), F.sum(cents("value")).alias("v"))
     )
     want = {(r.w.start, r.w.end, r.event_type): (r.n, r.v) for r in batch.collect()}
     assert got == want
@@ -70,13 +72,15 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     # availableNow may run several micro-batches; the *last* update per
     # user is the final state.  With one input file there is exactly
     # one update per user.
-    got = {r.user_id: (r.total_value, r.n_events) for r in rows}
+    got = {r.user_id: (r.total_value_cents, r.n_events) for r in rows}
+    from grpc_map_reduce_spark.functions.money import cents
+
     want = {
-        r.user_id: (r.total_value, r.n_events)
+        r.user_id: (r.total_value_cents, r.n_events)
         for r in table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(cents("value")).alias("total_value_cents"),
             F.count("*").alias("n_events"),
         )
         .collect()
@@ -91,11 +95,11 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     run_to_memory(streaming_session_agg(stream), "stream_sessions")
     got = {
-        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value)
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value_cents)
         for r in spark.table("stream_sessions").collect()
     }
     want = {
-        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value)
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value_cents)
         for r in q_session_window(spark, sf_dir).collect()
     }
     assert got == want
