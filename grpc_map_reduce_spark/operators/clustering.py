@@ -30,10 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+from grpc_map_reduce_spark.operators.dedup import lsh_near_dup, lsh_pairs_sql
 from grpc_map_reduce_spark.sources.tables import table
 
-CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 29 edges / 55 nodes
+CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 27 LSH edges (was 29 exact)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -117,18 +117,21 @@ def dedup_clusters(docs: DataFrame, threshold: float = CLUSTER_JACCARD_THRESHOLD
     Documents with no near-dup partner form singleton clusters of
     themselves, so the output is a total assignment: one row per doc,
     ``cluster_id`` is the keeper.
+
+    Edges come from the sub-quadratic LSH→rescore path
+    (:func:`~grpc_map_reduce_spark.operators.dedup.lsh_near_dup`), not
+    the exact all-pairs join, so edge generation survives 100 TB; the
+    DuckDB oracle applies the identical candidate restriction.  The
+    final assignment join is a plain shuffle join — ``cc`` is O(duped
+    docs) and must NOT be broadcast at scale.
     """
-    edges = ngram_jaccard_pairs(docs, n=n, threshold=threshold).select(
+    edges = lsh_near_dup(docs, n=n, threshold=threshold).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = connected_components(edges)
     return (
         docs.select("doc_id")
-        .join(
-            F.broadcast(cc.withColumnRenamed("node", "doc_id")),
-            "doc_id",
-            "left",
-        )
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
@@ -140,37 +143,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(table(spark, sf_dir, "documents"))
 
 
-# DuckDB twin: recursive transitive closure, min reachable id per node.
-# (Exponential-ish on dense graphs — fine at the 0.05 threshold's
-# sparse edge set; the Spark side has no such restriction.)
+# DuckDB twin: recursive transitive closure, min reachable id per node,
+# over the SAME LSH-candidates ∩ exact-Jaccard edge set the Spark side
+# computes (shared fragment: dedup.lsh_pairs_sql).  (Exponential-ish on
+# dense graphs — fine at the 0.05 threshold's sparse edge set.)
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE toks AS (
-    SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
-    FROM documents
-),
-sh AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               range(1, greatest(len(ws) - 2, 1) + 1),
-               i -> array_to_string(ws[i:i+2], ' ')
-           )) AS shingle
-    FROM toks
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-pairs AS (
-    SELECT doc_a, doc_b
-    FROM common
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
-          >= {CLUSTER_JACCARD_THRESHOLD}
-),
+WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD)},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -240,7 +218,11 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
 
 
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = ngram_jaccard_pairs(
+    """Edges from the sub-quadratic LSH→rescore path (1-row bands at
+    the low 0.008 threshold keep the graph dense: ~1.1k edges at
+    sf0.01 vs ~6k exact — recall 0.17 by design down there; the
+    oracle applies the identical candidate restriction)."""
+    edges = lsh_near_dup(
         table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return pagerank(edges).withColumnRenamed("node", "doc_id")
@@ -263,33 +245,7 @@ r{i + 1} AS (
         for i in range(PAGERANK_ITERS)
     )
     return f"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
-    FROM documents
-),
-sh AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               range(1, greatest(len(ws) - 2, 1) + 1),
-               i -> array_to_string(ws[i:i+2], ' ')
-           )) AS shingle
-    FROM toks
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-pairs AS (
-    SELECT doc_a, doc_b
-    FROM common
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
-          >= {PAGERANK_EDGE_THRESHOLD}
-),
+WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
 sym AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION

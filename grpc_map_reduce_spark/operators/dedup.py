@@ -272,16 +272,27 @@ MINHASH_B = [3, 11, 29, 53, 97, 173, 313, 577, 1049, 1907, 3469, 6277, 11369, 20
 MINHASH_ROWS_PER_BAND = 2
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_set) — each doc's DISTINCT shingle set, computed
+    ONCE (lazy-checkpointed) so candidate generation and rescoring
+    share the tokenization work instead of re-running the UDF."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", distinct_shingles_udf(n)("text").alias("sh_set"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       sets: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature columns m0..m15."""
-    sh = (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(distinct_shingles_udf(n)("text")).alias("shingle"))
-        .withColumn(
-            "h",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-            % MINHASH_P,
-        )
+    if sets is None:
+        sets = _shingle_sets(docs, n)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle")).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
     )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
@@ -290,14 +301,30 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def minhash_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_candidates(docs: DataFrame, n: int = 3,
+                       rows_per_band: int = MINHASH_ROWS_PER_BAND,
+                       sets: DataFrame | None = None,
+                       max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
-    Output: (doc_a, doc_b, n_bands) — how many of the 8 band buckets
-    the pair shares.
+    Output: (doc_a, doc_b, n_bands) — how many band buckets the pair
+    shares.  ``rows_per_band`` is the recall/precision knob: the
+    candidate probability for a pair with Jaccard s is
+    1 − (1 − s^r)^(16/r), so r=1 catches far more low-similarity
+    pairs than r=2 (probed at sf0.01, threshold 0.05: recall 0.93 vs
+    0.86; at 0.008: 0.17 vs 0.008).
+
+    ``max_bucket`` is the scale skew guard: a bucket holding k docs
+    emits k·(k−1)/2 pairs, so one mega-bucket (e.g. thousands of
+    identical boilerplate docs) re-creates the quadratic blow-up this
+    path exists to avoid.  Buckets larger than ``max_bucket`` are
+    dropped — their members are by construction extremely similar and
+    are handled by the exact-dup pass; the hot-bucket list is tiny so
+    it broadcasts into an anti-join.
     """
-    sig = minhash_signatures(docs, n)
-    r = MINHASH_ROWS_PER_BAND
+    r = rows_per_band
+    assert len(MINHASH_A) % r == 0, "rows_per_band must divide 16"
+    sig = minhash_signatures(docs, n, sets=sets)
     n_bands = len(MINHASH_A) // r
     bands = F.array(
         *[
@@ -313,6 +340,14 @@ def minhash_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key")
     )
+    if max_bucket is not None:
+        hot = (
+            exploded.groupBy("band_idx", "key")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band_idx", "key")
+        )
+        exploded = exploded.join(F.broadcast(hot), ["band_idx", "key"], "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -381,15 +416,137 @@ GROUP BY 1, 2
 ORACLE_MINHASH = _minhash_oracle()
 
 
-def lsh_near_dup(docs: DataFrame, n: int = 3, threshold: float = 0.008) -> DataFrame:
+#: Default banding + threshold for the composed LSH→rescore path:
+#: 1-row bands (16 buckets/doc) at the 0.05 near-dup threshold give
+#: 0.93 recall vs the exact join at sf0.01 (probed; see
+#: tests/test_lsh_recall.py for the standing gate).
+LSH_ROWS_PER_BAND = 1
+LSH_NEAR_DUP_THRESHOLD = 0.05
+
+
+def lsh_near_dup(docs: DataFrame, n: int = 3,
+                 threshold: float = LSH_NEAR_DUP_THRESHOLD,
+                 rows_per_band: int = LSH_ROWS_PER_BAND,
+                 max_bucket: int | None = None) -> DataFrame:
     """The composed scale path: LSH candidates → exact Jaccard rescore.
 
     Same output contract as :func:`ngram_jaccard_pairs` restricted to
-    candidate pairs — sub-quadratic end to end.
+    LSH candidate pairs — sub-quadratic END TO END:
+
+      * candidate generation shuffles O(docs × bands) band-bucket rows
+        and joins bucket-to-bucket (never shingle-to-shingle);
+      * rescoring joins each candidate pair to the two docs' shingle
+        SETS (two shuffle joins on doc_id) and computes the exact
+        Jaccard with ``array_intersect`` — work is O(candidates), and
+        the full shingle inverted index is never self-joined.
+
+    The shingle sets are computed once and shared between both stages.
+    At 100 TB set ``max_bucket`` (see :func:`minhash_candidates`) to
+    cap hot-bucket pair fan-out.
     """
-    cand = minhash_candidates(docs, n).select("doc_a", "doc_b")
-    exact = ngram_jaccard_pairs(docs, n, threshold)
-    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    sets = _shingle_sets(docs, n)
+    cand = minhash_candidates(
+        docs, n, rows_per_band=rows_per_band, sets=sets, max_bucket=max_bucket
+    ).select("doc_a", "doc_b")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_near_dup(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Shared oracle SQL: the LSH-candidates ∩ exact-Jaccard `pairs` CTE
+# block, used by the lsh_near_dup oracle here and by the clustering /
+# pagerank oracles (clustering.py) so every consumer of the scale path
+# is checked against the SAME DuckDB formulation.  (DuckDB runs the
+# exact quadratic join — fine at oracle scale; the Spark side is the
+# sub-quadratic plan under test.)
+def lsh_pairs_sql(threshold: float, rows_per_band: int = LSH_ROWS_PER_BAND) -> str:
+    """CTE block (no ``WITH``) ending in ``pairs(doc_a, doc_b, jaccard)``."""
+    r = rows_per_band
+    n_bands = len(MINHASH_A) // r
+    min_cols = ",\n        ".join(
+        f"min(({a}*h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        f"concat_ws('_', {', '.join(f'm{j * r + k}' for k in range(r))}) AS key FROM sig"
+        for j in range(n_bands)
+    )
+    return f"""toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           )) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hashed AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS h
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+        {min_cols}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common c
+    JOIN cand USING (doc_a, doc_b)
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
+)"""
+
+
+ORACLE_LSH_NEAR_DUP = f"""
+WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD)}
+SELECT doc_a, doc_b, jaccard FROM pairs
+"""
 
 
 QUERIES = [
@@ -401,4 +558,7 @@ QUERIES = [
      "E2 near-dup: 60-bit tf-weighted SimHash signatures."),
     ("dedup_minhash_lsh", q_minhash_candidates, ORACLE_MINHASH,
      "E2 near-dup: MinHash LSH band-bucket candidate pairs."),
+    ("dedup_lsh_neardup", q_lsh_near_dup, ORACLE_LSH_NEAR_DUP,
+     "E2 composed scale path: LSH candidates -> exact Jaccard rescore "
+     "(sub-quadratic; no shingle self-join)."),
 ]

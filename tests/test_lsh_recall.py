@@ -25,9 +25,54 @@ def test_lsh_near_dup_subset_and_recall(spark, sf_dir):
     assert composed_pairs <= exact_pairs, "LSH+rescore must be a subset of exact"
     if exact_pairs:
         recall = len(composed_pairs) / len(exact_pairs)
-        # 2-row bands on ~0.05+ Jaccard: modest but nonzero recall;
-        # this guards against a broken banding join, not LSH theory.
-        assert recall > 0.05, f"LSH recall collapsed: {recall}"
+        # 1-row bands at the 0.05 threshold: probed 0.93 at sf0.01.
+        assert recall > 0.8, f"LSH recall collapsed: {recall}"
+
+
+def test_lsh_near_dup_rescore_values_match_exact(spark, sf_dir):
+    """The array_intersect rescore must produce the IDENTICAL jaccard
+    as the exact shingle-join formulation on every surviving pair."""
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    for r in lsh_near_dup(docs, threshold=0.05).collect():
+        assert exact[(r.doc_a, r.doc_b)] == r.jaccard
+
+
+def test_lsh_near_dup_plan_has_no_shingle_self_join(spark, sf_dir):
+    """The composed path's plan must never self-join the exploded
+    shingle table: the only generator explodes band structs (candidate
+    stage) — shingle sets reach the rescore as arrays, not rows."""
+    from grpc_map_reduce_spark.plans.audit import explain_str
+
+    import re
+
+    docs = table(spark, sf_dir, "documents")
+    # In formatted explain, join keys render as
+    # "Left keys [n]: [shingle#X, ...]" — a join keyed on a shingle
+    # column is exactly the quadratic inverted-index self-join.
+    shingle_eq_join = re.compile(r"keys \[\d+\]: \[shingle#")
+    composed = explain_str(lsh_near_dup(docs), "formatted")
+    assert not shingle_eq_join.search(composed), (
+        "full shingle self-join leaked into LSH path"
+    )
+    # ...and the regex DOES catch the exact path's self-join, so the
+    # assertion above is load-bearing, not vacuous.
+    exact = explain_str(ngram_jaccard_pairs(docs), "formatted")
+    assert shingle_eq_join.search(exact)
+
+
+def test_max_bucket_guard_drops_hot_buckets(spark, sf_dir):
+    """With max_bucket=0 every bucket is 'hot', so no candidates (and
+    no pairs) survive — the guard provably gates the pair fan-out."""
+    from grpc_map_reduce_spark.operators.dedup import minhash_candidates
+
+    docs = table(spark, sf_dir, "documents")
+    assert minhash_candidates(docs, max_bucket=1).count() == 0
+    n_unguarded = minhash_candidates(docs).count()
+    assert n_unguarded > 0
 
 
 def test_minhash_candidates_deterministic(spark, sf_dir):
