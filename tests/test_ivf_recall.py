@@ -28,9 +28,9 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         len(approx[q] & exact[q]) / len(exact[q]) for q in exact
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # probing half the lists of a random-ish corpus: recall well above
-    # the n_probe/n_lists floor; guards the index plumbing, not theory.
-    assert mean_recall >= 0.6, f"IVF recall collapsed: {mean_recall}"
+    # probing half the lists with k-means-refined centroids: probed
+    # 0.925 (sf0.01) / 0.975 (sf0.001) — gate at 0.9.
+    assert mean_recall >= 0.9, f"IVF recall collapsed: {mean_recall}"
 
 
 def test_ivf_full_probe_is_exact(spark, sf_dir):
@@ -48,3 +48,41 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ivf_topk(emb, q).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q).collect()))
     assert a == b and len(a) > 0
+
+
+def test_lloyd_refine_finds_planted_clusters(spark):
+    """On data with REAL cluster structure, 3 Lloyd rounds must move
+    the (deliberately bad: all seeds in one cluster) initial centroids
+    onto the planted cluster directions."""
+    import numpy as np
+
+    from grpc_map_reduce_spark.operators.similarity import (
+        _lloyd_refine,
+        _pack_blocks,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    centers = np.eye(4, 16)  # 4 orthogonal cluster directions in R^16
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    # Seeds 0..3 are one per planted cluster only by luck of i%4; make
+    # them adversarial: all four seeds from cluster 0.
+    seeds = df.filter(F.col("vec_id").isin([0, 4, 8, 12]))
+    cent0 = _pack_blocks(seeds, "vec_id", "embedding", 1).select(
+        F.col("ids").alias("cent_ids"), F.col("mat").alias("cent_mat")
+    )
+    refined = _lloyd_refine(base, cent0, 3).first()
+    C = np.frombuffer(refined["cent_mat"], dtype=np.float64).reshape(4, -1)
+    # Every planted center must have SOME refined centroid close to it
+    # (cos > 0.9); with the adversarial seeds the unrefined centroids
+    # align only with cluster 0.
+    sims = C @ (centers / np.linalg.norm(centers, axis=1, keepdims=True)).T
+    n_covered = (sims.max(axis=0) > 0.9).sum()
+    assert n_covered >= 2, f"refinement never escaped the seed cluster: {n_covered}"
