@@ -1,0 +1,45 @@
+"""CLI parity with the reference binary.
+
+The reference's client mode is ``main client <input_dir> {wc|ii}``
+(main.go:82-89): stream every file in ``input_dir`` to the cluster,
+run the named job, collect ``key: value`` text into ``./output/``.
+Here the same contract is::
+
+    python -m grpc_map_reduce_spark client <input_dir> {wc|ii} [output_dir]
+
+``output_dir`` defaults to ``./output`` like the reference
+(master.go:198-229).  The reference's other entry points (``master``,
+``mapper``, ``reducer`` — hand-rolled cluster lifecycle over fixed
+ports, main.go:39-68) have no CLI equivalent on purpose: Spark's
+driver/executor lifecycle replaces all three (session.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+USAGE = (
+    "usage: python -m grpc_map_reduce_spark client <input_dir> {wc|ii} "
+    "[output_dir]\n"
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 3 or argv[0] != "client" or argv[2] not in ("wc", "ii"):
+        sys.stderr.write(USAGE)
+        return 2
+    input_dir, fn = argv[1], argv[2]
+    output_dir = argv[3] if len(argv) > 3 else "./output"
+
+    from grpc_map_reduce_spark import get_spark
+    from grpc_map_reduce_spark.sinks.text import run_reference_job
+
+    spark = get_spark("grpc-map-reduce-spark-cli")
+    run_reference_job(spark, input_dir, fn, output_dir)
+    print(f"{fn} output written to {output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

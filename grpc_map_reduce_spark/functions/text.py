@@ -1,11 +1,20 @@
 """Text expression helpers — all JVM-side Column expressions.
 
 Tokenization contract (FIXTURES.md): the reference splits text on
-every non-letter rune (``unicode.IsLetter``, mapper.go:181).  We pin
-the ASCII interpretation ``[^a-zA-Z]+`` (fixtures are ASCII word
-soup); divergence on non-ASCII letters is documented, not silently
-different — Go's IsLetter accepts all Unicode letter categories while
-this regex splits on them.
+every non-letter rune (``unicode.IsLetter``, mapper.go:181) and
+PRESERVES case (wcMap never lowercases, mapper.go:179-189).  Two
+modes:
+
+  * default (``lowercase=True, unicode_letters=False``) — the pinned
+    ASCII-lower interpretation used by every DuckDB-oracle-checked
+    query (fixtures are ASCII word soup, and DuckDB's regex dialect
+    matches ``[^a-z]+`` exactly);
+  * reference parity (``lowercase=False, unicode_letters=True``) —
+    Java ``[^\\p{L}]+`` splits on exactly the complement of Unicode
+    letter categories, matching Go's ``unicode.IsLetter``, with case
+    preserved.  ``run_reference_job`` / the CLI use this mode so a
+    non-ASCII or case-sensitive corpus produces the reference's
+    output byte-for-byte.
 
 Everything here returns a ``Column`` so expressions stay inside
 whole-stage codegen — no Python UDFs on the tokenize path.
@@ -19,24 +28,32 @@ from pyspark.sql import functions as F
 
 #: Split pattern — one-or-more non-ASCII-letter characters.
 TOKEN_SPLIT_RE = "[^a-zA-Z]+"
+#: Reference-parity split pattern — one-or-more non-Unicode-letter
+#: characters (Java regex; Go ``unicode.IsLetter`` equivalent).
+REFERENCE_SPLIT_RE = r"[^\p{L}]+"
 
 
-def tokens(text: Column | str, *, lowercase: bool = True) -> Column:
+def tokens(text: Column | str, *, lowercase: bool = True,
+           unicode_letters: bool = False) -> Column:
     """``array<string>`` of word tokens of ``text`` (may contain '')."""
     col = F.col(text) if isinstance(text, str) else text
     if lowercase:
         col = F.lower(col)
-    return F.split(col, TOKEN_SPLIT_RE)
+    return F.split(col, REFERENCE_SPLIT_RE if unicode_letters else TOKEN_SPLIT_RE)
 
 
-def words(text: Column | str, *, lowercase: bool = True) -> Column:
+def words(text: Column | str, *, lowercase: bool = True,
+          unicode_letters: bool = False) -> Column:
     """Like :func:`tokens` but with empty strings removed.
 
     ``split`` emits '' at the string boundaries when the text starts /
     ends with a separator; the reference's tokenizer simply never
     emits those (mapper.go:179-189), so filter them out.
     """
-    return F.filter(tokens(text, lowercase=lowercase), lambda w: w != F.lit(""))
+    return F.filter(
+        tokens(text, lowercase=lowercase, unicode_letters=unicode_letters),
+        lambda w: w != F.lit(""),
+    )
 
 
 def shingles(text: Column | str, n: int = 3, *, lowercase: bool = True) -> Column:

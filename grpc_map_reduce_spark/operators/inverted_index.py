@@ -23,16 +23,21 @@ from grpc_map_reduce_spark.sources.tables import table
 
 
 def inverted_index(docs: DataFrame, text_col: str = "text",
-                   source_col: str = "source") -> DataFrame:
+                   source_col: str = "source",
+                   reference_parity: bool = False) -> DataFrame:
     """Per word: count of distinct source docs + sorted CSV of them.
 
     Output columns: ``word, n_docs, doc_list`` — doc_list matches the
     reference's ``"f1,f2,..."`` payload (reducer.go:185).
+    ``reference_parity=True`` switches to the reference's exact
+    tokenizer (case-preserving, Unicode letters — functions.text).
     """
+    w = (words(text_col, lowercase=False, unicode_letters=True)
+         if reference_parity else words(text_col))
     return (
         docs
         .select(F.col(source_col).alias("source"),
-                F.explode(words(text_col)).alias("word"))
+                F.explode(w).alias("word"))
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("source")).alias("sources"))
         .select(

@@ -13,10 +13,12 @@ operators cover the two cases AQE does not:
     sub-groups aggregated independently, then merges the tiny
     per-salt partials.  Correctness requires an algebraic aggregate
     (sum/count/min/max — anything with a merge step).
-  * ``salted_broadcast_join`` — when the small side is just over the
-    broadcast threshold but one probe key is hot, replicating the
-    build side ``n_salts``× and splitting the probe side keeps every
-    task's share of the hot key bounded.
+  * ``salted_shuffle_join`` — when the build side is too big to
+    broadcast and one probe key is hot, replicating the build side
+    ``n_salts``× and splitting the probe side keeps every task's
+    share of the hot key bounded.  (If the build side FITS in a
+    broadcast there is nothing to salt: a broadcast join never
+    shuffles the probe side, so no task owns a whole key.)
 
 Both are result-invariant rewrites — the salted wordcount below is
 oracle-checked against the SAME SQL as the unsalted one.
@@ -31,11 +33,19 @@ from grpc_map_reduce_spark.functions.text import words
 from grpc_map_reduce_spark.sources.tables import table
 
 
-def _salt(n_salts: int) -> Column:
-    # deterministic per-row pseudo-salt; any uniform assignment works
-    # (the final merge is salt-invariant), deterministic keeps reruns
-    # and AQE retries stable
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+def _salt(df: DataFrame, n_salts: int) -> Column:
+    # Deterministic per-row salt from the row's own content plus its
+    # partition id.  Retry-stable: a re-executed task re-reads the
+    # same partition contents with the same partition id, so every row
+    # re-hashes to the same salt (monotonically_increasing_id, the
+    # previous key, is NOT stable under retry — ids depend on row
+    # position).  Content-identical rows in one partition share a
+    # salt, which costs nothing: map-side partial aggregation has
+    # already merged them before the shuffle.
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
+    )
 
 
 def salted_aggregate(df: DataFrame, key_cols: list[str],
@@ -49,7 +59,7 @@ def salted_aggregate(df: DataFrame, key_cols: list[str],
     ``n_salts`` tasks instead of one.
     """
     partial = (
-        df.withColumn("__salt", _salt(n_salts))
+        df.withColumn("__salt", _salt(df, n_salts))
         .groupBy(*key_cols, "__salt")
         .agg(*[F.sum(expr).alias(f"__p_{name}") for name, expr in counts.items()])
     )
@@ -58,19 +68,22 @@ def salted_aggregate(df: DataFrame, key_cols: list[str],
     )
 
 
-def salted_broadcast_join(probe: DataFrame, build: DataFrame, key: str,
-                          n_salts: int = 8) -> DataFrame:
-    """Inner join with the build side replicated per salt.
+def salted_shuffle_join(probe: DataFrame, build: DataFrame, key: str,
+                        n_salts: int = 8) -> DataFrame:
+    """Inner SHUFFLE join with the build side replicated per salt.
 
     Probe rows get a deterministic salt; the build side is exploded
-    ``n_salts``× so every (key, salt) bucket finds its match.  Use
-    when one probe key is hot enough to stall a single task even
-    under AQE.
+    ``n_salts``× so every (key, salt) bucket finds its match — the hot
+    key's probe rows spread across ``n_salts`` shuffle partitions
+    instead of stalling one task.  The shuffle-hash hint pins the
+    strategy this operator exists for (a build side small enough for
+    Catalyst to auto-broadcast doesn't need salting at all); tests
+    assert the plan contains no broadcast join.
     """
-    salted_probe = probe.withColumn("__salt", _salt(n_salts))
+    salted_probe = probe.withColumn("__salt", _salt(probe, n_salts))
     salted_build = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
+    ).hint("shuffle_hash")
     return salted_probe.join(salted_build, [key, "__salt"]).drop("__salt")
 
 

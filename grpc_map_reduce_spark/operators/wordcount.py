@@ -24,11 +24,20 @@ from grpc_map_reduce_spark.functions.text import words
 from grpc_map_reduce_spark.sources.tables import table
 
 
-def wordcount(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Count token occurrences across the corpus → ``(word, cnt)``."""
+def wordcount(docs: DataFrame, text_col: str = "text",
+              reference_parity: bool = False) -> DataFrame:
+    """Count token occurrences across the corpus → ``(word, cnt)``.
+
+    ``reference_parity=True`` tokenizes exactly like the reference's
+    ``wcMap`` (case-preserving, Unicode letter classes — see
+    functions.text); the default mode is the pinned ASCII-lower
+    contract the DuckDB oracle checks.
+    """
+    w = (words(text_col, lowercase=False, unicode_letters=True)
+         if reference_parity else words(text_col))
     return (
         docs
-        .select(F.explode(words(text_col)).alias("word"))
+        .select(F.explode(w).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )

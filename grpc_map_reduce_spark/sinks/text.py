@@ -45,16 +45,21 @@ def run_reference_job(spark: SparkSession, input_dir: str, fn: str,
     reducer.go:159-170).  ii: ``word: {n} f1,f2,...`` lines with the
     source list sorted and distinct (invIndexMap/invIndexReduce,
     mapper.go:191-203 + reducer.go:172-186).
+
+    Tokenization runs in reference-parity mode (case-preserving,
+    Unicode letter classes — functions.text.REFERENCE_SPLIT_RE), so
+    mixed-case and non-ASCII corpora reproduce the reference's output
+    exactly, not just the fixtures' ASCII subset.
     """
     from grpc_map_reduce_spark.operators.inverted_index import inverted_index
     from grpc_map_reduce_spark.operators.wordcount import wordcount
 
     corpus = read_text_corpus(spark, input_dir)
     if fn == "wc":
-        write_kv_text(wordcount(corpus), output_dir, "word", "cnt",
-                      num_files=num_files)
+        write_kv_text(wordcount(corpus, reference_parity=True), output_dir,
+                      "word", "cnt", num_files=num_files)
     elif fn == "ii":
-        ii = inverted_index(corpus).select(
+        ii = inverted_index(corpus, reference_parity=True).select(
             "word",
             F.concat_ws(" ", F.col("n_docs").cast("string"),
                         F.col("doc_list")).alias("out"),

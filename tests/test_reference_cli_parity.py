@@ -1,7 +1,9 @@
 """End-to-end parity with the reference CLI (`main client <dir> wc|ii`):
 text-file directory in, `key: value` text lines out, content checked
 against an independent pure-Python computation of the reference
-semantics (tokenize on non-letters → count / sorted-distinct sources).
+semantics — tokenize on non-LETTER runes (Go ``unicode.IsLetter``,
+mapper.go:181) with case PRESERVED (wcMap never lowercases), so the
+fixtures deliberately include mixed case and non-ASCII letters.
 """
 
 from __future__ import annotations
@@ -19,23 +21,28 @@ CORPUS = {
     "a.txt": "The quick brown fox; the lazy dog!",
     "b.txt": "Dog days... quick-quick: 42 foxes?",
     "c.txt": "lazy\nlazy\nLAZY",
+    # Unicode letters must be kept whole (ï, é, Σ, ß are letters; the
+    # digit and dash split): Go's IsLetter semantics, not [a-zA-Z].
+    "d.txt": "naïve café Σigma straße 7Σigma The-the",
 }
 
-_SPLIT = re.compile(r"[^a-zA-Z]+")
+# Python twin of Go unicode.IsLetter splitting: [\W\d_] is exactly the
+# complement of the Unicode letter categories under re.UNICODE.
+_SPLIT = re.compile(r"[\W\d_]+", re.UNICODE)
 
 
 def _write_corpus(tmp_path: Path) -> str:
     d = tmp_path / "corpus"
     d.mkdir()
     for name, text in CORPUS.items():
-        (d / name).write_text(text)
+        (d / name).write_text(text, encoding="utf-8")
     return str(d)
 
 
 def _read_output(path: str) -> dict[str, str]:
     lines = []
     for f in Path(path).glob("part-*"):
-        lines += f.read_text().splitlines()
+        lines += f.read_text(encoding="utf-8").splitlines()
     out = dict(line.split(": ", 1) for line in lines)
     assert len(out) == len(lines), "duplicate keys across output files"
     return out
@@ -47,10 +54,14 @@ def test_wc_job_end_to_end(spark, tmp_path):
     run_reference_job(spark, corpus_dir, "wc", out_dir, num_files=2)
 
     expected = Counter(
-        w for text in CORPUS.values() for w in _SPLIT.split(text.lower()) if w
+        w for text in CORPUS.values() for w in _SPLIT.split(text) if w
     )
     got = {k: int(v) for k, v in _read_output(out_dir).items()}
     assert got == dict(expected)
+    # the reference-parity properties the ASCII-lower mode would break:
+    assert got["The"] == 2 and got["the"] == 2      # case preserved
+    assert got["naïve"] == 1 and got["Σigma"] == 2  # unicode letters kept
+    assert "nave" not in got and "na" not in got
 
 
 def test_ii_job_end_to_end(spark, tmp_path):
@@ -60,13 +71,30 @@ def test_ii_job_end_to_end(spark, tmp_path):
 
     index = defaultdict(set)
     for name, text in CORPUS.items():
-        for w in _SPLIT.split(text.lower()):
+        for w in _SPLIT.split(text):
             if w:
                 index[w].add(name)
     expected = {
         w: f"{len(srcs)} {','.join(sorted(srcs))}" for w, srcs in index.items()
     }
     assert _read_output(out_dir) == expected
+
+
+def test_cli_module_entry_point(spark, tmp_path):
+    """``python -m grpc_map_reduce_spark client <dir> wc`` — the
+    module entry point drives the same job (in-process: get_spark's
+    getOrCreate reuses the test session, so this exercises arg parsing
+    + the full job without a second JVM)."""
+    from grpc_map_reduce_spark.__main__ import main
+
+    corpus_dir = _write_corpus(tmp_path)
+    out_dir = str(tmp_path / "cli_out")
+    assert main(["client", corpus_dir, "wc", out_dir]) == 0
+    got = {k: int(v) for k, v in _read_output(out_dir).items()}
+    assert got["The"] == 2 and got["quick"] == 3
+
+    assert main(["client", corpus_dir, "nope", out_dir]) == 2
+    assert main(["wrong"]) == 2
 
 
 def test_read_text_corpus_granularity(spark, tmp_path):

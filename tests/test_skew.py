@@ -28,14 +28,50 @@ def test_salted_aggregate_matches_plain(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_salted_broadcast_join_matches_plain(spark):
-    from grpc_map_reduce_spark.operators.skew import salted_broadcast_join
+def test_salted_shuffle_join_matches_plain(spark):
+    from grpc_map_reduce_spark.operators.skew import salted_shuffle_join
 
     probe = _skewed_df(spark)
     build = spark.range(50).select(
         F.col("id").alias("k"), F.concat(F.lit("dim_"), "id").alias("name")
     )
-    got = salted_broadcast_join(probe, build, "k", n_salts=8)
+    got = salted_shuffle_join(probe, build, "k", n_salts=8)
     want = probe.join(build, "k")
     assert sorted(map(tuple, got.select("k", "v", "name").collect())) == \
         sorted(map(tuple, want.select("k", "v", "name").collect()))
+
+
+def test_salted_shuffle_join_plan_is_not_broadcast(spark):
+    """The operator exists for the build-side-too-big-to-broadcast
+    case; the hint must hold even when the fixture build side is tiny
+    enough for Catalyst to auto-broadcast."""
+    from grpc_map_reduce_spark.operators.skew import salted_shuffle_join
+    from grpc_map_reduce_spark.plans.audit import explain_str
+
+    probe = _skewed_df(spark)
+    build = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), "id").alias("name")
+    )
+    plan = explain_str(salted_shuffle_join(probe, build, "k"), "formatted")
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_salt_is_retry_stable(spark):
+    """The salt must be a pure function of (partition id, row content):
+    recomputing the same input twice yields identical salted groups —
+    the property a task retry relies on for exactly-once results.
+    (monotonically_increasing_id, the previous salt key, changes when
+    rows shift position and silently double-counts partials.)"""
+    from grpc_map_reduce_spark.operators.skew import _salt
+
+    df = _skewed_df(spark)
+    a = sorted(map(tuple, df.withColumn("s", _salt(df, 16)).collect()))
+    b = sorted(map(tuple, df.withColumn("s", _salt(df, 16)).collect()))
+    assert a == b
+    # and it actually spreads the hot key across many salts
+    n_groups = (
+        df.withColumn("s", _salt(df, 16))
+        .filter(F.col("k") == 7).select("s").distinct().count()
+    )
+    assert n_groups > 4
