@@ -93,6 +93,7 @@ def _register_more() -> None:
         multimodal,
         relational,
         retrieval,
+        sampling,
         similarity,
         sketches,
         skew,
@@ -102,6 +103,6 @@ def _register_more() -> None:
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
-                retrieval, sketches):
+                retrieval, sketches, sampling):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

@@ -141,6 +141,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    """The reference's flagship job under Structured Streaming: replay
+    a text corpus one file per micro-batch; the complete-mode count
+    table must equal the batch wordcount (reference-parity tokenizer,
+    case + Unicode preserved)."""
+    from grpc_map_reduce_spark.operators.wordcount import wordcount
+    from grpc_map_reduce_spark.sources import read_text_corpus
+    from grpc_map_reduce_spark.streaming.wordcount import (
+        read_text_stream,
+        streaming_wordcount,
+    )
+
+    d = tmp_path / "wc_corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("The quick fox; the fox", encoding="utf-8")
+    (d / "b.txt").write_text("naïve Σigma fox 42", encoding="utf-8")
+
+    stream = read_text_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory(streaming_wordcount(stream), "stream_wc")
+    got = {r.word: r.cnt for r in spark.table("stream_wc").collect()}
+
+    batch = wordcount(read_text_corpus(spark, str(d)), reference_parity=True)
+    want = {r.word: r.cnt for r in batch.collect()}
+    assert got == want
+    assert got["fox"] == 3 and got["The"] == 1 and got["naïve"] == 1
+
+
 def test_late_data_dropped_after_watermark(spark, tmp_path):
     """Append-mode windows finalize when the watermark passes; a row
     arriving after its window finalized must be dropped, not
