@@ -75,10 +75,18 @@ def test_text_analysis_map_only_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, "map-only operator must not shuffle"
 
 
-def test_hot_python_paths_use_arrow_not_row_udfs(spark, sf_dir):
-    for name in ("dedup_ngram_jaccard", "dedup_simhash", "embedding_near_dup",
-                 "multimodal_features"):
-        plan = _plan(spark, sf_dir, name)
+def test_no_row_python_udf_in_any_registered_plan(spark, sf_dir):
+    """Sweep EVERY registered query: any Python in a plan must be
+    Arrow-batched (ArrowEvalPython / MapInPandas / FlatMapGroupsIn
+    Pandas), never row-at-a-time BatchEvalPython.  The two iterative
+    graph queries are excluded because building their DataFrame runs
+    the fixed-point loop (their edge-gen plan is gated in
+    test_lsh_recall.py instead)."""
+    skip = {"dedup_clusters", "pagerank_neardup"}
+    for name, q in registry.all_queries().items():
+        if name in skip:
+            continue
+        plan = explain_str(q.spark_fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, (
             f"{name}: row-at-a-time Python UDF in the plan"
         )
