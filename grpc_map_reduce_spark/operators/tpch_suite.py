@@ -342,13 +342,150 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q4-style order-priority check: orders in a quarter with ≥1 returned
+# line, counted per priority.  The EXISTS becomes a LEFT SEMI join —
+# lineitem contributes at most one match per order, so shuffle volume
+# on the probe side is the filtered order keys, and the 'R' filter is
+# pushed to the lineitem scan.  (Fixture has no l_commitdate /
+# l_receiptdate; l_returnflag = 'R' is the "problem line" predicate.)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    returned = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12-style line status × priority-class report: per l_linestatus, how
+# many 1997 lines belong to high-priority vs other orders.  The CASE
+# aggregation runs inside the partial agg; orders joins in on the
+# shuffle key.  (Fixture has no l_shipmode; l_linestatus is the
+# grouping column.)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19-style disjunctive revenue: OR of brand/size/quantity conjunct
+# groups.  The classic pushdown test — Catalyst must push the common
+# l_quantity bounds and the IsNotNulls to both scans and broadcast the
+# filtered part side; the OR evaluates post-join without exploding
+# into a union of three joins.
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21-style problem suppliers: suppliers with ≥1 returned ('R') line
+# but zero accepted ('A') lines — EXISTS ∧ NOT EXISTS composed as
+# LEFT SEMI then LEFT ANTI against the twice-filtered fact.  Both
+# lineitem scans carry a pushed returnflag filter; supplier is the
+# (small) probe side of both.
+def q21_problem_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    accepted = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return (
+        supp.join(returned, supp.s_suppkey == returned.l_suppkey, "left_semi")
+        .join(accepted, supp.s_suppkey == accepted.l_suppkey, "left_anti")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_returnflag = 'A')
+"""
+
+
 QUERIES = [
+    ("q4_priority_check", q4_priority_check, ORACLE_Q4,
+     "EXISTS as left-semi join; order counts per priority."),
     ("q6_forecast_revenue", q6_forecast_revenue, ORACLE_Q6,
      "Filter-only aggregate; full predicate pushdown to the scan."),
     ("q9_nation_year_profit", q9_nation_year_profit, ORACLE_Q9,
      "5-table join, profit by nation × year; dims broadcast."),
     ("q10_returned_customers", q10_returned_customers, ORACLE_Q10,
      "Returned-revenue top-20 customers (TakeOrderedAndProject)."),
+    ("q12_priority_lines", q12_priority_lines, ORACLE_Q12,
+     "CASE aggregation over a fact-dim join (priority-class line counts)."),
     ("q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
      "Conditional aggregation (promo revenue share)."),
     ("q15_top_supplier", q15_top_supplier, ORACLE_Q15,
@@ -357,6 +494,10 @@ QUERIES = [
      "Correlated per-part threshold as a window avg (one scan, one shuffle)."),
     ("q18_large_volume_customers", q18_large_volume_customers, ORACLE_Q18,
      "HAVING on aggregate + join-back of qualifying keys."),
+    ("q19_disjunctive_revenue", q19_disjunctive_revenue, ORACLE_Q19,
+     "Disjunctive (OR-of-ANDs) predicate over a broadcast join."),
+    ("q21_problem_suppliers", q21_problem_suppliers, ORACLE_Q21,
+     "EXISTS AND NOT EXISTS composed as left-semi + left-anti joins."),
     ("q22_idle_customers", q22_idle_customers, ORACLE_Q22,
      "Scalar AVG subquery + NOT EXISTS anti join + rollup."),
 ]
