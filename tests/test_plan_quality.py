@@ -149,6 +149,29 @@ def test_q22_anti_join_broadcasts(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_q4_semi_join_with_pushed_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_priority_check")
+    assert "LeftSemi" in plan
+    # both the quarter filter and the returnflag filter reach the scans
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q19_single_fact_scan_with_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    # the OR-of-ANDs must NOT explode into a union of three joins:
+    # one lineitem scan, one broadcast part join
+    assert plan.count("lineitem.parquet]") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_q21_semi_and_anti_with_pushed_flags(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_problem_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "EqualTo(l_returnflag,A)" in plan
+
+
 def test_partition_filter_prunes(spark, sf_dir):
     # predicate on the scan column shows up as a pushed filter
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
