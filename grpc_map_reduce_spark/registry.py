@@ -91,6 +91,7 @@ def _register_more() -> None:
         events,
         map_reduce,
         multimodal,
+        pipeline,
         relational,
         retrieval,
         sampling,
@@ -103,6 +104,6 @@ def _register_more() -> None:
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
-                retrieval, sketches, sampling):
+                retrieval, sketches, sampling, pipeline):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

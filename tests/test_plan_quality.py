@@ -172,6 +172,17 @@ def test_q21_semi_and_anti_with_pushed_flags(spark, sf_dir):
     assert "EqualTo(l_returnflag,A)" in plan
 
 
+def test_pipeline_corpus_prep_fuses_to_one_shuffle(spark, sf_dir):
+    """dedup → quality filter → sample must fuse into a single plan
+    with exactly one Exchange (the dedup window's partition-by-text);
+    quality scoring and sampling are map-only on top."""
+    plan = _plan(spark, sf_dir, "pipeline_corpus_prep")
+    # formatted mode lists each operator once as "(n) Exchange"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, found {n_exchanges}\n{plan}"
+    assert plan.count("documents.parquet]") == 1, "documents scanned twice"
+
+
 def test_partition_filter_prunes(spark, sf_dir):
     # predicate on the scan column shows up as a pushed filter
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
