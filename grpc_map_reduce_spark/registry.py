@@ -98,12 +98,13 @@ def _register_more() -> None:
         similarity,
         sketches,
         skew,
+        sql_api,
         text_analysis,
         tpch_suite,
     )
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
-                retrieval, sketches, sampling, pipeline):
+                retrieval, sketches, sampling, pipeline, sql_api):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
