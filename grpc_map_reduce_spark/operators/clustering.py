@@ -149,7 +149,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dense graphs — fine at the 0.05 threshold's sparse edge set.)
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD)},
-edges AS (
+edges AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
     SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -232,7 +232,7 @@ def _pagerank_oracle() -> str:
     d = PAGERANK_DAMPING
     rounds = "".join(
         f""",
-r{i + 1} AS (
+r{i + 1} AS MATERIALIZED (
     SELECT n.node,
            (1 - {d}) / (SELECT cnt FROM nn)
            + {d} * coalesce(sum(r{i}.rank / deg.outd), 0) AS rank
@@ -246,15 +246,15 @@ r{i + 1} AS (
     )
     return f"""
 WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
-sym AS (
+sym AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
     SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
-deg AS (SELECT src, count(*) AS outd FROM sym GROUP BY src),
-nodes AS (SELECT src AS node FROM deg),
-nn AS (SELECT count(*) AS cnt FROM nodes),
-r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes){rounds}
+deg AS MATERIALIZED (SELECT src, count(*) AS outd FROM sym GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes){rounds}
 SELECT node AS doc_id, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
 """
 

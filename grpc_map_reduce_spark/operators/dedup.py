@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, shingles, words
+from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, words
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -494,12 +494,17 @@ def lsh_pairs_sql(threshold: float, rows_per_band: int = LSH_ROWS_PER_BAND) -> s
         f"concat_ws('_', {', '.join(f'm{j * r + k}' for k in range(r))}) AS key FROM sig"
         for j in range(n_bands)
     )
+    # sh / cand / pairs are AS MATERIALIZED: DuckDB inlines CTEs by
+    # default, re-evaluating the whole minhash chain once per
+    # reference — consumers like the pagerank oracle reference pairs
+    # several times and the re-evaluation compounds to a hang at
+    # sf0.1.  Materialization pins each to one evaluation.
     return f"""toks AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
     FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
     SELECT DISTINCT doc_id,
            unnest(list_transform(
                range(1, greatest(len(ws) - 2, 1) + 1),
@@ -507,7 +512,6 @@ sh AS (
            )) AS shingle
     FROM toks
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 hashed AS (
     SELECT doc_id,
            (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS h
@@ -521,25 +525,34 @@ sig AS (
 bands AS (
     {band_selects}
 ),
-cand AS (
+cand AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
-common AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+shl AS (
+    SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
 ),
-pairs AS (
+common AS (
+    -- candidate-restricted, like the Spark rescore: intersect the two
+    -- docs' shingle LISTS per cand pair.  A shingle-keyed join here
+    -- (even candidate-restricted) leaves DuckDB's optimizer free to
+    -- reorder into the quadratic self-join, which spills to death at
+    -- sf0.1; list_intersect admits no such plan.  Zero-overlap
+    -- candidates yield jaccard 0 and fall to the threshold.
     SELECT c.doc_a, c.doc_b,
-           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM common c
-    JOIN cand USING (doc_a, doc_b)
-    JOIN sizes sa ON c.doc_a = sa.doc_id
-    JOIN sizes sb ON c.doc_b = sb.doc_id
-    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
+           len(list_intersect(a.sl, b.sl)) AS n_common,
+           len(a.sl) AS na, len(b.sl) AS nb
+    FROM cand c
+    JOIN shl a ON a.doc_id = c.doc_a
+    JOIN shl b ON b.doc_id = c.doc_b
+),
+pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+    FROM common
+    WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
 )"""
 
 
