@@ -168,7 +168,49 @@ SELECT
 FROM documents
 """
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a registered query: every 4th frame of each
+    fake video, identified by md5 (binary payloads hash-compare
+    awkwardly across engines; the digest is the stable witness)."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    frames = sample_frames(attach_fake_media(docs.repartition(n_part, "doc_id")))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+# Fixture text is pure ASCII (verified: octet_length(encode(text)) ==
+# length(text) for every row), so VARCHAR substring IS byte slicing
+# and md5 over it matches Spark's md5 over the binary frame.
+ORACLE_FRAME_SAMPLE = """
+WITH base AS (
+    SELECT doc_id, text,
+           1 + doc_id % 16 AS nf,
+           greatest(length(text) // (1 + doc_id % 16), 1) AS fsize
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, fsize,
+           CAST(unnest(range(0, nf, 4)) AS INTEGER) AS frame_idx,
+           text
+    FROM base
+)
+SELECT doc_id,
+       frame_idx,
+       md5(substring(text, frame_idx * fsize + 1, fsize)) AS frame_md5,
+       CAST(length(substring(text, frame_idx * fsize + 1, fsize)) AS BIGINT)
+           AS frame_bytes
+FROM frames
+"""
+
+
 QUERIES = [
     ("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL,
      "E4 multimodal: binary media column → decode stub → md5 features."),
+    ("multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE,
+     "E4 multimodal: every-4th frame sampling; frames witnessed by md5."),
 ]
