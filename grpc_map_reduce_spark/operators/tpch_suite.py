@@ -475,11 +475,198 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# Q7-style volume shipping: bilateral trade revenue between two nations
+# by ship year.  The two nation dims are filtered to the pair BEFORE
+# touching the fact: supplier and customer each broadcast-join their
+# (2-row) nation slice, so lineitem rows from every other nation pair
+# are dropped at the first (broadcast) join — the only big shuffle is
+# lineitem⨝orders on orderkey.  The OR-of-directions predicate runs on
+# two already-attached dim columns, not as a join condition.
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na, nb = "NATION_9", "NATION_10"
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    pair = F.col("n_name").isin(na, nb)
+    n1 = table(spark, sf_dir, "nation").filter(pair).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").filter(pair).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == na) & (F.col("cust_nation") == nb))
+            | ((F.col("supp_nation") == nb) & (F.col("cust_nation") == na))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(volume), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_9'  AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8-style national market share: one nation's share of PROMO-part
+# revenue sold into one region, by order year.  The share is a
+# conditional aggregate over ONE reduced row set — numerator and
+# denominator come out of the same groupBy (never two fact scans).
+# Region→nation→customer restricts the probe side through two
+# broadcast hops before the fact joins; part's type filter is pushed
+# to its scan and broadcast too.  mkt_share is derived from the two
+# ALREADY-ROUNDED sums so both engines divide identical inputs.
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_nk"))
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk")
+    ).select("c_custkey")
+    n_supp = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = supp.join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_9", volume)
+                      .otherwise(F.lit(0.0))), 2
+            ).alias("nation_volume"),
+            F.round(F.sum(volume), 2).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year", "nation_volume", "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+    )
+
+
+ORACLE_Q8 = """
+WITH agg AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_9'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END), 2) AS nation_volume,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND o_custkey IN (
+          SELECT c_custkey FROM customer
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region    ON n1.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA')
+    GROUP BY year(o_orderdate)
+)
+SELECT o_year, nation_volume, total_volume,
+       round(nation_volume / total_volume, 6) AS mkt_share
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13-style customer distribution: histogram of per-customer order
+# counts, INCLUDING zero-order customers (the left outer join is the
+# point of the query — an inner join silently drops the zero bucket).
+# Two aggregations: the first shuffles on c_custkey (the join key, so
+# AQE can fold join+agg into one exchange); the second reduces the
+# per-customer counts to a ~dozen-row histogram — map-side partials
+# make its shuffle negligible.  The priority filter lives in the JOIN
+# condition, not a WHERE (a WHERE would turn the outer join inner).
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (~F.col("o_orderpriority").like("4%")),
+            "left",
+        )
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4%'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 QUERIES = [
     ("q4_priority_check", q4_priority_check, ORACLE_Q4,
      "EXISTS as left-semi join; order counts per priority."),
     ("q6_forecast_revenue", q6_forecast_revenue, ORACLE_Q6,
      "Filter-only aggregate; full predicate pushdown to the scan."),
+    ("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7,
+     "Bilateral nation-pair revenue by year; pair filter via broadcast dims."),
+    ("q8_market_share", q8_market_share, ORACLE_Q8,
+     "National market share: conditional agg, region semi-join, one fact scan."),
+    ("q13_customer_distribution", q13_customer_distribution, ORACLE_Q13,
+     "Order-count histogram with zero bucket (filtered left outer join)."),
     ("q9_nation_year_profit", q9_nation_year_profit, ORACLE_Q9,
      "5-table join, profit by nation × year; dims broadcast."),
     ("q10_returned_customers", q10_returned_customers, ORACLE_Q10,

@@ -183,6 +183,32 @@ def test_pipeline_corpus_prep_fuses_to_one_shuffle(spark, sf_dir):
     assert plan.count("documents.parquet]") == 1, "documents scanned twice"
 
 
+def test_q7_pair_filter_stays_on_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    # the nation-pair restriction is pushed into both nation scans, so
+    # non-pair rows die at the broadcast dim join, not post-aggregation
+    assert "In(n_name, [NATION_10,NATION_9])" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q8_single_fact_scan_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    # numerator and denominator share ONE reduced row set: the fact is
+    # scanned once and the region restriction is a semi join
+    assert plan.count("lineitem.parquet]") == 1
+    assert "LeftSemi" in plan
+    assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_q13_outer_join_preserved_with_pushed_priority(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    # the priority filter must reach the orders scan WITHOUT turning
+    # the outer join inner (the zero-order bucket is the point)
+    assert "LeftOuter" in plan
+    assert "Not(StringStartsWith(o_orderpriority,4))" in plan
+
+
 def test_partition_filter_prunes(spark, sf_dir):
     # predicate on the scan column shows up as a pushed filter
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
