@@ -1,0 +1,176 @@
+"""LLM training-data preparation: sequence packing and benchmark
+decontamination.
+
+Two pipeline stages every large-scale pretraining corpus goes through
+after dedup/quality filtering (neither has any analog in the reference
+engine — its surface ends at wordcount/inverted-index,
+reducer.go:159-186 — so this is pure extension surface):
+
+  * **Sequence packing** — concatenate documents back-to-back and cut
+    the token stream into fixed-budget training sequences.  A document
+    belongs to the sequence where it *starts* (concat-and-chunk
+    semantics).  The running token total is a window cumsum, so the
+    whole operator is one window over (source-partitioned, doc_id-
+    ordered) rows — no Python, no self-join.
+  * **Decontamination** — flag training documents that share word
+    n-grams with a held-out benchmark/eval set, so eval data never
+    leaks into training.  The benchmark's distinct shingle set is
+    small by construction (eval sets are thousands of docs, not
+    billions) and BROADCASTS; each training doc's shingles probe it
+    map-side, and the only shuffle is the per-doc hit-count groupBy.
+
+Scale notes (100 TB posture):
+  * Packing parallelism = the window's partition key.  Partitioning by
+    ``source`` packs each source's stream independently (sequences
+    never mix sources — which production packing usually wants anyway
+    for domain-mixing control).  A single giant source would serialize
+    into one task; sub-shard the key (e.g. ``source, xxhash64(doc_id)
+    % k``) and the semantics stay per-shard-deterministic.
+  * Decontamination never joins train-to-train: work is O(train
+    shingles) probe + O(hit pairs) aggregation.  If the benchmark set
+    were huge, drop the broadcast hint and let AQE pick a shuffle
+    join — the dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, words
+from grpc_map_reduce_spark.sources.tables import table
+
+#: Token budget per packed training sequence.  Sized for the fixture
+#: docs (10-99 words, median ~56); production values (2k-8k BPE
+#: tokens) change nothing structurally.
+PACK_SEQ_TOKENS = 256
+
+#: Benchmark split: every 50th doc_id (~2 %) plays the held-out eval
+#: set; 3-word shingles are the overlap unit (probed at sf0.01:
+#: 257/490 train docs share >=1 shingle, max 23).
+DECONTAM_BENCH_MOD = 50
+DECONTAM_NGRAM = 3
+#: A doc is contaminated at >= this many distinct shared shingles
+#: (1 shared 3-gram is background noise; a run of them is leakage).
+DECONTAM_MIN_HITS = 5
+
+
+def pack_sequences(docs: DataFrame, seq_tokens: int = PACK_SEQ_TOKENS) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence.
+
+    Output per doc: ``n_tokens``, ``seq_id`` (which sequence of its
+    source's stream the doc starts in), ``seq_off`` (token offset of
+    the doc within that sequence).  All integers — exact across
+    engines.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(words("text")).cast("long")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("seq_id", F.floor(start / seq_tokens).cast("long"))
+        .withColumn("seq_off", (start % seq_tokens).cast("long"))
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(table(spark, sf_dir, "documents"))
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+run AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - n_tokens AS start
+    FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(start / {PACK_SEQ_TOKENS}) AS BIGINT) AS seq_id,
+       start % {PACK_SEQ_TOKENS} AS seq_off
+FROM run
+"""
+
+
+def decontaminate(docs: DataFrame, n: int = DECONTAM_NGRAM,
+                  bench_mod: int = DECONTAM_BENCH_MOD,
+                  min_hits: int = DECONTAM_MIN_HITS) -> DataFrame:
+    """Per training doc: distinct shingles shared with the benchmark
+    split, and the contamination flag.
+
+    Training docs with zero overlap are kept in the output (left join,
+    ``n_hits`` 0) so the result is a total audit of the train split.
+    """
+    is_bench = F.col("doc_id") % bench_mod == 0
+    sh = docs.select(
+        "doc_id", F.explode(distinct_shingles_udf(n)("text")).alias("shingle")
+    )
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    train = docs.filter(~is_bench).select("doc_id")
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(table(spark, sf_dir, "documents"))
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - {DECONTAM_NGRAM - 1}, 1) + 1),
+               i -> array_to_string(ws[i:i+{DECONTAM_NGRAM - 1}], ' ')
+           )) AS shingle
+    FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+hits AS (
+    SELECT s.doc_id, count(*) AS n_hits
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= {DECONTAM_MIN_HITS} AS contaminated
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+"""
+
+
+QUERIES = [
+    ("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES,
+     "Sequence packing: fixed-token-budget training sequences via window cumsum."),
+    ("decontaminate_ngram", q_decontaminate, ORACLE_DECONTAMINATE,
+     "Benchmark decontamination: n-gram overlap vs a held-out split "
+     "(broadcast probe, no train-train join)."),
+]

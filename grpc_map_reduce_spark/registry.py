@@ -91,6 +91,7 @@ def _register_more() -> None:
         events,
         map_reduce,
         multimodal,
+        packing,
         pipeline,
         relational,
         retrieval,
@@ -105,6 +106,6 @@ def _register_more() -> None:
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
-                retrieval, sketches, sampling, pipeline, sql_api):
+                retrieval, sketches, sampling, pipeline, packing, sql_api):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

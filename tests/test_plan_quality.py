@@ -209,6 +209,22 @@ def test_q13_outer_join_preserved_with_pushed_priority(spark, sf_dir):
     assert "Not(StringStartsWith(o_orderpriority,4))" in plan
 
 
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    # the packing cumsum is ONE hash-partitioned window (by source) —
+    # no Python, no join, no extra shuffle
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, found {n_exchanges}\n{plan}"
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_bench_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontaminate_ngram")
+    # the benchmark shingle set probes as a broadcast semi join; the
+    # train shingles must never self-join
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
 def test_partition_filter_prunes(spark, sf_dir):
     # predicate on the scan column shows up as a pushed filter
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
