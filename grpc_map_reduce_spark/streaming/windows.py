@@ -161,6 +161,31 @@ def stream_stream_purchase_click_join(events: DataFrame,
     )
 
 
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a STATIC per-user
+    dimension (here: first-seen timestamp + lifetime event count).
+
+    The static side is a plain DataFrame — Spark re-plans it per
+    micro-batch, broadcasts it when small, and requires no watermark
+    or state store (nothing on the static side ever changes mid-query;
+    at 100 TB the dim would be a broadcast-able keyed table or a
+    bucketed join).  This is the canonical enrichment pattern: facts
+    arrive as a stream, dimensions sit in storage."""
+    return events.join(F.broadcast(user_dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type",
+        "first_seen", "lifetime_events",
+    )
+
+
+def user_first_seen_dim(batch_events: DataFrame) -> DataFrame:
+    """The static dimension for :func:`stream_static_enrich`, built
+    from the batch events table: one row per user."""
+    return batch_events.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.count("*").alias("lifetime_events"),
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: ``dropDuplicates`` keyed by
     id + event-time with a watermark, so the dedup state store is

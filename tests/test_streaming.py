@@ -12,10 +12,30 @@ from grpc_map_reduce_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     stateful_user_totals,
+    stream_static_enrich,
     streaming_dedup,
     streaming_sliding_agg,
     streaming_tumbling_agg,
+    user_first_seen_dim,
 )
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Every streamed event picks up its user's static dim row; the
+    result must equal the same join done in batch."""
+    dim = user_first_seen_dim(table(spark, sf_dir, "events"))
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_static_enrich(stream, dim), "stream_enrich",
+                  output_mode="append")
+    got = {
+        (r.event_id, r.first_seen, r.lifetime_events)
+        for r in spark.table("stream_enrich").collect()
+    }
+    batch = table(spark, sf_dir, "events").join(dim, "user_id", "left")
+    want = {
+        (r.event_id, r.first_seen, r.lifetime_events) for r in batch.collect()
+    }
+    assert got == want
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir):
