@@ -28,9 +28,10 @@ Scale notes (100 TB posture), per query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.money import cents
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -656,11 +657,227 @@ GROUP BY c_count
 """
 
 
+# --------------------------------------------------------------------------
+# The four remaining TPC-H shapes (q2/q11/q16/q20) reference partsupp,
+# which the fixture schema lacks; each is adapted with lineitem as the
+# part↔supplier relation, preserving the query's characteristic plan
+# shape.  All four emit exact-integer metrics (functions.money
+# rationale): per-line unit price = floor(cents / integral quantity) —
+# IEEE division of identical exact inputs, then floor — is
+# bit-reproducible across engines, unlike rounded double averages.
+
+# Q2 shape: argmin-per-group across a multi-dim join — for each SMALL
+# part, the EUROPE supplier offering the lowest observed unit price.
+# One fact scan; suppliers restricted via two broadcast hops BEFORE
+# the fact join; the argmin is a row_number window over the (part,
+# supplier) aggregate, never a correlated re-scan.
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    unit_cents = F.floor(cents("l_extendedprice") / F.col("l_quantity")).cast("long")
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name")
+        .agg(F.min(unit_cents).alias("min_unit_cents"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("min_unit_cents", "s_suppkey")
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "min_unit_cents")
+    )
+
+
+ORACLE_Q2 = """
+WITH per_ps AS (
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           min(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          / l_quantity) AS BIGINT)) AS min_unit_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'SMALL' AND p_size <= 10 AND r_name = 'EUROPE'
+    GROUP BY 1, 2, 3, 4
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, min_unit_cents
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                 ORDER BY min_unit_cents, s_suppkey) AS rn
+    FROM per_ps
+) WHERE rn = 1
+"""
+
+
+# Q11 shape: groups whose value exceeds a fraction of the GLOBAL total
+# (HAVING against a scalar subquery).  The global total is a 1-row
+# aggregate of the same reduced rows, attached by broadcast cross join
+# — one fact scan, no unpartitioned window over the (large-at-scale)
+# per-part aggregate.
+Q11_FRACTION = 0.001  # ~160 of ~1900 parts at sf0.01
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") > Q11_FRACTION * F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+ORACLE_Q11 = f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_9')
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_cents
+FROM per_part
+CROSS JOIN (SELECT sum(value_cents) AS total_cents FROM per_part) t
+WHERE value_cents > {Q11_FRACTION} * total_cents
+"""
+
+
+# Q16 shape: distinct-count aggregation with a NOT-IN supplier
+# exclusion — how many distinct suppliers ship each (brand, type,
+# size) bucket, excluding suppliers with above-average accepted-return
+# ('A') volume (scale-free: the threshold is 1.05 × the mean, so the
+# excluded fraction is stable at every SF).  NOT IN composes as a
+# broadcast anti join against the (tiny) excluded-supplier list; the
+# distinct count shuffles (group keys + suppkey) once.
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 25)
+    )
+    per_supp = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_a"))
+    )
+    mean_a = per_supp.agg(F.avg("n_a").alias("avg_a"))
+    complained = (
+        per_supp.join(F.broadcast(mean_a))
+        .filter(F.col("n_a") > 1.05 * F.col("avg_a"))
+        .select("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(complained), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+WITH per_supp AS (
+    SELECT l_suppkey, count(*) AS n_a
+    FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_suppkey
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size <= 25
+  AND l_suppkey NOT IN (
+      SELECT l_suppkey FROM per_supp
+      CROSS JOIN (SELECT avg(n_a) AS avg_a FROM per_supp)
+      WHERE n_a > 1.05 * avg_a)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# Q20 shape: per-group-share threshold feeding a semi join — suppliers
+# who shipped more than half of some part's 1997 volume (the adapted
+# "excess availability" predicate).  Quantities are integral doubles
+# (sums exact in fp at any order); the share test compares two exact
+# sums.  The per-part total is a window over the (part, supplier)
+# aggregate — same shuffle key as the aggregate itself, so AQE runs
+# both in one exchange.
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    per_ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"))
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+    )
+
+
+ORACLE_Q20 = """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+),
+dominant AS (
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated_parts
+    FROM (
+        SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per_ps
+    ) WHERE qty > 0.5 * part_qty
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_dominated_parts
+FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+"""
+
+
 QUERIES = [
     ("q4_priority_check", q4_priority_check, ORACLE_Q4,
      "EXISTS as left-semi join; order counts per priority."),
     ("q6_forecast_revenue", q6_forecast_revenue, ORACLE_Q6,
      "Filter-only aggregate; full predicate pushdown to the scan."),
+    ("q2_min_cost_supplier", q2_min_cost_supplier, ORACLE_Q2,
+     "Argmin-per-group: cheapest EUROPE supplier per SMALL part (q2 shape)."),
+    ("q11_important_stock", q11_important_stock, ORACLE_Q11,
+     "Share-of-global HAVING via broadcast scalar total (q11 shape)."),
+    ("q16_supplier_counts", q16_supplier_counts, ORACLE_Q16,
+     "Distinct-count buckets with NOT-IN supplier exclusion (q16 shape)."),
+    ("q20_dominant_suppliers", q20_dominant_suppliers, ORACLE_Q20,
+     "Per-part share threshold feeding a supplier join (q20 shape)."),
     ("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7,
      "Bilateral nation-pair revenue by year; pair filter via broadcast dims."),
     ("q8_market_share", q8_market_share, ORACLE_Q8,

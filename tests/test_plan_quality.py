@@ -209,6 +209,28 @@ def test_q13_outer_join_preserved_with_pushed_priority(spark, sf_dir):
     assert "Not(StringStartsWith(o_orderpriority,4))" in plan
 
 
+def test_q2_single_fact_scan_argmin_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    # the argmin is a window over the aggregate, never a correlated
+    # re-scan of the fact
+    assert plan.count("lineitem.parquet]") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "EqualTo(l_returnflag,A)" in plan
+
+
+def test_q20_share_window_reuses_agg_exchange(spark, sf_dir):
+    # the per-part total window partitions on the same key as the
+    # (part, supplier) aggregate — no second fact scan
+    plan = _plan(spark, sf_dir, "q20_dominant_suppliers")
+    assert plan.count("lineitem.parquet]") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
 def test_pack_sequences_single_window_exchange(spark, sf_dir):
     # the packing cumsum is ONE hash-partitioned window (by source) —
     # no Python, no join, no extra shuffle
