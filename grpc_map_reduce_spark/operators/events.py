@@ -81,6 +81,59 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+def sliding_window_agg(events: DataFrame, width: str = "1 hour",
+                       slide: str = "30 minutes") -> DataFrame:
+    """Batch sliding (hopping) windows: every event lands in
+    width/slide = 2 overlapping windows.  Spark's ``window(ts, width,
+    slide)`` explodes each row into its windows before the aggregate —
+    shuffle volume is overlap× the tumbling case, which is the
+    fundamental cost of sliding windows on any engine (the streaming
+    twin in streaming/windows.py carries the same expression)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("total_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value_cents",
+        )
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(table(spark, sf_dir, "events"))
+
+
+# DuckDB twin: explode each event into its two 30-min-aligned window
+# starts (k = 0, 1); for a 1 h window every event is in exactly both.
+ORACLE_SLIDING = """
+WITH e AS (
+    SELECT event_type, value,
+           CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800)
+                                  AS BIGINT) * 1800) AS TIMESTAMP) AS p0
+    FROM events
+),
+x AS (
+    SELECT event_type, value,
+           p0 - to_minutes(30 * k) AS window_start
+    FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM x
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               ts_col: str = "ts") -> DataFrame:
     """For each ``left`` row, attach the most recent ``right`` row with
@@ -333,6 +386,8 @@ QUERIES = [
     ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
      "Tumbling 1h window aggregation + JSON props extraction "
      "(batch twin of the streaming op)."),
+    ("events_sliding_window", q_sliding_window, ORACLE_SLIDING,
+     "Sliding 1h/30min window aggregation (each event in 2 windows)."),
     ("events_range_join", q_range_join, ORACLE_RANGE_JOIN,
      "Bounded range join: purchases ← clicks within a 15-min lookback."),
     ("events_session_window", q_session_window, ORACLE_SESSION_WINDOW,
