@@ -102,10 +102,12 @@ def _register_more() -> None:
         sql_api,
         text_analysis,
         tpch_suite,
+        udf_surface,
     )
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
-                retrieval, sketches, sampling, pipeline, packing, sql_api):
+                retrieval, sketches, sampling, pipeline, packing, sql_api,
+                udf_surface):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
