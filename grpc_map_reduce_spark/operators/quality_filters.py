@@ -1,0 +1,276 @@
+"""Corpus-hygiene operators for LLM training-data preparation
+(extension E3 — SURVEY.md §2.2): repetition-based quality filters in
+the style of the Gopher rules (Rae et al., "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", 2021, §A1.1 —
+duplicate n-gram fractions) and regex PII redaction (the C4/CCNet
+style scrub pass).
+
+The reference engine has no quality filtering at all (its two jobs
+are wc and ii, mapper.go:170-230); this is pure extension surface.
+
+Scale design:
+  * ``repetition_stats`` explodes each document's 1/2/3-gram stream
+    ONCE (a single Generate node over a concatenated tagged array)
+    and reduces with two hash aggregations — both with map-side
+    partial aggregation, keyed on (doc_id, gram) then (doc_id).
+    Shuffle volume is O(distinct grams per doc), never O(corpus²),
+    and no per-doc computation is quadratic in document length (the
+    all-Column alternative — counting each distinct gram with a
+    ``filter`` lambda — is O(len²) per doc and dies on book-length
+    documents).
+  * All ratios are basis points via integer division (``DIV``), so
+    the DuckDB oracle hashes bit-identically — no rounded double in
+    any hashed output.
+  * ``redact_pii`` is map-only ``regexp_replace`` chains — pure
+    whole-stage codegen, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.functions.text import words
+from grpc_map_reduce_spark.sources.tables import table
+
+# Keep-thresholds (basis points), Gopher-flavored: drop a doc when its
+# most frequent word exceeds 20% of tokens or >18% of its 2-gram /
+# >16% of its 3-gram occurrences are repeats.  The top-word rule only
+# applies to docs with at least TOP_WORD_MIN_WORDS tokens — on a
+# 3-word doc the most frequent word is ≥33% by pigeonhole, so the
+# ratio is meaningless below a length floor (Gopher likewise pairs
+# its repetition rules with a minimum word count).
+TOP_WORD_MAX_BP = 2000
+TOP_WORD_MIN_WORDS = 20
+DUP_2GRAM_MAX_BP = 1800
+DUP_3GRAM_MAX_BP = 1600
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition statistics + the keep/drop decision.
+
+    Output (one row per doc with ≥1 word):
+      * ``n_words`` / ``uniq_words`` — token totals;
+      * ``top_word_bp`` — share of tokens taken by the single most
+        frequent word (basis points);
+      * ``dup_word_bp`` — fraction of token occurrences beyond each
+        word's first (1 − uniq/total);
+      * ``dup_2gram_bp`` / ``dup_3gram_bp`` — fraction of 2-gram /
+        3-gram occurrences that belong to a gram appearing more than
+        once (the Gopher duplicate-n-gram rule, word-occurrence
+        weighted);
+      * ``keep`` — True iff all three repetition shares are under the
+        module thresholds.
+    """
+    ws = words("text")
+    bi = F.transform(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
+    )
+    tri = F.transform(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))),
+        lambda w, i: F.concat_ws(
+            " ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)
+        ),
+    )
+    tag = lambda arr, g: F.transform(
+        arr, lambda x: F.struct(F.lit(g).alias("g"), x.alias("gram"))
+    )
+    tagged = docs.select(
+        "doc_id", F.explode(F.concat(tag(ws, 1), tag(bi, 2), tag(tri, 3))).alias("t")
+    ).select("doc_id", F.col("t.g").alias("g"), F.col("t.gram").alias("gram"))
+
+    per_gram = tagged.groupBy("doc_id", "g", "gram").agg(F.count("*").alias("cnt"))
+    per_size = per_gram.groupBy("doc_id", "g").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("uniq"),
+        F.max("cnt").alias("mx"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occ"),
+    )
+
+    pick = lambda g, c: F.max(F.when(F.col("g") == g, F.col(c)))
+    stats = per_size.groupBy("doc_id").agg(
+        pick(1, "total").alias("w_total"),
+        pick(1, "uniq").alias("w_uniq"),
+        pick(1, "mx").alias("w_max"),
+        F.coalesce(pick(2, "total"), F.lit(0)).alias("b_total"),
+        F.coalesce(pick(2, "dup_occ"), F.lit(0)).alias("b_dup"),
+        F.coalesce(pick(3, "total"), F.lit(0)).alias("t_total"),
+        F.coalesce(pick(3, "dup_occ"), F.lit(0)).alias("t_dup"),
+    )
+    # Integer basis points: a*10000 DIV b — exact in both engines.
+    bp = lambda a, b: F.expr(f"({a} * 10000) DIV {b}")
+    zbp = lambda a, b: F.coalesce(
+        F.when(F.col(b) > 0, F.expr(f"({a} * 10000) DIV {b}")), F.lit(0)
+    ).cast("long")
+    out = stats.select(
+        "doc_id",
+        F.col("w_total").cast("long").alias("n_words"),
+        F.col("w_uniq").cast("long").alias("uniq_words"),
+        bp("w_max", "w_total").cast("long").alias("top_word_bp"),
+        bp("(w_total - w_uniq)", "w_total").cast("long").alias("dup_word_bp"),
+        zbp("b_dup", "b_total").alias("dup_2gram_bp"),
+        zbp("t_dup", "t_total").alias("dup_3gram_bp"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("n_words") < TOP_WORD_MIN_WORDS)
+            | (F.col("top_word_bp") <= TOP_WORD_MAX_BP)
+        )
+        & (F.col("dup_2gram_bp") <= DUP_2GRAM_MAX_BP)
+        & (F.col("dup_3gram_bp") <= DUP_3GRAM_MAX_BP),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(table(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, 1 AS g, unnest(ws) AS gram FROM toks
+    UNION ALL
+    SELECT doc_id, 2 AS g,
+           unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS gram
+    FROM toks
+    UNION ALL
+    SELECT doc_id, 3 AS g,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+    FROM toks
+),
+per_gram AS (
+    SELECT doc_id, g, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+),
+per_size AS (
+    SELECT doc_id, g,
+           sum(cnt)  AS total,
+           count(*)  AS uniq,
+           max(cnt)  AS mx,
+           sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+    FROM per_gram GROUP BY 1, 2
+),
+stats AS (
+    SELECT doc_id,
+           max(CASE WHEN g = 1 THEN total END) AS w_total,
+           max(CASE WHEN g = 1 THEN uniq  END) AS w_uniq,
+           max(CASE WHEN g = 1 THEN mx    END) AS w_max,
+           coalesce(max(CASE WHEN g = 2 THEN total   END), 0) AS b_total,
+           coalesce(max(CASE WHEN g = 2 THEN dup_occ END), 0) AS b_dup,
+           coalesce(max(CASE WHEN g = 3 THEN total   END), 0) AS t_total,
+           coalesce(max(CASE WHEN g = 3 THEN dup_occ END), 0) AS t_dup
+    FROM per_size GROUP BY doc_id
+),
+bp AS (
+    SELECT doc_id,
+           CAST(w_total AS BIGINT) AS n_words,
+           CAST(w_uniq  AS BIGINT) AS uniq_words,
+           CAST((w_max * 10000) // w_total AS BIGINT)              AS top_word_bp,
+           CAST(((w_total - w_uniq) * 10000) // w_total AS BIGINT) AS dup_word_bp,
+           CAST(CASE WHEN b_total > 0 THEN (b_dup * 10000) // b_total ELSE 0 END
+                AS BIGINT) AS dup_2gram_bp,
+           CAST(CASE WHEN t_total > 0 THEN (t_dup * 10000) // t_total ELSE 0 END
+                AS BIGINT) AS dup_3gram_bp
+    FROM stats
+)
+SELECT *,
+       ((n_words < {TOP_WORD_MIN_WORDS} OR top_word_bp <= {TOP_WORD_MAX_BP})
+        AND dup_2gram_bp <= {DUP_2GRAM_MAX_BP}
+        AND dup_3gram_bp <= {DUP_3GRAM_MAX_BP}) AS keep
+FROM bp
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrub of emails / phone numbers / IPv4 addresses.
+#
+# The synthetic corpus contains no PII by construction, so the
+# registered query FABRICATES a deterministic contact string per doc
+# (from doc_id + source) and redacts that — the regex semantics are
+# therefore actually exercised and hash-checked, not vacuously green
+# on no-match text.  ``redact_pii`` itself is generic over any string
+# column.  Patterns are RE2-compatible, so Spark (Java regex) and
+# DuckDB (RE2) agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds ``masked`` plus per-type match counts for ``text_col``.
+
+    Replacement order matters: emails first (their local parts can
+    contain digits/dots that the narrower patterns would mangle),
+    then IPv4 (dotted digits), then bare phone numbers.
+    """
+    c = F.col(text_col)
+    masked = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    masked = F.regexp_replace(masked, IPV4_RE, "<IP>")
+    masked = F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+            "n_ips": F.regexp_count(c, F.lit(IPV4_RE)).cast("long"),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+            "masked": masked,
+        }
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("reach user"),
+        F.col("doc_id"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    synth = docs.select("doc_id", contact.alias("contact"))
+    return redact_pii(synth, "contact").select(
+        "doc_id", "masked", "n_emails", "n_ips", "n_phones"
+    )
+
+
+ORACLE_PII = f"""
+WITH synth AS (
+    SELECT doc_id,
+           'reach user' || doc_id || '@' || source ||
+           '.example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           CAST((doc_id * 7) % 256 AS VARCHAR) AS contact
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g')                          AS masked,
+       CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(contact, '{IPV4_RE}')) AS BIGINT)  AS n_ips,
+       CAST(len(regexp_extract_all(contact, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM synth
+"""
+
+
+QUERIES = [
+    ("repetition_stats", q_repetition_stats, ORACLE_REPETITION,
+     "Gopher-style repetition quality filter: top-word share + duplicate "
+     "2/3-gram fractions (integer basis points) + keep decision."),
+    ("pii_redact", q_pii_redact, ORACLE_PII,
+     "Regex PII redaction (email/IPv4/phone) with per-type match counts "
+     "over fabricated deterministic contact strings."),
+]

@@ -93,6 +93,7 @@ def _register_more() -> None:
         multimodal,
         packing,
         pipeline,
+        quality_filters,
         relational,
         retrieval,
         sampling,
@@ -108,6 +109,6 @@ def _register_more() -> None:
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
-                udf_surface):
+                udf_surface, quality_filters):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

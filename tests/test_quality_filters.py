@@ -1,0 +1,72 @@
+"""Behavior tests for the corpus-hygiene operators on crafted inputs
+the synthetic corpus doesn't exercise (short docs, actual repetition,
+planted PII).  Oracle parity at sf0.001 is covered by
+tests/test_oracle_parity.py via the registry."""
+
+from __future__ import annotations
+
+from grpc_map_reduce_spark.operators.quality_filters import (
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _stats(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+
+def test_repetition_stats_spam_doc_dropped(spark):
+    out = _stats(spark, ["buy now " * 50, "the quick brown fox jumps over the lazy dog"])
+    spam, clean = out[0], out[1]
+    # "buy now" repeated: every word is one of two values, every
+    # 2-gram/3-gram occurrence is a repeat.
+    assert spam["n_words"] == 100 and spam["uniq_words"] == 2
+    assert spam["top_word_bp"] == 5000
+    assert spam["dup_word_bp"] == 9800
+    assert spam["dup_2gram_bp"] == 10000
+    assert spam["dup_3gram_bp"] == 10000
+    assert spam["keep"] is False
+    # 9 words, only "the" repeats: top_word_bp = 2*10000 DIV 9 = 2222,
+    # over the 20% line but under the 20-word floor -> rule not applied.
+    assert clean["dup_2gram_bp"] == 0 and clean["dup_3gram_bp"] == 0
+    assert clean["top_word_bp"] == 2222 and clean["keep"] is True
+
+
+def test_repetition_stats_short_docs(spark):
+    out = _stats(spark, ["single", "two words", "all distinct words here"])
+    one = out[0]
+    assert one["n_words"] == 1 and one["dup_2gram_bp"] == 0
+    assert one["keep"] is True  # under the length floor, nothing repeats
+    two = out[1]
+    assert two["n_words"] == 2 and two["dup_3gram_bp"] == 0
+    assert two["keep"] is True
+    assert out[2]["dup_word_bp"] == 0 and out[2]["keep"] is True
+
+
+def test_repetition_stats_empty_doc_excluded(spark):
+    # A doc with no letters tokenizes to zero words -> no grams -> no
+    # output row (same as the oracle, which never produces a group).
+    out = _stats(spark, ["123 456", "real words"])
+    assert set(out) == {1}
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@corp.example.org now"),
+            (2, "server at 192.168.1.254 port"),
+            (3, "call 555-0199 twice: 555-0200"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, t string",
+    )
+    rows = {r["id"]: r.asDict() for r in redact_pii(df, "t").collect()}
+    assert rows[1]["masked"] == "mail <EMAIL> now" and rows[1]["n_emails"] == 1
+    assert rows[2]["masked"] == "server at <IP> port" and rows[2]["n_ips"] == 1
+    assert rows[3]["masked"] == "call <PHONE> twice: <PHONE>"
+    assert rows[3]["n_phones"] == 2
+    assert rows[4]["masked"] == "nothing sensitive here"
+    assert rows[4]["n_emails"] == rows[4]["n_ips"] == rows[4]["n_phones"] == 0
