@@ -119,7 +119,87 @@ LIMIT {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: the per-document dual of BM25's per-query
+# ranking — "which words characterize this document?"  Standard corpus
+# labeling/feature op (smooth idf, sklearn's formulation:
+# ln((N+1)/(df+1)) + 1, never zero or negative).
+#
+# Scale: one tokenize pass → reduced (doc,word,tf) table; df is a
+# O(vocab) aggregate of THAT (broadcast into the scoring join — a
+# vocab too large to broadcast flips to a shuffle join on word, same
+# plan shape); N is a 1-row crossJoin broadcast.  Top-k per doc is a
+# row_number window partitioned by doc_id — shuffle keyed on doc_id,
+# no global sort anywhere.
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``k`` words per document by smooth TF-IDF →
+    (doc_id, rank, word, tf, tfidf)."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df AND scoring
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", F.col("rank").cast("long").alias("rank"), "word", "tf",
+            F.round(score, 6).alias("tfidf"),
+        )
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_keywords(table(spark, sf_dir, "documents"))
+
+
+ORACLE_TFIDF = f"""
+WITH tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents
+    )
+    WHERE word <> '' GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, word, tf,
+           tf * (ln((n_docs + 1.0) / (df + 1)) + 1) AS score,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * (ln((n_docs + 1.0) / (df + 1)) + 1) DESC, word ASC
+           ) AS rank
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf,
+       round(score, 6) AS tfidf
+FROM scored
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = [
     ("bm25_retrieval", q_bm25, ORACLE_BM25,
      "BM25 ranked retrieval over the inverted-index aggregates."),
+    ("tfidf_keywords", q_tfidf_keywords, ORACLE_TFIDF,
+     "Per-document top-k TF-IDF keywords (smooth idf, windowed top-k)."),
 ]

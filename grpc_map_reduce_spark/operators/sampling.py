@@ -114,9 +114,133 @@ WHERE sample_rank <= {BALANCE_CAP}
 """
 
 
+# --------------------------------------------------------------------------
+# Target-mixture resampling with epochs — the "data mixing" step of a
+# training recipe: given RELATIVE WEIGHTS per source and a total
+# budget, compute how many copies of each source's rows to emit so the
+# output matches the target mixture.  Unlike ``stratified_sample``
+# (fixed keep rates), the per-source rate is DERIVED from the observed
+# counts, and sources weighted above their natural share are
+# UPSAMPLED — rows repeat with an ``epoch`` counter (>1 epochs is how
+# real recipes overweight small high-quality sources).
+#
+# All mixture math is integer (basis points via DIV), and the
+# fractional-epoch choice is an md5 bucket — the resample is a pure
+# function of (doc_id, source counts), reproducible across runs,
+# engines, and shard layouts.
+#
+# Scale: the normalization is a 1-row aggregate (over the O(#sources)
+# count table) crossJoin-broadcast back onto the corpus; the resample
+# itself is map-only (hash compare + explode of a ≤max_epochs-element
+# sequence).  No shuffle beyond the tiny count aggregate at any
+# corpus size.
+MIXTURE_WEIGHTS = {"src0": 3, "src1": 3}
+MIXTURE_DEFAULT_WEIGHT = 1
+MIXTURE_BUDGET_PCT = 100  # output size target, percent of input rows
+
+
+def mixture_epoch_resample(df: DataFrame,
+                           weights: dict[str, int] | None = None,
+                           default_weight: int = MIXTURE_DEFAULT_WEIGHT,
+                           budget_pct: int = MIXTURE_BUDGET_PCT,
+                           source_col: str = "source",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Resample to a target source mixture → input rows + ``epoch``.
+
+    Target mixture: source s's share of the output is proportional to
+    ``w_s·n_s`` (each of its rows counts ``w_s``×), normalized by
+    ``W = Σ_j w_j·n_j`` and scaled to the row budget ``T·budget%``.
+    The per-ROW copy ratio is then independent of the source's own
+    size, in basis points:
+
+        ratio_bp(s) = (T · budget_pct · w_s · 100) DIV W
+
+    Every row gets ``ratio_bp DIV 10000`` full epochs, plus one more
+    iff its hash bucket (md5 mod 10⁴) falls under ``ratio_bp mod
+    10⁴`` — so realized counts hit the target in expectation with
+    deterministic membership.
+    """
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    w_col = F.lit(default_weight)
+    for s, w in weights.items():
+        w_col = F.when(F.col(source_col) == s, F.lit(w)).otherwise(w_col)
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    totals = (
+        counts.withColumn("w", w_col)
+        .agg(
+            F.sum("n_s").alias("t_rows"),
+            F.sum(F.col("w") * F.col("n_s")).alias("w_total"),
+        )
+    )
+    ratio_bp = F.expr(f"(t_rows * {budget_pct} * w * 100) DIV w_total")
+    bucket = _md5_long(F.col(id_col).cast("string")) % 10000
+    copies = (ratio_bp / 10000).cast("long") + (
+        (bucket < ratio_bp % 10000).cast("long")
+    )
+    return (
+        df.crossJoin(F.broadcast(totals))
+        .withColumn("w", w_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = mixture_epoch_resample(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "source", "epoch")
+
+
+def _weights_case_sql(col: str = "source") -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{s}' THEN {w}" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE {MIXTURE_DEFAULT_WEIGHT} END"
+
+
+ORACLE_MIXTURE_RESAMPLE = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_s, {_weights_case_sql()} AS w
+    FROM documents GROUP BY source
+),
+totals AS (
+    SELECT sum(n_s) AS t_rows, sum(w * n_s) AS w_total FROM counts
+),
+scored AS (
+    SELECT d.doc_id, d.source,
+           (t_rows * {MIXTURE_BUDGET_PCT} * ({_weights_case_sql("d.source")}) * 100)
+               // w_total AS ratio_bp,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+               AS bucket
+    FROM documents d
+    CROSS JOIN totals
+),
+copies AS (
+    SELECT doc_id, source,
+           CAST(ratio_bp // 10000
+                + CASE WHEN bucket < ratio_bp % 10000 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_copies
+    FROM scored
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, n_copies + CAST(1 AS BIGINT))) AS BIGINT) AS epoch
+FROM copies
+WHERE n_copies > 0
+"""
+
+
 QUERIES = [
     ("docs_stratified_sample", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE,
      "Deterministic per-stratum keep-rate sampling (map-only, zero shuffle)."),
     ("docs_balanced_downsample", q_balanced_downsample, ORACLE_BALANCED_DOWNSAMPLE,
      "Deterministic per-stratum cap via lowest-hash window rank."),
+    ("docs_mixture_resample", q_mixture_resample, ORACLE_MIXTURE_RESAMPLE,
+     "Target source-mixture resampling with epoch upsampling "
+     "(integer mixture math + md5 fractional membership)."),
 ]
