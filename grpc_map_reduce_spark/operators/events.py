@@ -382,6 +382,84 @@ GROUP BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------------
+# Cascading time rollup (minute → hour → day), the "continuous
+# aggregate" / materialized-rollup pattern of time-series stores: the
+# raw stream is aggregated ONCE at the finest grain, and every coarser
+# grain re-aggregates the PRE-AGGREGATE, never the raw events.  At
+# 100 TB that's the difference between one full scan plus two
+# aggregations over O(minutes × types) rows and three full scans.
+# Only mergeable aggregates cascade (count/sum/max here — a distinct
+# count would need HLL sketches, see operators/sketches.py).
+#
+# The minute table is the natural materialization point (write it out
+# partitioned by day, then serve hour/day queries from it); here the
+# cascade runs in one plan, with the hour level lazily checkpointed
+# because two consumers (the hour output and the day re-aggregate)
+# would otherwise each recompute the chain.
+def cascading_rollup(events: DataFrame) -> DataFrame:
+    """Hour + day grains, both derived from a single minute-grain
+    pre-aggregate → (grain, window_start, event_type, n_events,
+    total_value_cents, max_value_cents)."""
+    vc = cents("value")
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(vc).alias("total_value_cents"),
+        F.max(vc).alias("max_value_cents"),
+    )
+    remerge = lambda df, grain: df.groupBy(
+        F.date_trunc(grain, "w").alias("w"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value_cents").alias("total_value_cents"),
+        F.max("max_value_cents").alias("max_value_cents"),
+    )
+    hour = remerge(minute, "hour").localCheckpoint(eager=False)
+    day = remerge(hour, "day")
+    out_cols = lambda df, grain: df.select(
+        F.lit(grain).alias("grain"),
+        F.col("w").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value_cents",
+        "max_value_cents",
+    )
+    return out_cols(hour, "hour").unionByName(out_cols(day, "day"))
+
+
+def q_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cascading_rollup(table(spark, sf_dir, "events"))
+
+
+# DuckDB aggregates each grain straight from raw events — equal to the
+# cascade because count/sum/max are associative.  date_trunc('day')
+# returns DATE in DuckDB but TIMESTAMP in Spark → cast.
+ORACLE_CASCADING_ROLLUP = """
+WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+)
+SELECT 'hour' AS grain,
+       date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS total_value_cents,
+       max(vc) AS max_value_cents
+FROM e GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS grain,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS total_value_cents,
+       max(vc) AS max_value_cents
+FROM e GROUP BY 2, 3
+"""
+
+
 QUERIES = [
     ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
      "Tumbling 1h window aggregation + JSON props extraction "
@@ -396,4 +474,7 @@ QUERIES = [
      "As-of join: each purchase ← most recent click ≤ ts, per user."),
     ("events_sessionize", q_sessionize, ORACLE_SESSIONIZE,
      "30-min-gap sessionization (gaps-and-islands windows)."),
+    ("events_cascading_rollup", q_cascading_rollup, ORACLE_CASCADING_ROLLUP,
+     "Minute->hour->day cascading rollup: coarse grains re-aggregate "
+     "the fine-grain pre-aggregate, one raw scan total."),
 ]

@@ -576,6 +576,61 @@ UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# Ranking/navigation window-function breadth: the functions
+# window_order_stats doesn't touch — lead, rank, dense_rank, ntile,
+# percent_rank, cume_dist, first_value, nth_value — over the
+# per-customer order history.  The partition key is the
+# high-cardinality o_custkey (never a 5-value column like
+# orderpriority), so each window sort is a few rows and the plan is
+# one shuffle + per-partition sort at any corpus size.
+#
+# percent_rank/cume_dist are rank-count rationals ((k−1)/(n−1), k/n)
+# computed by IEEE division of the same integers in both engines —
+# bit-identical, safe to hash unrounded.
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "pc", cents("o_totalprice")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("pc").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "pc",
+        F.lead("pc").over(w).alias("next_cheaper_cents"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.first_value("pc").over(w).alias("max_cents"),
+        F.nth_value("pc", 2).over(w).alias("second_cents"),
+    )
+
+
+ORACLE_WINDOW_RANKS = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+    FROM orders
+)
+SELECT
+    o_orderkey, o_custkey, pc,
+    lead(pc) OVER w                      AS next_cheaper_cents,
+    CAST(rank() OVER w AS BIGINT)        AS price_rank,
+    CAST(dense_rank() OVER w AS BIGINT)  AS price_dense_rank,
+    CAST(ntile(4) OVER w AS BIGINT)      AS price_quartile,
+    percent_rank() OVER w                AS price_pct_rank,
+    cume_dist() OVER w                   AS price_cume_dist,
+    first_value(pc) OVER w               AS max_cents,
+    nth_value(pc, 2) OVER w              AS second_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY pc DESC, o_orderkey)
+"""
+
+
 QUERIES = [
     ("pivot_order_counts", pivot_order_counts, ORACLE_PIVOT,
      "PIVOT cross-tab (explicit values) melted back long via UNPIVOT."),
@@ -588,6 +643,9 @@ QUERIES = [
     ("window_order_stats", window_order_stats, ORACLE_WINDOW,
      "ROWS (row_number/lag/running-sum/avg) + RANGE (trailing-30-day) "
      "window frames, decimal-safe integer outputs."),
+    ("window_rank_suite", window_rank_suite, ORACLE_WINDOW_RANKS,
+     "Ranking/navigation window breadth: lead, rank, dense_rank, "
+     "ntile, percent_rank, cume_dist, first_value, nth_value."),
     ("rollup_order_totals", rollup_order_totals, ORACLE_ROLLUP,
      "ROLLUP + GROUPING SETS with grouping_id, tagged union."),
     ("scalar_string_math", scalar_string_math, ORACLE_SCALAR,
