@@ -631,6 +631,78 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY pc DESC, o_orderkey)
 """
 
 
+# --------------------------------------------------------------------------
+# Collection-function breadth: the array/map half of the scalar
+# function library (§2.1 explicit negative — the reference has no
+# complex types at all).  Per order, the line items are collected
+# into arrays/maps and EVERY downstream computation is a higher-order
+# Column function (sort_array, slice, element_at, exists, forall,
+# array_distinct, map_from_entries, map_keys) — no explode-regroup
+# round trip, so the whole post-aggregation stage is map-only on the
+# grouped rows.  One shuffle total (the collect_list groupBy).
+#
+# Hash-compare note: arrays canonicalize as JSON lists identically
+# from both engines; maps do NOT (engine-specific rendering), so map
+# results are reduced to arrays/scalars (map_keys, one element_at)
+# before leaving the query.
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        cents("l_extendedprice").alias("pc"),
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("pc")).alias("prices"),
+        F.array_sort(F.array_distinct(F.collect_list("l_returnflag"))).alias("flags"),
+    )
+    # position → price map over the sorted array (l_linenumber is not
+    # unique per order in the fixtures, so positions are the keys)
+    m = F.map_from_arrays(
+        F.sequence(F.lit(1).cast("long"), F.size("prices").cast("long")),
+        F.col("prices"),
+    )
+    return g.select(
+        "l_orderkey",
+        "prices",
+        F.size("prices").cast("long").alias("n_items"),
+        F.slice(F.sort_array("prices", asc=False), 1, 2).alias("top2"),
+        (F.element_at("prices", -1) - F.element_at("prices", 1)).alias("price_range"),
+        F.exists("prices", lambda x: x > 300000).alias("has_big"),
+        F.forall("prices", lambda x: x > 0).alias("all_pos"),
+        "flags",
+        F.map_keys(m).alias("positions"),
+        F.element_at(m, F.lit(2).cast("long")).alias("pos2_cents"),
+    )
+
+
+ORACLE_COLLECTION = """
+WITH l AS (
+    SELECT l_orderkey, l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+    FROM lineitem
+),
+g AS (
+    SELECT l_orderkey,
+           list_sort(list(pc)) AS prices,
+           list_sort(list_distinct(list(l_returnflag))) AS flags
+    FROM l GROUP BY l_orderkey
+),
+gm AS (
+    SELECT *, map(range(1, len(prices) + 1), prices) AS m FROM g
+)
+SELECT l_orderkey,
+       prices,
+       CAST(len(prices) AS BIGINT)                        AS n_items,
+       (list_sort(prices, 'DESC'))[1:2]                   AS top2,
+       prices[-1] - prices[1]                             AS price_range,
+       len(list_filter(prices, x -> x > 300000)) > 0      AS has_big,
+       len(list_filter(prices, x -> x <= 0)) = 0          AS all_pos,
+       flags,
+       map_keys(m)                                        AS positions,
+       map_extract(m, 2)[1]                               AS pos2_cents
+FROM gm
+"""
+
+
 QUERIES = [
     ("pivot_order_counts", pivot_order_counts, ORACLE_PIVOT,
      "PIVOT cross-tab (explicit values) melted back long via UNPIVOT."),
@@ -646,6 +718,9 @@ QUERIES = [
     ("window_rank_suite", window_rank_suite, ORACLE_WINDOW_RANKS,
      "Ranking/navigation window breadth: lead, rank, dense_rank, "
      "ntile, percent_rank, cume_dist, first_value, nth_value."),
+    ("collection_functions", collection_functions, ORACLE_COLLECTION,
+     "Array/map function library: sort_array, slice, element_at, "
+     "exists, forall, array_distinct, map_from_entries, map_keys."),
     ("rollup_order_totals", rollup_order_totals, ORACLE_ROLLUP,
      "ROLLUP + GROUPING SETS with grouping_id, tagged union."),
     ("scalar_string_math", scalar_string_math, ORACLE_SCALAR,

@@ -252,3 +252,48 @@ def test_partition_filter_prunes(spark, sf_dir):
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
     plan = explain_str(df)
     assert "PushedFilters" in plan and "EqualTo(o_orderkey,42)" in plan
+
+
+def test_repetition_stats_single_scan_no_joins(spark, sf_dir):
+    """The Gopher-filter cascade is explode + two keyed aggregations —
+    one pruned 2-column scan, partial aggs, and never a join."""
+    plan = _plan(spark, sf_dir, "repetition_stats")
+    assert plan.count("documents.parquet]") == 1
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "doc_id", "text",
+    }
+
+
+def test_pii_redact_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_redact")
+    assert "Exchange" not in plan, "regex scrub must be map-only"
+    assert "EvalPython" not in plan, "regex scrub must stay JVM-side"
+
+
+def test_tfidf_broadcasts_stats_one_fact_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_keywords")
+    # df table and corpus scalar broadcast into the scoring join; the
+    # top-k window is partition-local (no global range sort)
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_mixture_resample_corpus_side_never_shuffles(spark, sf_dir):
+    """The only shuffles are the tiny per-source count aggregate; the
+    corpus side is crossJoin-broadcast + map-only explode."""
+    plan = _plan(spark, sf_dir, "docs_mixture_resample")
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan
+    # corpus rows are never hash-partitioned by a data column: every
+    # Exchange in the plan belongs to the counts->totals aggregation
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+
+
+def test_window_rank_suite_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_rank_suite")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, "all window functions must share one shuffle"
+    assert "rangepartitioning" not in plan

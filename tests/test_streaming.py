@@ -274,3 +274,37 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # with exactly one on-time event each; the late hour-0 row was
     # dropped (not double-counted).  Windows 5–6 still open: unemitted.
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_incremental_minute_rollup_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """foreachBatch continuous aggregate: the served minute rollup must
+    equal the batch minute aggregate of the same events, and re-running
+    against the same checkpoint must not change it (idempotent deltas)."""
+    from grpc_map_reduce_spark.functions.money import cents
+    from grpc_map_reduce_spark.streaming.sinks import (
+        incremental_minute_rollup,
+        serve_minute_rollup,
+    )
+
+    delta = str(tmp_path / "rollup_delta")
+    ckpt = str(tmp_path / "rollup_ckpt")
+
+    incremental_minute_rollup(read_events_stream(spark, sf_dir), delta, ckpt)
+    served = serve_minute_rollup(spark, delta)
+
+    vc = cents("value")
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", "ts").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(vc).alias("total_value_cents"),
+            F.max(vc).alias("max_value_cents"),
+        )
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(served) == key(batch)
+
+    # restart with the same checkpoint: backlog committed, no new deltas
+    incremental_minute_rollup(read_events_stream(spark, sf_dir), delta, ckpt)
+    assert key(serve_minute_rollup(spark, delta)) == key(batch)

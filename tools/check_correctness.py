@@ -25,10 +25,16 @@ TABLES = [
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if s.dtype == object:
+            # numpy arrays appear when Arrow conversion is off (the
+            # vanilla-session path); canonicalize them as lists so both
+            # engines' array columns stringify identically
+            s = s.map(lambda v: v.tolist() if isinstance(v, np.ndarray) else v)
             df[c] = s.map(
                 lambda v: json.dumps(v, sort_keys=True, default=str)
                 if isinstance(v, (list, dict, tuple)) else v
