@@ -460,6 +460,95 @@ FROM e GROUP BY 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# Type-2 slowly-changing dimension build from an event log: each
+# user's event stream is an append-only observation log of their
+# "current activity kind"; the SCD2 build collapses consecutive
+# identical observations and turns each run into a validity interval
+# [valid_from, valid_to) with an is_current flag and a per-user
+# version number — the standard warehouse shape for
+# dimension-history tables (the reference engine has no temporal
+# semantics at all, SURVEY.md §2.1; pure extension surface).
+#
+# Scale: one shuffle on user_id feeds every window below (the
+# change-detection lag, the post-filter lead, and the version
+# row_number all share the same partitioning+ordering, so Catalyst
+# plans ONE Exchange and reuses the sort — asserted in
+# test_plan_quality).  Shuffle volume is O(events), output is
+# O(change points) ≤ O(events).  No global sort, no driver state.
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Per user: validity intervals of ``event_type`` runs →
+    (user_id, status, valid_from, valid_to, version, is_current,
+    n_obs).  ``valid_to`` is NULL on each user's open interval."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    )
+    runs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_chg", changed.cast("int"))
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    # event_type is constant within a run, so it can join the grouping
+    # key (no nondeterministic first() needed)
+    iv = (
+        runs.groupBy("user_id", "_run", "event_type")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count("*").alias("n_obs"),
+        )
+        .withColumnRenamed("event_type", "status")
+    )
+    wiv = Window.partitionBy("user_id").orderBy("_run")
+    return iv.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(wiv).alias("valid_to"),
+        F.col("_run").cast("long").alias("version"),
+        F.lead("valid_from").over(wiv).isNull().alias("is_current"),
+        "n_obs",
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_intervals(table(spark, sf_dir, "events"))
+
+
+ORACLE_SCD2 = """
+WITH obs AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM obs
+),
+iv AS (
+    SELECT user_id, run, event_type AS status,
+           min(ts) AS valid_from, count(*) AS n_obs
+    FROM runs GROUP BY user_id, run, event_type
+)
+SELECT user_id, status, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(run AS BIGINT) AS version,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_obs
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+"""
+
+
 QUERIES = [
     ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
      "Tumbling 1h window aggregation + JSON props extraction "
@@ -477,4 +566,7 @@ QUERIES = [
     ("events_cascading_rollup", q_cascading_rollup, ORACLE_CASCADING_ROLLUP,
      "Minute->hour->day cascading rollup: coarse grains re-aggregate "
      "the fine-grain pre-aggregate, one raw scan total."),
+    ("events_scd2", q_scd2_intervals, ORACLE_SCD2,
+     "Type-2 SCD build: collapse each user's consecutive equal "
+     "observations into validity intervals with version + is_current."),
 ]

@@ -9,15 +9,23 @@ The reference engine has no quality filtering at all (its two jobs
 are wc and ii, mapper.go:170-230); this is pure extension surface.
 
 Scale design:
-  * ``repetition_stats`` explodes each document's 1/2/3-gram stream
-    ONCE (a single Generate node over a concatenated tagged array)
-    and reduces with two hash aggregations — both with map-side
-    partial aggregation, keyed on (doc_id, gram) then (doc_id).
-    Shuffle volume is O(distinct grams per doc), never O(corpus²),
-    and no per-doc computation is quadratic in document length (the
-    all-Column alternative — counting each distinct gram with a
-    ``filter`` lambda — is O(len²) per doc and dies on book-length
-    documents).
+  * ``repetition_stats`` is MAP-ONLY: per document, each gram array
+    is sorted (materialized as a real projected column — see below)
+    and run-length folded with ONE ``F.aggregate`` pass, so every
+    statistic — total, distinct, max frequency, duplicated
+    occurrences — falls out in O(L log L) per doc with ZERO shuffle.
+    The naive alternatives all lose at scale: exploding the
+    1/2/3-gram stream shuffles O(3·tokens) rows (it benched 16 s of
+    a 101 s total at sf0.1 — the single hottest query); counting
+    each distinct gram with a ``filter`` lambda is O(L²) per doc;
+    and — the subtle one — any formulation that references the
+    ``array_sort(...)`` EXPRESSION inside a higher-order-function
+    lambda is quadratic too, because Catalyst does not
+    common-subexpression-eliminate across lambda scopes, so each
+    lambda invocation re-sorts the whole array (measured: 64 s at
+    sf0.001 vs 0.4 s for this form).  Sorted arrays therefore live
+    in their own projection step and the fold touches each element
+    exactly once via the accumulator.
   * All ratios are basis points via integer division (``DIV``), so
     the DuckDB oracle hashes bit-identically — no rounded double in
     any hashed output.
@@ -46,6 +54,50 @@ DUP_2GRAM_MAX_BP = 1800
 DUP_3GRAM_MAX_BP = 1600
 
 
+def _run_length_fold(a):
+    """Run-length statistics of a SORTED array column ``a`` as a
+    struct ``(uniq, mx, dup)`` via one ``F.aggregate`` fold — each
+    element is visited exactly once, the accumulator carries (previous
+    value, current run length, running stats).  ``mx`` is the longest
+    run (count of the most frequent value); ``dup`` the number of
+    occurrences belonging to values appearing more than once (a run's
+    1st repeat retroactively counts its first occurrence: +2, then +1).
+
+    ``a`` MUST be a plain attribute (a materialized column), not a
+    sort expression — Catalyst does not CSE into lambda scopes.
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("uniq"),
+        zero.alias("mx"),
+        zero.alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["uniq"] + F.when(same, 0).otherwise(1)).alias("uniq"),
+            F.greatest(acc["mx"], run).alias("mx"),
+            (
+                acc["dup"]
+                + F.when(same, F.when(acc["run"] == 1, 2).otherwise(1)).otherwise(0)
+            ).alias("dup"),
+        )
+
+    return F.aggregate(
+        a, init, step,
+        lambda acc: F.struct(
+            acc["uniq"].alias("uniq"), acc["mx"].alias("mx"),
+            acc["dup"].alias("dup"),
+        ),
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Per-document repetition statistics + the keep/drop decision.
 
@@ -62,7 +114,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
       * ``keep`` — True iff all three repetition shares are under the
         module thresholds.
     """
-    ws = words("text")
+    ws = F.col("ws")
     bi = F.transform(
         F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
         lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
@@ -73,30 +125,38 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             " ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)
         ),
     )
-    tag = lambda arr, g: F.transform(
-        arr, lambda x: F.struct(F.lit(g).alias("g"), x.alias("gram"))
-    )
-    tagged = docs.select(
-        "doc_id", F.explode(F.concat(tag(ws, 1), tag(bi, 2), tag(tri, 3))).alias("t")
-    ).select("doc_id", F.col("t.g").alias("g"), F.col("t.gram").alias("gram"))
-
-    per_gram = tagged.groupBy("doc_id", "g", "gram").agg(F.count("*").alias("cnt"))
-    per_size = per_gram.groupBy("doc_id", "g").agg(
-        F.sum("cnt").alias("total"),
-        F.count("*").alias("uniq"),
-        F.max("cnt").alias("mx"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occ"),
-    )
-
-    pick = lambda g, c: F.max(F.when(F.col("g") == g, F.col(c)))
-    stats = per_size.groupBy("doc_id").agg(
-        pick(1, "total").alias("w_total"),
-        pick(1, "uniq").alias("w_uniq"),
-        pick(1, "mx").alias("w_max"),
-        F.coalesce(pick(2, "total"), F.lit(0)).alias("b_total"),
-        F.coalesce(pick(2, "dup_occ"), F.lit(0)).alias("b_dup"),
-        F.coalesce(pick(3, "total"), F.lit(0)).alias("t_total"),
-        F.coalesce(pick(3, "dup_occ"), F.lit(0)).alias("t_dup"),
+    # Each projection step materializes what the next step references
+    # more than once (or inside a lambda), so nothing expensive is
+    # duplicated when Catalyst collapses projects.
+    stats = (
+        docs.select("doc_id", words("text").alias("ws"))
+        .filter(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            F.size(ws).alias("w_total"),
+            F.array_sort(ws).alias("a1"),
+            F.array_sort(bi).alias("a2"),
+            F.array_sort(tri).alias("a3"),
+        )
+        .select(
+            "doc_id",
+            "w_total",
+            F.size("a2").alias("b_total"),
+            F.size("a3").alias("t_total"),
+            _run_length_fold(F.col("a1")).alias("s1"),
+            _run_length_fold(F.col("a2")).alias("s2"),
+            _run_length_fold(F.col("a3")).alias("s3"),
+        )
+        .select(
+            "doc_id",
+            "w_total",
+            F.col("s1.uniq").alias("w_uniq"),
+            F.col("s1.mx").alias("w_max"),
+            "b_total",
+            F.col("s2.dup").alias("b_dup"),
+            "t_total",
+            F.col("s3.dup").alias("t_dup"),
+        )
     )
     # Integer basis points: a*10000 DIV b — exact in both engines.
     bp = lambda a, b: F.expr(f"({a} * 10000) DIV {b}")

@@ -1,0 +1,112 @@
+"""Vocabulary coverage / out-of-vocabulary analysis (extension E3 —
+SURVEY.md §2.2): build a top-K corpus vocabulary and score every
+document's tokenizer coverage against it — the standard pre-training
+diagnostic for "does the tokenizer's vocabulary fit this corpus"
+(high OOV rate → garbage segmentation downstream).
+
+The reference engine's closest relative is its wc job
+(mapper.go:170-190), which produces the raw counts this operator
+ranks; vocabulary selection + per-doc coverage is pure extension
+surface.
+
+Scale design:
+  * Top-K selection is ``orderBy(count desc).limit(k)`` which Spark
+    plans as TakeOrderedAndProject — per-partition partial top-K
+    then a single K·P-row merge, NEVER a full sort of the vocabulary
+    (asserted in test_plan_quality: no rangepartitioning).
+  * The membership probe is a BROADCAST left join of the K-row vocab
+    into the exploded token stream — map-side, no shuffle of the
+    tokens.  The per-doc reduction shuffles only O(docs) partial
+    rows (tokens of a doc are co-located after explode, so partial
+    aggregation collapses them before the exchange).
+  * An array-function alternative (``array_contains`` per token
+    against a crossJoin-broadcast vocab array) would be O(L·K) per
+    doc — fine at K=16, fatal at a real 50k-entry vocabulary; the
+    hash probe is O(L) regardless of K, so that's the registered
+    shape.
+  * ``oov_bp`` is integer basis points (``DIV``) — no rounded double
+    in the hashed output (functions.money rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.functions.text import words
+from grpc_map_reduce_spark.sources.tables import table
+
+#: Vocabulary size for the registered query — small enough that the
+#: 31-word fixture corpus produces real OOV tokens (a K ≥ corpus
+#: vocabulary would make every doc trivially 0% OOV).
+VOCAB_K = 16
+
+
+def top_k_vocab(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """The ``k`` most frequent corpus words → (word, n); ties broken
+    by word so the vocabulary is deterministic."""
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(k)
+    )
+
+
+def oov_stats(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-doc coverage of ``vocab``: token total, OOV occurrences,
+    distinct OOV words, and the OOV rate in basis points."""
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    probe = F.broadcast(vocab.select("word", F.lit(1).alias("_inv")))
+    return (
+        toks.join(probe, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("_inv").isNull(), F.col("word"))
+            ).alias("uniq_oov"),
+        )
+        .withColumn("oov_bp", F.expr("(n_oov * 10000) DIV n_tokens"))
+    )
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return oov_stats(docs, top_k_vocab(docs))
+
+
+ORACLE_VOCAB_OOV = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              w -> w <> '')) AS word
+    FROM documents
+),
+cnt AS (
+    SELECT word, count(*) AS n FROM toks GROUP BY word
+),
+vocab AS (
+    SELECT word FROM cnt ORDER BY n DESC, word LIMIT {VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN t.word END) AS BIGINT)
+           AS uniq_oov,
+       CAST((sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 10000)
+            // count(*) AS BIGINT) AS oov_bp
+FROM toks t LEFT JOIN vocab v USING (word)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES = [
+    ("vocab_oov", q_vocab_oov, ORACLE_VOCAB_OOV,
+     "Top-K corpus vocabulary (partial top-K, no global sort) + "
+     "per-doc OOV rate via broadcast membership probe."),
+]

@@ -104,11 +104,12 @@ def _register_more() -> None:
         text_analysis,
         tpch_suite,
         udf_surface,
+        vocab,
     )
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
-                udf_surface, quality_filters):
+                udf_surface, quality_filters, vocab):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

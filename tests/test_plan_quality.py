@@ -254,11 +254,12 @@ def test_partition_filter_prunes(spark, sf_dir):
     assert "PushedFilters" in plan and "EqualTo(o_orderkey,42)" in plan
 
 
-def test_repetition_stats_single_scan_no_joins(spark, sf_dir):
-    """The Gopher-filter cascade is explode + two keyed aggregations —
-    one pruned 2-column scan, partial aggs, and never a join."""
+def test_repetition_stats_map_only(spark, sf_dir):
+    """The Gopher-filter cascade is sort + run-length encoding inside
+    each row — one pruned 2-column scan and NO shuffle at all."""
     plan = _plan(spark, sf_dir, "repetition_stats")
     assert plan.count("documents.parquet]") == 1
+    assert "Exchange" not in plan, "repetition stats must be map-only"
     assert "Join" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
@@ -290,6 +291,26 @@ def test_mixture_resample_corpus_side_never_shuffles(spark, sf_dir):
     # Exchange in the plan belongs to the counts->totals aggregation
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_scd2_one_shuffle(spark, sf_dir):
+    """Change-detection lag, run-numbering cumsum, interval lead, and
+    the run groupBy all share one user_id partitioning — exactly one
+    Exchange, no global sort."""
+    plan = _plan(spark, sf_dir, "events_scd2")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "rangepartitioning" not in plan
+
+
+def test_vocab_oov_partial_topk_and_broadcast_probe(spark, sf_dir):
+    """Vocabulary selection must be TakeOrderedAndProject (partial
+    top-K, never a full sort) and the membership probe must broadcast
+    the K-row vocab — the token stream is never shuffled for the join."""
+    plan = _plan(spark, sf_dir, "vocab_oov")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
 
 
 def test_window_rank_suite_one_shuffle(spark, sf_dir):

@@ -144,3 +144,38 @@ def test_range_join_property(spark, rows):
             and 0 <= (p.ts - c.ts).total_seconds() <= 900
         )
         assert got[p.event_id] == want, (p.event_id, got[p.event_id], want)
+
+
+@given(rows=EVENTS)
+@_SETTINGS
+def test_scd2_property(spark, rows):
+    """SCD2 intervals must exactly reproduce a pure-Python run-length
+    walk of each user's (ts, event_id)-ordered observation stream:
+    runs of equal event_type collapse to one interval, valid_to chains
+    to the next run's valid_from, and exactly the last interval per
+    user is current."""
+    from grpc_map_reduce_spark.operators.events import scd2_intervals
+
+    ev = _events_df(spark, rows)
+    got = sorted(
+        (r.user_id, r.version, r.status, r.valid_from, r.valid_to,
+         r.is_current, r.n_obs)
+        for r in scd2_intervals(ev).collect()
+    )
+
+    by_user: dict[int, list] = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    want = []
+    for u, obs in by_user.items():
+        obs.sort()
+        runs = []  # (status, valid_from, n_obs)
+        for ts, _eid, kind in obs:
+            if runs and runs[-1][0] == kind:
+                runs[-1][2] += 1
+            else:
+                runs.append([kind, ts, 1])
+        for v, (kind, start, n) in enumerate(runs, start=1):
+            nxt = runs[v][1] if v < len(runs) else None
+            want.append((u, v, kind, start, nxt, nxt is None, n))
+    assert got == sorted(want)
