@@ -105,11 +105,12 @@ def _register_more() -> None:
         tpch_suite,
         udf_surface,
         vocab,
+        web,
     )
 
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
-                udf_surface, quality_filters, vocab):
+                udf_surface, quality_filters, vocab, web):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

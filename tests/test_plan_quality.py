@@ -313,6 +313,32 @@ def test_vocab_oov_partial_topk_and_broadcast_probe(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_url_dedup_map_only_plus_one_window_shuffle(spark, sf_dir):
+    """URL canonicalization is regexp surgery in the map phase; the
+    only Exchange is the keeper-election window over canon_url — no
+    joins, no global sort."""
+    plan = _plan(spark, sf_dir, "url_canonical_dedup")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_boilerplate_broadcast_probe_never_joins_streams(spark, sf_dir):
+    """The frequent-segment set must come back as a BROADCAST hash
+    probe on the segment stream (never a shuffled join of two
+    segment-sized sides), and document reassembly is the only
+    doc_id shuffle."""
+    plan = _plan(spark, sf_dir, "docs_boilerplate_strip")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # distinct-docs-per-segment (2 exchanges: segment×doc partial then
+    # segment) + final doc_id regroup = 3; anything more means a
+    # partitioning got lost
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, plan
+
+
 def test_window_rank_suite_one_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_rank_suite")
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))

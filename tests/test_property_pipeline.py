@@ -110,3 +110,44 @@ def test_passage_chunks_property(spark, texts):
             assert n == len(text.split())
             if idx < len(chunks) - 1:
                 assert n == 10
+
+
+@given(texts=CORPUS)
+@_SETTINGS
+def test_strip_boilerplate_property(spark, texts):
+    """A pure-Python walk — segment every doc into SEG_WORDS-word
+    units, mark units appearing in ≥2 distinct docs, strip them —
+    must reproduce every count and the cleaned-text md5."""
+    import hashlib
+
+    from grpc_map_reduce_spark.operators.web import SEG_WORDS, strip_boilerplate
+
+    got = {
+        r.doc_id: (r.n_segs, r.n_removed, r.n_kept, r.cleaned_md5)
+        for r in strip_boilerplate(_docs_df(spark, texts)).collect()
+    }
+
+    seg_lists = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        if ws:
+            seg_lists[i] = [
+                " ".join(ws[j : j + SEG_WORDS])
+                for j in range(0, len(ws), SEG_WORDS)
+            ]
+    df_count: dict[str, set] = {}
+    for i, segs in seg_lists.items():
+        for s in set(segs):
+            df_count.setdefault(s, set()).add(i)
+    boiler = {s for s, docs in df_count.items() if len(docs) >= 2}
+
+    assert set(got) == set(seg_lists)
+    for i, segs in seg_lists.items():
+        kept = [s for s in segs if s not in boiler]
+        want = (
+            len(segs),
+            len(segs) - len(kept),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+        assert got[i] == want, (i, got[i], want)
