@@ -599,7 +599,154 @@ WHERE vec_id < 100
 """
 
 
+# --------------------------------------------------------------------------
+# Spherical k-means cluster ASSIGNMENT as a first-class output — the
+# semantic-clustering stage of an LLM data pipeline (SemDeDup-style
+# cluster-then-dedup-within-cluster, cluster-balanced sampling,
+# topic-mixture analysis).  IVF above uses the same Lloyd machinery
+# internally but only exposes neighbors; here the (vec, cluster)
+# assignment IS the product, so centroid POSITIONS must be
+# deterministic end-to-end: seeds are the k lowest-id vectors packed
+# in sorted-id order (groupBy/applyInPandas row order is not
+# contractual, so the packer sorts explicitly), refinement is
+# :func:`_lloyd_refine` (fixed float accumulation order), and numpy
+# ``argmax`` tie-breaks to the lowest cluster id exactly like the
+# oracle's ``ORDER BY sim DESC, cid``.
+#
+# Scale: per round, one broadcast-assign map pass over the corpus +
+# one tiny partial-sum combine — the corpus is NEVER shuffled; the
+# only corpus-sized shuffle in the whole query is the final
+# cluster_size window.  K and the iteration count are fixed so the
+# DuckDB oracle can unroll the identical rounds as chained CTEs.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
+                     n_iter: int = KMEANS_ITERS, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster, cluster_size) after ``n_iter`` spherical
+    Lloyd rounds from the ``k`` lowest-id seed vectors."""
+    import numpy as np
+    import pandas as pd
+
+    def _pack_seeds(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame({
+            "cent_ids": [np.arange(len(pdf), dtype=np.int64)],
+            "cent_mat": [mat.tobytes()],
+        })
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
+    )
+    cent = (
+        base.orderBy("id").limit(k)
+        .withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(_pack_seeds, schema="cent_ids array<long>, cent_mat binary")
+    )
+    cent = _lloyd_refine(base, cent, n_iter)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
+            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": pdf["id"],
+                "cluster": np.argmax(V @ C.T, axis=1).astype(np.int64),
+            })
+
+    assigned = base.join(F.broadcast(cent)).mapInPandas(
+        _assign, schema="vec_id long, cluster long"
+    )
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id", "cluster", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_kmeans(table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_oracle() -> str:
+    """Identical spherical Lloyd rounds, unrolled as chained CTEs:
+    aN assigns against cN-1 (argmax with the same DESC, cid tie
+    break), uN is the per-dimension member mean, cN renormalizes it
+    (empty clusters keep the previous centroid via the LEFT JOIN)."""
+    rounds = ""
+    for i in range(1, KMEANS_ITERS + 1):
+        rounds += f""",
+a{i} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) DESC, c.cid) AS rn
+        FROM norm n CROSS JOIN c{i - 1} c
+    ) WHERE rn = 1
+),
+u{i} AS (
+    SELECT cid, list(mx ORDER BY i) AS mv
+    FROM (
+        SELECT a.cid, i, avg(x) AS mx
+        FROM (
+            SELECT a.cid,
+                   unnest(range(1, len(n.v) + 1)) AS i,
+                   unnest(n.v) AS x
+            FROM a{i} a JOIN norm n USING (vec_id)
+        ) a
+        GROUP BY a.cid, i
+    )
+    GROUP BY cid
+),
+c{i} AS MATERIALIZED (
+    SELECT c.cid,
+           coalesce(list_transform(u.mv,
+                        x -> x / sqrt(list_dot_product(u.mv, u.mv))), c.cv) AS cv
+    FROM c{i - 1} c LEFT JOIN u{i} u USING (cid)
+)"""
+    return f"""
+WITH dv AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+norm AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+    FROM dv
+),
+c0 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    FROM (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT {KMEANS_K})
+){rounds},
+final_assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) DESC, c.cid) AS rn
+        FROM norm n CROSS JOIN c{KMEANS_ITERS} c
+    ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+       count(*) OVER (PARTITION BY cid) AS cluster_size
+FROM final_assign
+"""
+
+
+ORACLE_KMEANS = _kmeans_oracle()
+
+
 QUERIES = [
+    ("embedding_kmeans", q_embedding_kmeans, ORACLE_KMEANS,
+     "Spherical k-means cluster assignment (broadcast-assign Lloyd "
+     "rounds, corpus never shuffled) — the semantic-clustering stage."),
     ("vector_functions", q_vector_functions, ORACLE_VECTOR_FUNCTIONS,
      "JVM-side vector math via transform/zip_with/aggregate (map-only)."),
     ("ann_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK,

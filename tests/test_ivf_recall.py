@@ -86,3 +86,29 @@ def test_lloyd_refine_finds_planted_clusters(spark):
     sims = C @ (centers / np.linalg.norm(centers, axis=1, keepdims=True)).T
     n_covered = (sims.max(axis=0) > 0.9).sum()
     assert n_covered >= 2, f"refinement never escaped the seed cluster: {n_covered}"
+
+
+def test_kmeans_assignment_structure(spark, sf_dir):
+    """Every vector gets exactly one cluster, all K clusters are
+    non-empty on the planted corpus, cluster_size is consistent, and
+    a re-run reproduces the assignment bit-for-bit (determinism —
+    seeds, accumulation order, and tie-breaks are all pinned)."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        KMEANS_K,
+        embedding_kmeans,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a = {r.vec_id: (r.cluster, r.cluster_size)
+         for r in embedding_kmeans(emb).collect()}
+    assert len(a) == n
+    clusters = {c for c, _ in a.values()}
+    assert clusters == set(range(KMEANS_K))
+    from collections import Counter
+    sizes = Counter(c for c, _ in a.values())
+    assert all(a[v][1] == sizes[a[v][0]] for v in a)
+    b = {r.vec_id: (r.cluster, r.cluster_size)
+         for r in embedding_kmeans(emb).collect()}
+    assert a == b

@@ -344,3 +344,14 @@ def test_window_rank_suite_one_shuffle(spark, sf_dir):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, "all window functions must share one shuffle"
     assert "rangepartitioning" not in plan
+
+
+def test_kmeans_corpus_never_shuffled(spark, sf_dir):
+    """Lloyd assignment is a broadcast of the packed centroid summary
+    onto the corpus (BroadcastNestedLoopJoin of a 1-row build side);
+    the only corpus-sized Exchange is the final cluster_size window."""
+    plan = _plan(spark, sf_dir, "embedding_kmeans")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
