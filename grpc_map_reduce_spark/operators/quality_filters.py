@@ -249,6 +249,93 @@ FROM bp
 
 
 # --------------------------------------------------------------------------
+# Unigram language-model quality scoring (the CCNet-style perplexity
+# filter, Wenzek et al. 2020 — docs whose LM score is far from the
+# reference distribution are boilerplate/gibberish candidates).  A
+# real deployment scores against an external LM; here the LM is
+# trained on the corpus's own md5-train split (sketches.hash_split
+# convention) and scores ALL docs, so test-split docs genuinely
+# exercise the OOV/add-one-smoothing path.
+#
+# Scale: the LM is a word→count table — O(vocabulary), broadcast; the
+# token stream is scored map-side and reduced per doc with partial
+# aggregation.  Two shuffles total (vocab count, per-doc agg), both
+# O(distinct keys).  The add-one-smoothed NLL is computed from exact
+# integer counts, so the only float op is the final ln/avg — rounded
+# to 6 dp, far above the ~1-ulp ln() divergence between engines.
+LM_SMOOTH_K = 1  # add-one (Laplace)
+
+
+def unigram_nll(docs: DataFrame) -> DataFrame:
+    """Per-doc mean negative log-likelihood under an add-one-smoothed
+    unigram LM trained on the md5-train split.
+
+    Output: (doc_id, n_tokens, n_oov, mean_nll) — one row per doc
+    with ≥1 word; high ``mean_nll`` = far from the reference
+    distribution (drop candidates); ``n_oov`` counts tokens unseen in
+    training.
+    """
+    from grpc_map_reduce_spark.operators.sketches import hash_split
+
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    train_toks = (
+        hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select(F.explode(words("text")).alias("word"))
+    )
+    vocab = train_toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vsize")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + LM_SMOOTH_K)
+        / (F.col("total") + LM_SMOOTH_K * F.col("vsize"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("cnt").isNull().cast("long")).alias("n_oov"),
+            F.round(F.avg(nll), 6).alias("mean_nll"),
+        )
+    )
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_nll(table(spark, sf_dir, "documents"))
+
+
+from grpc_map_reduce_spark.operators.sketches import SPLIT_TRAIN_PCT
+
+ORACLE_UNIGRAM_NLL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              w -> w <> '')) AS word
+    FROM documents
+),
+tr AS (
+    SELECT doc_id FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+          < {SPLIT_TRAIN_PCT}
+),
+vocab AS (
+    SELECT word, count(*) AS cnt FROM toks JOIN tr USING (doc_id) GROUP BY word
+),
+tot AS (SELECT sum(cnt) AS total, count(*) AS vsize FROM vocab)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(avg(-ln((coalesce(v.cnt, 0) + {LM_SMOOTH_K})
+                     / (tot.total + {LM_SMOOTH_K} * tot.vsize))), 6) AS mean_nll
+FROM toks t LEFT JOIN vocab v USING (word), tot
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # PII redaction: regex scrub of emails / phone numbers / IPv4 addresses.
 #
 # The synthetic corpus contains no PII by construction, so the
@@ -330,6 +417,9 @@ QUERIES = [
     ("repetition_stats", q_repetition_stats, ORACLE_REPETITION,
      "Gopher-style repetition quality filter: top-word share + duplicate "
      "2/3-gram fractions (integer basis points) + keep decision."),
+    ("doc_perplexity", q_doc_perplexity, ORACLE_UNIGRAM_NLL,
+     "CCNet-style unigram-LM quality score: add-one-smoothed mean NLL "
+     "vs the md5-train split, broadcast LM, OOV counted."),
     ("pii_redact", q_pii_redact, ORACLE_PII,
      "Regex PII redaction (email/IPv4/phone) with per-type match counts "
      "over fabricated deterministic contact strings."),

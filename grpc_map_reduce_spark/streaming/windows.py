@@ -194,6 +194,19 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def streaming_dedup_within_watermark(events: DataFrame,
+                                     watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup on event_id ALONE via
+    ``dropDuplicatesWithinWatermark``: unlike :func:`streaming_dedup`
+    (whose key must include the event-time column for state eviction),
+    the within-watermark form dedups on the business key and still
+    evicts state once the watermark passes — the right semantics when
+    retried deliveries can carry jittered timestamps."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a running per-user value total + event count, carried in explicit

@@ -84,6 +84,23 @@ def test_streaming_dedup_bounds_duplicates(spark, sf_dir):
     assert deduped.select("event_id", "ts").distinct().count() == deduped.count()
 
 
+def test_streaming_dedup_within_watermark_keys_unique(spark, sf_dir):
+    """The within-watermark form dedups on event_id ALONE: every
+    batch-distinct event_id survives exactly once."""
+    from grpc_map_reduce_spark.streaming.windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(streaming_dedup_within_watermark(stream), "stream_dedup_ww",
+                  output_mode="append")
+    got = spark.table("stream_dedup_ww")
+    batch_ids = {r.event_id
+                 for r in table(spark, sf_dir, "events").select("event_id").collect()}
+    assert got.count() == len(batch_ids)
+    assert {r.event_id for r in got.select("event_id").collect()} == batch_ids
+
+
 def test_stateful_user_totals_matches_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     run_to_memory(stateful_user_totals(stream), "stream_user_totals",
