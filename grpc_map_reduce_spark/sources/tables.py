@@ -43,17 +43,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright.  Read it as raw int64 nanos (legacy conf)
-    and truncate to a microsecond timestamp — the same truncation
-    DuckDB's ``CAST(ts AS TIMESTAMP)`` applies, so oracles agree."""
+    """events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    Spark's vectorized reader only accepts as a raw int64 via the
+    legacy conf — and plain TIMESTAMP(MICROS).  Detect which layout
+    this fixture uses and normalize to a microsecond timestamp; the
+    nanos→micros truncation matches DuckDB's ``CAST(ts AS TIMESTAMP)``
+    so oracles agree either way."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # `div` (integer division) — `/` would route int64 nanos through
-    # a double and round away microseconds above 2^53.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # `div` (integer division) — `/` would route int64 nanos
+        # through a double and round away microseconds above 2^53.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # TIMESTAMP(MICROS) without tz reads as TIMESTAMP_NTZ; cast to
+        # LTZ (a no-op on wall-clock values — session tz is pinned to
+        # UTC in session.py) so watermarks/windows accept it and the
+        # type matches what timestamp_micros produced on old fixtures.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

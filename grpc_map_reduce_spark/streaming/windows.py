@@ -16,30 +16,34 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.money import cents
 
-#: events.parquet physical schema (ts is int64 *nanoseconds*; the
-#: parquet reader only accepts it as a long — see sources.tables).
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream of events with a proper timestamp column.
 
     A directory of parquet files is the canonical replay/backfill
     source; in production the same dataflow reads Kafka — only this
-    function changes.
+    function changes.  The streaming file source needs an up-front
+    schema, so probe it from a (lazy, footer-only) batch read — this
+    also tells us whether this fixture stores ts as int64 nanos
+    (legacy layout, needs conversion) or native TIMESTAMP(MICROS).
     """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    probe = spark.read.parquet(f"{sf_dir}/events*.parquet").schema
+    reader = spark.readStream.schema(probe)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # Glob, not a bare file path — the streaming file source requires
     # a directory/pattern it can re-list for new files.
     df = reader.parquet(f"{sf_dir}/events*.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probe["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ → LTZ (no-op wall-clock under the UTC session tz): the
+        # watermark operator requires TIMESTAMP, not TIMESTAMP_NTZ.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def streaming_tumbling_agg(events: DataFrame, width: str = "1 hour",
