@@ -110,3 +110,42 @@ def distinct_shingles_udf(n: int = 3):
         return pd.Series(out)
 
     return _shingle.asNondeterministic()
+
+
+def distinct_shingle_hashes_udf(n: int = 3):
+    """Like :func:`distinct_shingles_udf` but emits each distinct
+    shingle's 60-bit hash — ``('0x' || md5(s)[:15])::int64``, the same
+    value the DuckDB oracles compute — instead of the string.
+
+    This is the scale representation for every shingle join: shuffle
+    keys become fixed-width 8 B longs instead of ~20 B strings, set
+    intersections compare longs instead of hashing strings, and the
+    shingle text never leaves the Python worker.  Downstream counts
+    (document frequency, pair intersections, Jaccard) are identical to
+    the string formulation unless two distinct shingles collide in 60
+    bits — ~n²/2⁶¹, i.e. ~10⁻¹⁰ at fixture scale and a handful of
+    pairs globally even at 10¹⁰ distinct shingles.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(TOKEN_SPLIT_RE)
+
+    @pandas_udf("array<long>")
+    def _shingle_hashes(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            ws = [w for w in token_re.split(t.lower()) if w]
+            if len(ws) <= n:
+                grams = [" ".join(ws)] if ws else []
+            else:
+                grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            out.append([
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in dict.fromkeys(grams)
+            ])
+        return pd.Series(out)
+
+    return _shingle_hashes.asNondeterministic()

@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, words
+from grpc_map_reduce_spark.functions.text import (
+    distinct_shingle_hashes_udf,
+    words,
+)
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -70,15 +73,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
     # twice afterwards (3 shuffle joins).  The duplicated column costs
     # 8 bytes/row on the shuffle; the avoided joins cost two full
     # shuffles of the pair set.
-    # Shingling runs as a vectorized Arrow UDF *after* a repartition:
-    # the exchange spreads the work across all cores (the corpus
-    # arrives as a handful of large parquet files), and the UDF is a
-    # single ArrowEvalPython node evaluated once per row — the Column-
-    # expression alternative gets duplicated by Catalyst into inferred
-    # filters/generator projections and re-runs the tokenizer per
-    # slice (measured ~10× slower at sf0.1; see functions.text).
-    spark = docs.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    # The join key is the shingle's 60-bit hash, not the string: 8 B
+    # fixed-width shuffle rows and long-equality probes instead of
+    # ~20 B strings (see functions.text.distinct_shingle_hashes_udf
+    # for the collision argument — counts are identical).
     # Lazy checkpoint: the self-join consumes sh on BOTH sides, and
     # Spark would otherwise run the shingling UDF twice over the whole
     # corpus.  Pinning the exploded shingle table costs O(total
@@ -86,24 +84,23 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
     # right trade below memory pressure; above it, drop the checkpoint
     # and pay the recompute.
     sh = (
-        docs.repartition(n_part, "doc_id")
-        .select("doc_id", distinct_shingles_udf(n)("text").alias("sh_set"))
+        _shingle_sets(docs, n)
         .select(
             "doc_id",
             F.size("sh_set").alias("n_shingles"),
-            F.explode("sh_set").alias("shingle"),
+            F.explode("sh_set").alias("sh_h"),
         )
         .localCheckpoint(eager=False)
     )
     if max_df is not None:
         hot = (
-            sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df).select("shingle")
+            sh.groupBy("sh_h").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df).select("sh_h")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -273,13 +270,21 @@ MINHASH_ROWS_PER_BAND = 2
 
 
 def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh_set) — each doc's DISTINCT shingle set, computed
-    ONCE (lazy-checkpointed) so candidate generation and rescoring
-    share the tokenization work instead of re-running the UDF."""
+    """(doc_id, sh_set) — each doc's DISTINCT shingle-HASH set
+    (``array<long>``, see functions.text.distinct_shingle_hashes_udf),
+    computed ONCE (lazy-checkpointed) so candidate generation and
+    rescoring share the tokenization work instead of re-running the
+    UDF.  Shingling runs as a vectorized Arrow UDF *after* a
+    repartition: the exchange spreads the work across all cores (the
+    corpus arrives as a handful of large parquet files), and the UDF
+    is a single ArrowEvalPython node evaluated once per row — the
+    Column-expression alternative gets duplicated by Catalyst into
+    inferred filters/generator projections and re-runs the tokenizer
+    per slice (measured ~10× slower at sf0.1; see functions.text)."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.repartition(n_part, "doc_id")
-        .select("doc_id", distinct_shingles_udf(n)("text").alias("sh_set"))
+        .select("doc_id", distinct_shingle_hashes_udf(n)("text").alias("sh_set"))
         .localCheckpoint(eager=False)
     )
 
@@ -289,10 +294,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     """Per-doc MinHash signature columns m0..m15."""
     if sets is None:
         sets = _shingle_sets(docs, n)
-    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle")).withColumn(
-        "h",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % MINHASH_P,
+    sh = sets.select("doc_id", F.explode("sh_set").alias("sh_h")).withColumn(
+        "h", F.col("sh_h") % MINHASH_P
     )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")

@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.functions.text import distinct_shingles_udf, words
+from grpc_map_reduce_spark.functions.text import (
+    distinct_shingle_hashes_udf,
+    words,
+)
 from grpc_map_reduce_spark.sources.tables import table
 
 #: Token budget per packed training sequence.  Sized for the fixture
@@ -112,14 +115,26 @@ def decontaminate(docs: DataFrame, n: int = DECONTAM_NGRAM,
     ``n_hits`` 0) so the result is a total audit of the train split.
     """
     is_bench = F.col("doc_id") % bench_mod == 0
-    sh = docs.select(
-        "doc_id", F.explode(distinct_shingles_udf(n)("text")).alias("shingle")
+    # Shingles travel as 60-bit hashes (functions.text.
+    # distinct_shingle_hashes_udf): the broadcast benchmark set is 8 B
+    # per shingle and the semi-join probes long equality.  The exploded
+    # table is lazily pinned — BOTH branches (benchmark set + train
+    # probe) read it, and without the checkpoint Spark re-runs the
+    # shingling UDF over the whole corpus per branch.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(distinct_shingle_hashes_udf(n)("text")).alias("sh_h"),
+        )
+        .localCheckpoint(eager=False)
     )
-    bench = sh.filter(is_bench).select("shingle").distinct()
+    bench = sh.filter(is_bench).select("sh_h").distinct()
     train = docs.filter(~is_bench).select("doc_id")
     hits = (
         sh.filter(~is_bench)
-        .join(F.broadcast(bench), "shingle", "left_semi")
+        .join(F.broadcast(bench), "sh_h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

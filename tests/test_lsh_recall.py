@@ -51,9 +51,10 @@ def test_lsh_near_dup_plan_has_no_shingle_self_join(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     # In formatted explain, join keys render as
-    # "Left keys [n]: [shingle#X, ...]" — a join keyed on a shingle
-    # column is exactly the quadratic inverted-index self-join.
-    shingle_eq_join = re.compile(r"keys \[\d+\]: \[shingle#")
+    # "Left keys [n]: [sh_h#X, ...]" — a join keyed on the exploded
+    # shingle-hash column is exactly the quadratic inverted-index
+    # self-join.
+    shingle_eq_join = re.compile(r"keys \[\d+\]: \[sh_h#")
     composed = explain_str(lsh_near_dup(docs), "formatted")
     assert not shingle_eq_join.search(composed), (
         "full shingle self-join leaked into LSH path"
