@@ -622,11 +622,11 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
-                     n_iter: int = KMEANS_ITERS, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, cluster, cluster_size) after ``n_iter`` spherical
-    Lloyd rounds from the ``k`` lowest-id seed vectors."""
+def _fit_centroids(base: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """Seed ``k`` spherical centroids from the lowest-id vectors and
+    refine with ``n_iter`` Lloyd rounds (:func:`_lloyd_refine`).
+    ``base`` is (id, v); returns the one-row (cent_ids, cent_mat)
+    broadcastable centroid summary."""
     import numpy as np
     import pandas as pd
 
@@ -639,17 +639,28 @@ def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
             "cent_mat": [mat.tobytes()],
         })
 
-    base = corpus.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
-    )
     cent = (
         base.orderBy("id").limit(k)
         .withColumn("g", F.lit(0))
         .groupBy("g")
         .applyInPandas(_pack_seeds, schema="cent_ids array<long>, cent_mat binary")
     )
-    cent = _lloyd_refine(base, cent, n_iter)
+    return _lloyd_refine(base, cent, n_iter)
+
+
+def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
+                     n_iter: int = KMEANS_ITERS, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster, cluster_size) after ``n_iter`` spherical
+    Lloyd rounds from the ``k`` lowest-id seed vectors."""
+    import numpy as np
+    import pandas as pd
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
+    )
+    cent = _fit_centroids(base, k, n_iter)
 
     def _assign(batches):
         for pdf in batches:
@@ -677,11 +688,16 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_kmeans(table(spark, sf_dir, "embeddings"))
 
 
-def _kmeans_oracle() -> str:
-    """Identical spherical Lloyd rounds, unrolled as chained CTEs:
-    aN assigns against cN-1 (argmax with the same DESC, cid tie
-    break), uN is the per-dimension member mean, cN renormalizes it
-    (empty clusters keep the previous centroid via the LEFT JOIN)."""
+def kmeans_assign_sql() -> str:
+    """Shared DuckDB CTE fragment (no ``WITH``) ending in
+    ``final_assign(vec_id, cid)``, with ``norm(vec_id, v)`` holding
+    the L2-normalized vectors: identical spherical Lloyd rounds
+    unrolled as chained CTEs — aN assigns against cN-1 (argmax with
+    the same DESC, cid tie break), uN is the per-dimension member
+    mean, cN renormalizes it (empty clusters keep the previous
+    centroid via the LEFT JOIN).  Both the kmeans and the semdedup
+    oracles build on this fragment so every consumer of the
+    clustering stage is checked against one formulation."""
     rounds = ""
     for i in range(1, KMEANS_ITERS + 1):
         rounds += f""",
@@ -713,8 +729,7 @@ c{i} AS MATERIALIZED (
                         x -> x / sqrt(list_dot_product(u.mv, u.mv))), c.cv) AS cv
     FROM c{i - 1} c LEFT JOIN u{i} u USING (cid)
 )"""
-    return f"""
-WITH dv AS (
+    return f"""dv AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
 norm AS MATERIALIZED (
@@ -726,24 +741,135 @@ c0 AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
     FROM (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT {KMEANS_K})
 ){rounds},
-final_assign AS (
+final_assign AS MATERIALIZED (
     SELECT vec_id, cid FROM (
         SELECT n.vec_id, c.cid,
                row_number() OVER (PARTITION BY n.vec_id
                    ORDER BY list_dot_product(n.v, c.cv) DESC, c.cid) AS rn
         FROM norm n CROSS JOIN c{KMEANS_ITERS} c
     ) WHERE rn = 1
-)
+)"""
+
+
+ORACLE_KMEANS = f"""
+WITH {kmeans_assign_sql()}
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
        count(*) OVER (PARTITION BY cid) AS cluster_size
 FROM final_assign
 """
 
 
-ORACLE_KMEANS = _kmeans_oracle()
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+# with the quadratic bounded BY the clustering — k-means first, then
+# all-pairs cosine ONLY within each cluster.  At 100 TB you pick
+# k ∝ n / target_cluster_size so a cluster's pairwise matrix fits one
+# executor; the corpus-wide all-pairs join never exists in the plan.
+SEMDEDUP_THRESHOLD = 0.45  # probed: nearest sim is ≥1e-4 from this cut at every SF
+
+
+def semdedup(corpus: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
+             k: int = KMEANS_K, n_iter: int = KMEANS_ITERS,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector semantic-dedup verdict: (vec_id, cluster,
+    n_prior_dups, keep, max_prior_sim).
+
+    A vector is a duplicate if some SAME-CLUSTER vector with a lower
+    id has cosine ≥ ``threshold``; the lowest id in each duplicate
+    neighborhood is the keeper (``keep = true``), so the kept set is
+    deterministic.  ``max_prior_sim`` is the rounded max similarity
+    to any lower-id cluster-mate (−2.0 sentinel when none — engines
+    agree on the sentinel, unlike NULL-vs-NaN).
+
+    Dataflow: centroids fit via broadcast-assign Lloyd rounds (corpus
+    never shuffled), then ONE shuffle groups each cluster's vectors
+    and a numpy kernel does the within-cluster pairwise matrix —
+    O(Σ cluster_size²) work, the SemDeDup contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    cent = _fit_centroids(base, k, n_iter)
+
+    def _assign_nv(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
+            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": pdf["id"],
+                "cluster": np.argmax(V @ C.T, axis=1).astype(np.int64),
+                # carry the normalized vector so the per-cluster kernel
+                # never re-reads the corpus
+                "nv": list(V),
+            })
+
+    clustered = base.join(F.broadcast(cent)).mapInPandas(
+        _assign_nv, schema="vec_id long, cluster long, nv array<double>"
+    )
+
+    def _cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        V = np.array(pdf["nv"].tolist(), dtype=np.float64)
+        m = len(pdf)
+        sims = np.round(V @ V.T, 6)
+        prior = np.tril(np.ones((m, m), dtype=bool), -1)  # j < i by id order
+        masked = np.where(prior, sims, -np.inf)
+        mx = masked.max(axis=1)
+        nd = (masked >= threshold).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "cluster": pdf["cluster"].to_numpy(),
+            "n_prior_dups": nd.astype(np.int64),
+            "keep": nd == 0,
+            "max_prior_sim": np.where(np.isfinite(mx), mx, -2.0),
+        })
+
+    return clustered.groupBy("cluster").applyInPandas(
+        _cluster_dedup,
+        schema=("vec_id long, cluster long, n_prior_dups long, "
+                "keep boolean, max_prior_sim double"),
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_SEMDEDUP = f"""
+WITH {kmeans_assign_sql()},
+pairs AS (
+    SELECT a.vec_id AS vid, round(list_dot_product(na.v, nb.v), 6) AS sim
+    FROM final_assign a
+    JOIN final_assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    JOIN norm na ON na.vec_id = a.vec_id
+    JOIN norm nb ON nb.vec_id = b.vec_id
+),
+agg AS (
+    SELECT vid, max(sim) AS mx,
+           sum(CASE WHEN sim >= {SEMDEDUP_THRESHOLD} THEN 1 ELSE 0 END) AS nd
+    FROM pairs GROUP BY vid
+)
+SELECT f.vec_id,
+       CAST(f.cid AS BIGINT) AS cluster,
+       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_prior_dups,
+       coalesce(a.nd, 0) = 0 AS keep,
+       coalesce(a.mx, -2.0) AS max_prior_sim
+FROM final_assign f LEFT JOIN agg a ON f.vec_id = a.vid
+"""
 
 
 QUERIES = [
+    ("semdedup", q_semdedup, ORACLE_SEMDEDUP,
+     "SemDeDup: k-means then within-cluster-only cosine dedup with "
+     "deterministic keeper election (cluster-bounded quadratic)."),
     ("embedding_kmeans", q_embedding_kmeans, ORACLE_KMEANS,
      "Spherical k-means cluster assignment (broadcast-assign Lloyd "
      "rounds, corpus never shuffled) — the semantic-clustering stage."),

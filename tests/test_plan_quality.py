@@ -240,6 +240,17 @@ def test_pack_sequences_single_window_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_semdedup_cluster_bounded_no_pair_join(spark, sf_dir):
+    """SemDeDup's plan must never pair-join the corpus: centroids
+    arrive by broadcast, the within-cluster quadratic runs inside the
+    per-cluster pandas kernel, and the only corpus shuffle is the
+    groupBy(cluster) co-location."""
+    plan = _plan(spark, sf_dir, "semdedup")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the bounded kernel
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_bench_no_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decontaminate_ngram")
     # the benchmark shingle set probes as a broadcast semi join; the
