@@ -25,7 +25,8 @@ the planner trust the layout.  Plan-level guarantees are asserted in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(df: DataFrame, table_name: str, key: str,
@@ -53,3 +54,83 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
 def write_date_partitioned(df: DataFrame, path: str, date_col: str) -> None:
     """Write hive-style ``{path}/{date_col}=YYYY-MM-DD/...`` layout."""
     df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering: multi-dimensional data skipping.
+#
+# Directory partitioning and linear sort each prune on ONE column; a
+# scan filtered on a *different* column reads everything.  Z-ordering
+# interleaves the bits of several columns into one sort key, so rows
+# close in the multi-dimensional space land in the same files — every
+# file then covers a small hyper-rectangle, its parquet min/max stats
+# are narrow on EVERY z-column, and predicates on ANY of them skip
+# row groups / files.  (Same layout contract as Delta/Iceberg
+# ``OPTIMIZE ZORDER BY``; with a plain parquet directory the pruning
+# happens at row-group level via pushed filters, with a table format
+# the identical layout also drives file-level skipping.)
+
+
+def z_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (already range-scaled,
+    non-negative) column into one z-curve key — pure JVM bit math, one
+    whole-stage-codegen expression, no UDF.  Callers scale raw values
+    into ``[0, 2**bits)`` first (:func:`scale_to_bits`) so the HIGH
+    bits of each dimension — the ones that decide locality — survive.
+    """
+    cs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+          for c in cols]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, b).bitwiseAND(F.lit(1)),
+                    b * len(cs) + i,
+                )
+            )
+    return z
+
+
+def scale_to_bits(col: Column | str, lo: float, hi: float,
+                  bits: int = 16) -> Column:
+    """Affinely map ``[lo, hi]`` into the integer grid ``[0, 2**bits)``
+    (values outside clamp to the edges)."""
+    c = F.col(col) if isinstance(col, str) else col
+    top = (1 << bits) - 1
+    scaled = ((c - F.lit(lo)) * F.lit(float(top)) / F.lit(float(hi - lo)))
+    return F.least(
+        F.greatest(F.round(scaled).cast("long"), F.lit(0)), F.lit(top)
+    )
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   ranges: dict[str, tuple[float, float]] | None = None,
+                   bits: int = 16, n_files: int = 16) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    z-curve over ``cols``.
+
+    ``ranges`` maps each column to its (min, max) for bit scaling; if
+    omitted, one O(1)-to-driver aggregate computes them (two scalars
+    per column — at 100 TB prefer passing known domain bounds and
+    skipping the extra scan).  The write shuffles once
+    (``repartitionByRange`` on the z key — contiguous z ranges per
+    file, the property that makes the per-file bounding boxes tight).
+    """
+    if ranges is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).first()
+        ranges = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    z = z_value(
+        [scale_to_bits(c, *ranges[c], bits=bits) for c in cols], bits=bits
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

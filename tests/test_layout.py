@@ -67,3 +67,60 @@ def test_date_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     got = pruned.count()
     want = orders.filter(F.col("o_date") == F.lit("1995-01-15")).count()
     assert got == want > 0
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files cover small (custkey, orderkey) rectangles, so
+    parquet min/max stats prune files for a predicate on EITHER
+    column.  Baseline: a linear sort by custkey makes every file span
+    the full orderkey range — an orderkey-only predicate prunes
+    nothing there."""
+    import pyarrow.parquet as pq
+    from grpc_map_reduce_spark.sources.layout import write_zordered
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lo_k, hi_k, lo_c, hi_c = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).first()
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(orders, zpath, ["o_custkey", "o_orderkey"], n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(lpath)
+    )
+
+    def overlapping_files(path, col, lo, hi):
+        """Files whose [min,max] stats on `col` intersect [lo, hi] —
+        exactly the files a stats-driven scan must read."""
+        import glob
+        n_total, n_hit = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            n_total += 1
+            if fmax >= lo and fmin <= hi:
+                n_hit += 1
+        return n_hit, n_total
+
+    # narrow predicate on orderkey only (1/8 of the range)
+    w = (hi_k - lo_k) // 8
+    z_hit, z_total = overlapping_files(zpath, "o_orderkey", lo_k, lo_k + w)
+    l_hit, l_total = overlapping_files(lpath, "o_orderkey", lo_k, lo_k + w)
+    assert l_hit == l_total, "custkey-sorted layout cannot prune on orderkey"
+    assert z_hit <= z_total // 2, (
+        f"z-order should skip most files on the non-sort column: "
+        f"{z_hit}/{z_total}"
+    )
+    # ...and it still prunes on custkey too (no dimension is sacrificed)
+    wc = (hi_c - lo_c) // 8
+    zc_hit, zc_total = overlapping_files(zpath, "o_custkey", lo_c, lo_c + wc)
+    assert zc_hit <= zc_total // 2, f"{zc_hit}/{zc_total}"
+    # round-trip integrity
+    assert spark.read.parquet(zpath).count() == orders.count()
