@@ -15,6 +15,7 @@ startup is the binding constant at these scales).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -57,6 +58,13 @@ def main() -> None:
         df = q.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Untimed housekeeping between queries: drop the Python
+        # references to finished plans so the JVM ContextCleaner can
+        # release their localCheckpoint RDDs and broadcasts — without
+        # this, 80+ queries of accumulated state inflate the later
+        # queries' timings by up to 2× (GC pressure, not plan cost).
+        df = None
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -187,21 +187,21 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     """(node, rank) after ``n_iter`` power iterations on the
     symmetrized ``edges`` (src/dst).  Nodes = every id in the edge
     set; the symmetric closure means no dangling nodes."""
-    sym = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
+    # Fold the out-degree onto each edge ONCE and pin it: every
+    # iteration then does one join (ranks) + one groupBy instead of
+    # re-deriving the degree aggregate per materialization — at K
+    # iterations that is K fewer shuffles over the edge set.
+    sym_deg = sym.join(deg, "src").localCheckpoint(eager=False)
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contrib = (
-            sym.join(ranks, sym.src == ranks.node)
-            .join(deg, "src")
+            sym_deg.join(ranks, sym_deg.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
         )

@@ -235,7 +235,70 @@ WHERE n_copies > 0
 """
 
 
+# --------------------------------------------------------------------------
+# Epoch shuffle: a reproducible global permutation, sharded.
+#
+# Training dataloaders need every epoch's read order to be (a) a
+# fresh permutation and (b) exactly reproducible across restarts and
+# engines.  ``orderBy(rand(seed))`` fails both at scale: it is a
+# GLOBAL SORT (range-exchange over the full corpus) and Spark's RNG
+# stream depends on partitioning.  The hash formulation needs no
+# global sort at all: shard = md5(id, epoch) mod S routes each row
+# with a map-side hash, and the within-shard order is a window sort
+# over one shard — S independent sorts of corpus/S rows each, the
+# same machinery a sharded writer uses anyway.  A new epoch seed is a
+# brand-new permutation; the same seed is bit-identical forever.
+EPOCH_SHUFFLE_SEED = 17
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(df: DataFrame, n_shards: int = EPOCH_SHUFFLE_SHARDS,
+                  seed: int = EPOCH_SHUFFLE_SEED,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shard, shuffle_pos): a deterministic sharded permutation.
+
+    ``shard`` = seeded md5 hash mod ``n_shards``; ``shuffle_pos`` is
+    the row's 1-based position inside its shard, ordered by (hash,
+    id).  One hash-partition shuffle total; no global sort ever.
+    """
+    h = _md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#e{seed}"))
+    )
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        out.withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = epoch_shuffle(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "shard", "shuffle_pos")
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e{EPOCH_SHUFFLE_SEED}'),
+                           1, 8))::BIGINT AS hv
+    FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {EPOCH_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY hv % {EPOCH_SHUFFLE_SHARDS} ORDER BY hv, doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+
 QUERIES = [
+    ("docs_epoch_shuffle", q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE,
+     "Deterministic sharded epoch shuffle (seeded hash permutation, "
+     "no global sort)."),
     ("docs_stratified_sample", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE,
      "Deterministic per-stratum keep-rate sampling (map-only, zero shuffle)."),
     ("docs_balanced_downsample", q_balanced_downsample, ORACLE_BALANCED_DOWNSAMPLE,

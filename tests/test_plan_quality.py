@@ -240,6 +240,15 @@ def test_pack_sequences_single_window_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_epoch_shuffle_no_global_sort(spark, sf_dir):
+    """The epoch permutation must never range-partition (global sort):
+    one hash exchange on the shard key, per-shard window sorts only."""
+    plan = _plan(spark, sf_dir, "docs_epoch_shuffle")
+    assert "rangepartitioning" not in plan.lower()
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, found {n_exchanges}"
+
+
 def test_semdedup_cluster_bounded_no_pair_join(spark, sf_dir):
     """SemDeDup's plan must never pair-join the corpus: centroids
     arrive by broadcast, the within-cluster quadratic runs inside the
