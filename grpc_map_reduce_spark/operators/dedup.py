@@ -16,6 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +24,7 @@ from grpc_map_reduce_spark.functions.text import (
     distinct_shingle_hashes_udf,
     words,
 )
+from grpc_map_reduce_spark.operators.text_analysis import RH_B, RH_P
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -565,6 +567,143 @@ SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
+# --------------------------------------------------------------------------
+# ExactSubstr-style repeated-span audit (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL'22): token windows
+# of width W that recur in OTHER documents mark verbatim cross-doc
+# duplication finer than whole-doc near-dup — the spans ExactSubstr
+# would cut.  The suffix-array formulation is replaced by the
+# shuffle-native one: hash every width-W window (polynomial rolling
+# hash over md5 term hashes — same arithmetic as doc_rolling_hash),
+# count DISTINCT docs per window hash, mark windows seen in ≥2 docs.
+# Shuffle volume is O(total windows) fixed-width rows; no pair join,
+# no suffix array, embarrassingly scalable.
+SPAN_WINDOW = 8
+
+
+def window_hashes_udf(w: int = SPAN_WINDOW):
+    """Vectorized producer of the doc's DISTINCT width-``w`` token-
+    window rolling hashes (first-occurrence order).  Hash = the
+    doc_rolling_hash polynomial ((acc·B + md5term) mod P) folded over
+    each window; docs shorter than ``w`` tokens emit no windows."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from grpc_map_reduce_spark.functions.text import TOKEN_SPLIT_RE
+
+    token_re = re.compile(TOKEN_SPLIT_RE)
+
+    @pandas_udf("array<long>")
+    def _win_hashes(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            ws = [x for x in token_re.split(t.lower()) if x]
+            hs = [
+                int(hashlib.md5(x.encode()).hexdigest()[:7], 16) % RH_P
+                for x in ws
+            ]
+            wins = {}
+            for i in range(len(hs) - w + 1):
+                acc = 0
+                for term in hs[i:i + w]:
+                    acc = (acc * RH_B + term) % RH_P
+                wins[acc] = None
+            out.append(list(wins))
+        return pd.Series(out)
+
+    return _win_hashes.asNondeterministic()
+
+
+def repeated_spans(docs: DataFrame, w: int = SPAN_WINDOW) -> DataFrame:
+    """Per doc: distinct width-``w`` windows, how many also occur in
+    ≥1 OTHER doc, and the shared fraction in basis points.
+
+    (doc_id, n_windows, n_shared_windows, shared_bp) for every doc —
+    short docs (< ``w`` tokens) report 0/0/0.
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    wh = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(window_hashes_udf(w)("text")).alias("wh"))
+        .localCheckpoint(eager=False)  # consumed by both branches below
+    )
+    # windows per hash are already DISTINCT per doc (the UDF dedupes),
+    # so count(*) per hash == distinct docs containing the window
+    shared = (
+        wh.groupBy("wh").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        wh.join(shared, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+    totals = wh.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_shared_windows", F.lit(0)).cast("long")
+            .alias("n_shared_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("n_shared_windows", F.lit(0)) * 10000
+                    / F.col("n_windows")
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("shared_bp"),
+        )
+    )
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_spans(table(spark, sf_dir, "documents"))
+
+
+ORACLE_REPEATED_SPANS = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(ws, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT % {RH_P}) AS hl
+    FROM toks
+),
+wins AS (
+    SELECT DISTINCT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT), hl[i:i+{SPAN_WINDOW - 1}]),
+               (acc, t) -> (acc * {RH_B} + t) % {RH_P}) AS wh
+    FROM hs, unnest(range(1, greatest(len(hl) - {SPAN_WINDOW - 1}, 0) + 1)) AS t(i)
+),
+shared AS (
+    SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+),
+per_doc AS (
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           sum(CASE WHEN s.wh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+    FROM wins w LEFT JOIN shared s ON w.wh = s.wh
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared_windows,
+       CAST(CASE WHEN coalesce(p.n_windows, 0) > 0
+                 THEN floor(coalesce(p.n_shared, 0) * 10000 / p.n_windows)
+                 ELSE 0 END AS BIGINT) AS shared_bp
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 QUERIES = [
     ("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
      "E1 exact dedup: keeper id + copy count per identical text."),
@@ -577,4 +716,7 @@ QUERIES = [
     ("dedup_lsh_neardup", q_lsh_near_dup, ORACLE_LSH_NEAR_DUP,
      "E2 composed scale path: LSH candidates -> exact Jaccard rescore "
      "(sub-quadratic; no shingle self-join)."),
+    ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
+     "ExactSubstr-style cross-doc repeated token-window audit "
+     "(rolling-hash windows, no pair join / suffix array)."),
 ]
