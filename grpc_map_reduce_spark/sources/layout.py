@@ -56,6 +56,39 @@ def write_date_partitioned(df: DataFrame, path: str, date_col: str) -> None:
     df.write.mode("overwrite").partitionBy(date_col).parquet(path)
 
 
+def upsert_date_partitions(spark: SparkSession, path: str, updates: DataFrame,
+                           date_col: str, key_col: str) -> None:
+    """MERGE (upsert) into a date-partitioned parquet layout at
+    partition granularity — the maintenance op a table format's
+    ``MERGE INTO`` compiles to, done with plain Spark primitives:
+
+      1. list the partitions ``updates`` touches (O(affected days)
+         scalars to the driver — bounded by the delta, never by the
+         table);
+      2. read ONLY those partitions (the ``isin`` filter is a
+         partition filter — planning-time pruning, untouched days are
+         never scanned);
+      3. anti-join out the keys being replaced, union the updates;
+      4. dynamic-partition-overwrite: Spark rewrites exactly the
+         partitions present in the result, leaving every other
+         directory byte-identical.
+
+    The merged frame is localCheckpoint-ed before the write because
+    the write overwrites files the plan is lazily reading — without
+    materialization Spark would delete its own input mid-job.  On a
+    cluster, checkpoint to durable storage instead.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    days = [r[0] for r in updates.select(date_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col(date_col).isin(days))
+    merged = (
+        existing.join(updates.select(key_col), key_col, "left_anti")
+        .unionByName(updates.select(*existing.columns))
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").partitionBy(date_col).parquet(path)
+
+
 # --------------------------------------------------------------------------
 # Z-order clustering: multi-dimensional data skipping.
 #

@@ -124,3 +124,44 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert zc_hit <= zc_total // 2, f"{zc_hit}/{zc_total}"
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """Partition-granular MERGE: an update delta for one day must
+    (a) replace that day's rows for matching keys, (b) append new
+    keys, and (c) leave every other day's files byte-identical."""
+    import os
+    from grpc_map_reduce_spark.sources.layout import upsert_date_partitions
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", F.to_date("ts").alias("day"))
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(path)
+
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    target_day, other_day = days[0], days[-1]
+
+    def snapshot(day):
+        d = f"{path}/day={day}"
+        return {f: os.path.getmtime(f"{d}/{f}") for f in os.listdir(d)
+                if f.endswith(".parquet")}
+
+    before_other = snapshot(other_day)
+    one = ev.filter(F.col("day") == target_day).first()
+    updates = spark.createDataFrame(
+        [(one["event_id"], one["user_id"], 999.5, target_day),
+         (10_000_000, 42, 1.25, target_day)],
+        schema="event_id long, user_id long, value double, day date",
+    )
+    upsert_date_partitions(spark, path, updates, "day", "event_id")
+
+    # untouched partition: exact same files, same mtimes
+    assert snapshot(other_day) == before_other
+    after = spark.read.parquet(path)
+    # updated row replaced, new row present, total count = old + 1
+    assert after.filter(F.col("event_id") == one["event_id"]) \
+                .select("value").first()[0] == 999.5
+    assert after.filter(F.col("event_id") == 10_000_000).count() == 1
+    assert after.count() == ev.count() + 1
