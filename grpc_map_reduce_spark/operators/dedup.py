@@ -12,6 +12,12 @@ Scale design:
     hot shingle (appearing in many docs) quadratically blows up the
     pair count, so real corpora drop stop-shingles above a document
     frequency cap first (``max_df``).
+  * Every shingle is represented by its 60-bit md5-derived hash from
+    the moment it leaves the tokenizer (functions.text.
+    distinct_shingle_hashes_udf): joins shuffle fixed-width 8 B longs,
+    set intersections compare longs, and the shingle text never leaves
+    the Python worker.  Counts are collision-identical to the string
+    formulation (~n²/2⁶¹).
 """
 
 from __future__ import annotations

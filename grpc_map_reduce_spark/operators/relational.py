@@ -703,7 +703,60 @@ FROM gm
 """
 
 
+# --------------------------------------------------------------------------
+# FULL OUTER join: two-sided reconciliation — which nations have
+# machinery customers, well-capitalized suppliers, or both?  The scale
+# shape: aggregate EACH side down to its key first (map-side partial +
+# one shuffle each), then full-outer the two small aggregates — never
+# full-outer the raw fact tables (full outer cannot broadcast, so an
+# un-preaggregated formulation shuffles both facts in entirety).
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cust.join(supp, "nationkey", "full_outer")
+    return j.select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        F.when(F.col("n_cust").isNull(), F.lit("supplier_only"))
+        .when(F.col("n_supp").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both")).alias("presence"),
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH c AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_cust
+    FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_supp
+    FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp,
+       CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+            WHEN s.nationkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS presence
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 QUERIES = [
+    ("full_outer_reconcile", full_outer_reconcile, ORACLE_FULL_OUTER,
+     "FULL OUTER reconciliation of two pre-aggregated sides "
+     "(aggregate-then-join; never full-outer raw facts)."),
     ("pivot_order_counts", pivot_order_counts, ORACLE_PIVOT,
      "PIVOT cross-tab (explicit values) melted back long via UNPIVOT."),
     ("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
