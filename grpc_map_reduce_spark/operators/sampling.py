@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.text import words
 from grpc_map_reduce_spark.operators.sketches import _md5_long
 from grpc_map_reduce_spark.sources.tables import table
 
@@ -295,7 +296,113 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al.,
+# arXiv:2302.03169): score every raw document by how much more likely
+# its hashed-n-gram features are under a small TARGET corpus than
+# under the raw pool, then keep the target-like documents.  The
+# hashed-feature trick is what makes it a one-pass distributed job:
+# both "language models" are just B-bucket count tables (tiny —
+# broadcast), and a doc's log importance weight is a sum of per-token
+# bucket scores.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_scores(docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE,
+                n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, source, logw, target_like) — add-one-smoothed hashed
+    unigram importance weights.
+
+    λ(b) = ln((ct[b]+1)/(T+B)) − ln((cr[b]+1)/(R+B)); logw(doc) =
+    Σ_tokens λ(bucket(token)), rounded to 4 dp; ``target_like`` =
+    logw > 0.  Plan: one tokenize pass; two B-row count tables
+    (map-side partial, then broadcast); per-token broadcast join +
+    one groupBy(doc) sum.  The raw corpus is never joined to itself
+    and the only full shuffle is the final per-doc aggregation.
+    """
+    toks = docs.select(
+        "doc_id", "source", F.explode(words("text")).alias("word")
+    ).withColumn("b", _md5_long(F.col("word")) % n_buckets)
+    raw = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.filter(F.col("source") == target_source)
+        .groupBy("b").agg(F.count("*").alias("ct"))
+    )
+    rtot = raw.agg(F.sum("cr").cast("double").alias("r_total"))
+    ttot = tgt.agg(F.sum("ct").cast("double").alias("t_total"))
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(rtot)).crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1)
+                      / (F.col("t_total") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("r_total") + n_buckets))
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("lam"), 4).alias("logw"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, ["doc_id", "source"], "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+            (F.coalesce("logw", F.lit(0.0)) > 0).alias("target_like"),
+        )
+    )
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_scores(table(spark, sf_dir, "documents"))
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(word), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+),
+raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM toks
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+rtot AS (SELECT CAST(sum(cr) AS DOUBLE) AS r_total FROM raw),
+ttot AS (SELECT CAST(sum(ct) AS DOUBLE) AS t_total FROM tgt),
+lam AS (
+    SELECT raw.b,
+           ln((coalesce(ct, 0) + 1) / (t_total + {DSIR_BUCKETS}))
+           - ln((cr + 1) / (r_total + {DSIR_BUCKETS})) AS lam
+    FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    CROSS JOIN rtot CROSS JOIN ttot
+),
+scored AS (
+    SELECT doc_id, source, round(sum(lam), 4) AS logw
+    FROM toks JOIN lam ON toks.b = lam.b
+    GROUP BY doc_id, source
+)
+SELECT d.doc_id, d.source,
+       coalesce(s.logw, 0.0) AS logw,
+       coalesce(s.logw, 0.0) > 0 AS target_like
+FROM documents d
+LEFT JOIN scored s ON d.doc_id = s.doc_id AND d.source = s.source
+"""
+
+
 QUERIES = [
+    ("docs_dsir_scores", q_dsir_scores, ORACLE_DSIR,
+     "DSIR importance weights: hashed-unigram target-vs-raw "
+     "log-likelihood ratio per doc (broadcast count tables)."),
     ("docs_epoch_shuffle", q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE,
      "Deterministic sharded epoch shuffle (seeded hash permutation, "
      "no global sort)."),
