@@ -316,29 +316,33 @@ def dsir_scores(docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE,
 
     λ(b) = ln((ct[b]+1)/(T+B)) − ln((cr[b]+1)/(R+B)); logw(doc) =
     Σ_tokens λ(bucket(token)), rounded to 4 dp; ``target_like`` =
-    logw > 0.  Plan: one tokenize pass; two B-row count tables
-    (map-side partial, then broadcast); per-token broadcast join +
-    one groupBy(doc) sum.  The raw corpus is never joined to itself
-    and the only full shuffle is the final per-doc aggregation.
+    logw > 0.  Plan: both language models come from ONE B-row count
+    table (conditional aggregate, map-side partial, then broadcast);
+    per-token broadcast join + one groupBy(doc) sum.  The raw corpus
+    is never joined to itself and the only full shuffles are the
+    bucket aggregation and the final per-doc aggregation.
     """
     toks = docs.select(
         "doc_id", "source", F.explode(words("text")).alias("word")
     ).withColumn("b", _md5_long(F.col("word")) % n_buckets)
-    raw = toks.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt = (
-        toks.filter(F.col("source") == target_source)
-        .groupBy("b").agg(F.count("*").alias("ct"))
+    # BOTH count tables from ONE tokenize pass: the target count is a
+    # conditional aggregate of the same groupBy, not a second scan.
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("source") == target_source, 1).otherwise(0)
+        ).alias("ct"),
     )
-    rtot = raw.agg(F.sum("cr").cast("double").alias("r_total"))
-    ttot = tgt.agg(F.sum("ct").cast("double").alias("t_total"))
+    tot = counts.agg(
+        F.sum("cr").cast("double").alias("r_total"),
+        F.sum("ct").cast("double").alias("t_total"),
+    )
     lam = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(rtot)).crossJoin(F.broadcast(ttot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "b",
             (
-                F.log((F.coalesce("ct", F.lit(0)) + 1)
-                      / (F.col("t_total") + n_buckets))
+                F.log((F.col("ct") + 1) / (F.col("t_total") + n_buckets))
                 - F.log((F.col("cr") + 1) / (F.col("r_total") + n_buckets))
             ).alias("lam"),
         )
