@@ -187,15 +187,26 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     """(node, rank) after ``n_iter`` power iterations on the
     symmetrized ``edges`` (src/dst).  Nodes = every id in the edge
     set; the symmetric closure means no dangling nodes."""
+    # Pin the incoming edge set FIRST: it is read by both union
+    # branches and (via sym) by the degree aggregate — without the
+    # checkpoint an expensive edge-gen lineage (the LSH pipeline)
+    # re-executes once per consumer branch inside the one action.
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
-    # Fold the out-degree onto each edge ONCE and pin it: every
-    # iteration then does one join (ranks) + one groupBy instead of
-    # re-deriving the degree aggregate per materialization — at K
-    # iterations that is K fewer shuffles over the edge set.
-    sym_deg = sym.join(deg, "src").localCheckpoint(eager=False)
+    # Fold the out-degree onto each edge ONCE: every iteration then
+    # does one join (ranks) + one groupBy instead of re-deriving the
+    # degree aggregate per materialization.  The loop-invariant edge
+    # table is repartitioned by the join key and persist()-ed — NOT
+    # localCheckpoint-ed: a checkpoint scan reports Unknown
+    # partitioning, so every iteration would re-exchange the FULL
+    # edge set, while the cache keeps the hash partitioning visible
+    # and each iteration ships only the small rank table to it (the
+    # GraphX pattern: edges stay put, ranks move).
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    sym_deg = sym.join(deg, "src").repartition(n_part, "src").persist()
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
