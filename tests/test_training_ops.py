@@ -1,0 +1,111 @@
+"""Semantics tests for the round-3 training-pipeline operators —
+constructed cases and brute-force cross-checks, complementing the
+DuckDB oracles (which run on fixture data and could in principle both
+be wrong the same way about an edge the fixtures never hit)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.operators.dedup import repeated_spans
+from grpc_map_reduce_spark.operators.sampling import (
+    EPOCH_SHUFFLE_SHARDS,
+    epoch_shuffle,
+)
+from grpc_map_reduce_spark.operators.similarity import (
+    SEMDEDUP_THRESHOLD,
+    embedding_kmeans,
+    semdedup,
+)
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def test_repeated_spans_constructed_semantics(spark):
+    """Shared windows count only across docs; a window repeated INSIDE
+    one doc is not 'shared'; docs shorter than the window emit 0/0."""
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, phrase + " one two three"),          # shares the phrase w/ doc 2
+            (2, "x y " + phrase),                     # shares w/ doc 1
+            (3, phrase.replace("alpha", "omega")),    # unique windows only
+            (4, "too short"),                         # < 8 tokens → no windows
+            (5, phrase + " filler " + phrase),        # internal repeat, no partner
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_spans(docs, w=8).collect()}
+    assert out[4]["n_windows"] == 0 and out[4]["n_shared_windows"] == 0
+    # docs 1 and 2 share exactly the one full-phrase window
+    assert out[1]["n_shared_windows"] == 1
+    assert out[2]["n_shared_windows"] == 1
+    assert out[3]["n_shared_windows"] == 0
+    # doc 5's repeat of the phrase matches docs 1/2 (cross-doc), but its
+    # internal duplication must not inflate the count beyond its
+    # DISTINCT shared windows
+    assert out[5]["n_shared_windows"] <= out[5]["n_windows"]
+    for r in out.values():
+        if r["n_windows"]:
+            assert r["shared_bp"] == r["n_shared_windows"] * 10000 // r["n_windows"]
+
+
+def test_semdedup_matches_bruteforce(spark, sf_dir):
+    """keep/n_prior_dups must equal a numpy brute force that reuses the
+    operator's own cluster assignment."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    order = np.argsort(vids)
+    vids, V = vids[order], V[order]
+
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in embedding_kmeans(emb).collect()
+    }
+    got = {r["vec_id"]: r for r in semdedup(emb).collect()}
+    assert set(got) == set(assign)
+
+    sims = np.round(V @ V.T, 6)
+    for i, vid in enumerate(vids):
+        prior = [
+            j for j in range(i)
+            if assign[int(vids[j])] == assign[int(vid)]
+        ]
+        nd = sum(1 for j in prior if sims[i, j] >= SEMDEDUP_THRESHOLD)
+        r = got[int(vid)]
+        assert r["cluster"] == assign[int(vid)]
+        assert r["n_prior_dups"] == nd, f"vec {vid}"
+        assert r["keep"] == (nd == 0)
+        want_mx = max((sims[i, j] for j in prior), default=-2.0)
+        assert abs(r["max_prior_sim"] - want_mx) < 1e-9
+
+
+def test_epoch_shuffle_is_a_sharded_permutation(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = epoch_shuffle(docs).select("doc_id", "shard", "shuffle_pos").collect()
+    assert len(out) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < EPOCH_SHUFFLE_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_pos"])
+    # positions within each shard are exactly 1..n (a permutation)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    # a different seed produces a different permutation (same doc set)
+    a = {(r["doc_id"], r["shard"], r["shuffle_pos"]) for r in out}
+    b = {
+        (r["doc_id"], r["shard"], r["shuffle_pos"])
+        for r in epoch_shuffle(docs, seed=18)
+        .select("doc_id", "shard", "shuffle_pos").collect()
+    }
+    assert a != b
+    # ...and the same seed is bit-identical (determinism)
+    c = {
+        (r["doc_id"], r["shard"], r["shuffle_pos"])
+        for r in epoch_shuffle(docs)
+        .select("doc_id", "shard", "shuffle_pos").collect()
+    }
+    assert a == c
