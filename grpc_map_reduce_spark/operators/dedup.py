@@ -640,17 +640,22 @@ def repeated_spans(docs: DataFrame, w: int = SPAN_WINDOW) -> DataFrame:
     shared = (
         wh.groupBy("wh").agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("wh")
+        .select("wh", F.lit(1).alias("is_shared"))
     )
+    # ONE pass over the window table computes both per-doc counts:
+    # tag each window with its shared flag (left join), then a single
+    # groupBy(doc_id) — instead of a semi-join plus two separate
+    # aggregations joined back together.
     per_doc = (
-        wh.join(shared, "wh", "left_semi")
+        wh.join(shared, "wh", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared_windows"))
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).alias("n_shared_windows"),
+        )
     )
-    totals = wh.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
     return (
         docs.select("doc_id")
-        .join(totals, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
