@@ -68,3 +68,17 @@ def write_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
 def write_jsonl(df: DataFrame, path: str) -> None:
     """Export as newline-delimited JSON part files."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC — the other columnar interchange format.  Unlike the
+    text formats above, ORC carries its own schema and column
+    statistics, so no DDL string is required and scans get predicate
+    pushdown + column pruning exactly like parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Export as ORC part files (columnar, stats-bearing — a query
+    target in its own right, not just a landing zone)."""
+    df.write.mode("overwrite").orc(path)

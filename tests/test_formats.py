@@ -67,3 +67,18 @@ def test_partitioned_landing_prunes_directories(spark, sf_dir, tmp_path):
     got = df.filter(F.col("c_nationkey") == 3).count()
     want = cust.filter(F.col("c_nationkey") == 3).count()
     assert got == want > 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trips value-identical with no DDL needed, and — being
+    columnar with stats — gets predicate pushdown like parquet."""
+    from grpc_map_reduce_spark.plans.audit import explain_str
+    from grpc_map_reduce_spark.sources.formats import read_orc, write_orc
+
+    cust = table(spark, sf_dir, "customer")
+    write_orc(cust, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc"))
+    assert back.schema == cust.schema
+    assert _rows(back) == _rows(cust)
+    plan = explain_str(back.filter(F.col("c_custkey") == 42))
+    assert "PushedFilters" in plan and "EqualTo(c_custkey,42)" in plan

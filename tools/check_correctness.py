@@ -90,6 +90,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # driver smoke: entry() must run and return rows on a live session
+    n_entry = entry.entry(spark).count()
+    print(f"{'entry()':35s} ok ({n_entry} rows)", flush=True)
+
     queries = entry.queries()
     oracles = entry.oracle_sql()
     results = {}
