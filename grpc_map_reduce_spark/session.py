@@ -41,6 +41,17 @@ DEFAULT_CONF: dict[str, str] = {
     # to survive 100 TB inputs.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Runtime bloom-filter join pruning: when a fact table sort-merge
+    # joins a selectively-filtered side too big to broadcast, inject a
+    # bloom filter built from the filtered side's join keys into the
+    # fact scan — at 100 TB this skips the shuffle for every fact row
+    # whose key cannot match (the dynamic-filtering analog of static
+    # partition pruning).  Threshold lowered so fixture-scale plans
+    # exercise the same path the big cluster relies on.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(
+        64 * 1024 * 1024
+    ),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

@@ -240,6 +240,32 @@ def test_pack_sequences_single_window_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """When a fact table sort-merge joins a selectively-filtered side
+    too big to broadcast, the optimizer must inject a runtime bloom
+    filter from the filtered side's keys into the fact scan (dynamic
+    filtering).  The application-side size gate is lowered so
+    fixture-scale data exercises the same rewrite a 100 TB scan
+    relies on."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        plan = explain_str(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "bloom" in plan.lower(), f"no runtime bloom filter:\n{plan}"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_epoch_shuffle_no_global_sort(spark, sf_dir):
     """The epoch permutation must never range-partition (global sort):
     one hash exchange on the shard key, per-shard window sorts only."""
