@@ -25,6 +25,8 @@ the planner trust the layout.  Plan-level guarantees are asserted in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,6 +56,28 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
 def write_date_partitioned(df: DataFrame, path: str, date_col: str) -> None:
     """Write hive-style ``{path}/{date_col}=YYYY-MM-DD/...`` layout."""
     df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+
+
+def compact(spark: SparkSession, path: str,
+            target_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~``target_bytes`` files.
+
+    Streaming ingest and partition-granular upserts both strand small
+    files; at 100 TB the cost is real — every scan pays one task +
+    footer read per file, and tiny row groups defeat min/max skipping.
+    Compaction = read, repartition to ceil(bytes/target), rewrite.
+    The frame is localCheckpoint-ed because the write overwrites its
+    own input (same contract as :func:`upsert_date_partitions`).
+    Returns (files_before, files_after).
+    """
+    import glob
+
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path).repartition(n_out).localCheckpoint()
+    df.write.mode("overwrite").parquet(path)
+    return len(files), len(glob.glob(f"{path}/**/*.parquet", recursive=True))
 
 
 def upsert_date_partitions(spark: SparkSession, path: str, updates: DataFrame,

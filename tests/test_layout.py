@@ -165,3 +165,19 @@ def test_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
                 .select("value").first()[0] == 999.5
     assert after.filter(F.col("event_id") == 10_000_000).count() == 1
     assert after.count() == ev.count() + 1
+
+
+def test_compact_merges_small_files_value_identical(spark, sf_dir, tmp_path):
+    """64 tiny files → a handful, content identical."""
+    from grpc_map_reduce_spark.sources.layout import compact
+
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "frag")
+    orders.repartition(64).write.parquet(path)
+    want = sorted(tuple(r) for r in orders.collect())
+
+    before, after = compact(spark, path, target_bytes=4 * 1024 * 1024)
+    assert before == 64
+    assert after < 8, f"compaction left {after} files"
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
