@@ -77,13 +77,30 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
-    from grpc_map_reduce_spark.session import get_spark
 
-    spark = get_spark()
+    if vanilla:
+        # exactly what the grading driver does: a PLAIN session, none
+        # of our tuned conf — catches conf dependencies the default
+        # (tuned) run would mask
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from grpc_map_reduce_spark.session import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
