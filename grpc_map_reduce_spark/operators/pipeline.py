@@ -93,8 +93,139 @@ WHERE quality_bp >= {QUALITY_MIN_BP}
 """
 
 
+# --------------------------------------------------------------------------
+# The round-3 capstone composition: the LLM-training data path end to
+# end — exact dedup → quality gate → DSIR target-likeness selection →
+# sharded epoch shuffle — one declarative dataflow.  DSIR's language
+# models are (correctly) fit on the CLEANED corpus, not the raw crawl:
+# composition order is part of the semantics, and the chained DuckDB
+# oracle pins exactly that order.
+def training_prep(docs: DataFrame,
+                  quality_min_bp: int = QUALITY_MIN_BP) -> DataFrame:
+    """documents → (doc_id, source, logw, shard, shuffle_pos) for the
+    selected training subset."""
+    from grpc_map_reduce_spark.operators.sampling import (
+        dsir_scores,
+        epoch_shuffle,
+    )
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    qual = (
+        quality_scores(kept)
+        .filter(F.col("quality_bp") >= quality_min_bp)
+        .select("doc_id")
+    )
+    surv = kept.join(qual, "doc_id")
+    sel = dsir_scores(surv).filter(F.col("target_like")).select(
+        "doc_id", "source", "logw"
+    )
+    return epoch_shuffle(sel).select(
+        "doc_id", "source", "logw", "shard", "shuffle_pos"
+    )
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_prep(table(spark, sf_dir, "documents"))
+
+
+def _training_prep_oracle() -> str:
+    from grpc_map_reduce_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+        EPOCH_SHUFFLE_SEED,
+        EPOCH_SHUFFLE_SHARDS,
+    )
+
+    return rf"""
+WITH keeps AS (
+    SELECT doc_id, source, text
+    FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+),
+f AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> ''))                                AS n_words,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+               w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w)))
+                                                                         AS n_stop,
+           len(regexp_extract_all(text, '[^\w\s]'))                      AS n_punct,
+           length(text)                                                  AS n_chars
+    FROM keeps
+),
+qual AS (
+    SELECT doc_id FROM f
+    WHERE CAST(floor((0.4 * least(n_words / 100.0, 1.0)
+              + 0.3 * least((n_stop * 1.0 / n_words) * 10, 1.0)
+              + 0.3 * (1 - least((n_punct * 1.0 / n_chars) * 5, 1.0))) * 10000)
+          AS BIGINT) >= {QUALITY_MIN_BP}
+),
+surv AS (
+    SELECT k.doc_id, k.source, k.text FROM keeps k JOIN qual USING (doc_id)
+),
+toks AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(word), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM surv
+    )
+    WHERE word <> ''
+),
+counts AS (
+    SELECT b, count(*) AS cr,
+           sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS ct
+    FROM toks GROUP BY b
+),
+tot AS (
+    SELECT CAST(sum(cr) AS DOUBLE) AS r_total,
+           CAST(sum(ct) AS DOUBLE) AS t_total
+    FROM counts
+),
+lam AS (
+    SELECT b,
+           ln((ct + 1) / (t_total + {DSIR_BUCKETS}))
+           - ln((cr + 1) / (r_total + {DSIR_BUCKETS})) AS lam
+    FROM counts CROSS JOIN tot
+),
+sel AS (
+    SELECT doc_id, source, round(sum(lam), 4) AS logw
+    FROM toks JOIN lam USING (b)
+    GROUP BY doc_id, source
+    HAVING round(sum(lam), 4) > 0
+),
+h AS (
+    SELECT doc_id, source, logw,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e{EPOCH_SHUFFLE_SEED}'),
+                           1, 8))::BIGINT AS hv
+    FROM sel
+)
+SELECT doc_id, source, logw,
+       CAST(hv % {EPOCH_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY hv % {EPOCH_SHUFFLE_SHARDS} ORDER BY hv, doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+
+ORACLE_TRAINING_PREP = _training_prep_oracle()
+
+
 QUERIES = [
     ("pipeline_corpus_prep", q_corpus_prep, ORACLE_CORPUS_PREP,
      "Composed corpus-prep pipeline: exact dedup -> quality filter -> "
      "stratified sample, one fused plan."),
+    ("pipeline_training_prep", q_training_prep, ORACLE_TRAINING_PREP,
+     "Capstone composition: dedup -> quality gate -> DSIR selection "
+     "(LMs fit on the cleaned corpus) -> sharded epoch shuffle."),
 ]
