@@ -52,8 +52,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Optional subset (comma-separated names) — lets the contract test
+    # exercise the full harness in seconds instead of minutes.  The
+    # driver never sets this; the output shape is identical.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
+
     timings: dict[str, float] = {}
     for name, q in sorted(registry.all_queries().items()):
+        if only_set is not None and name not in only_set:
+            continue
         t0 = time.perf_counter()
         df = q.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
