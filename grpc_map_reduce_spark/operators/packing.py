@@ -182,7 +182,80 @@ WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
 """
 
 
+# --------------------------------------------------------------------------
+# Length-bucketed curriculum: group docs of similar token length so
+# training batches waste minimal padding.  The naive formulation —
+# ``ntile(K) OVER (ORDER BY n_tokens)`` — is a GLOBAL SORT (every row
+# through one ordering); the scale formulation computes the K−1 exact
+# length percentiles (one tiny all-to-one aggregate), broadcasts them,
+# and assigns buckets map-side — the corpus itself never sorts and the
+# only full shuffle is the per-bucket stats window.
+LENGTH_BUCKETS = 8
+
+
+def length_buckets(docs: DataFrame, k: int = LENGTH_BUCKETS) -> DataFrame:
+    """(doc_id, n_tokens, bucket, bucket_size) — equal-frequency
+    length buckets, 1-based; bucket = 1 + #boundaries strictly below
+    the doc's token count."""
+    toks = docs.select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    qs = [i / k for i in range(1, k)]
+    bounds = toks.agg(
+        F.percentile("n_tokens", F.lit(qs)).alias("bs")
+    )
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("n_tokens") > b, 1).otherwise(0),
+        )
+    ).cast("long")
+    w = Window.partitionBy("bucket")
+    return (
+        toks.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "n_tokens", bucket.alias("bucket"))
+        .withColumn("bucket_size", F.count("*").over(w))
+    )
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_buckets(table(spark, sf_dir, "documents"))
+
+
+def _length_buckets_oracle() -> str:
+    k = LENGTH_BUCKETS
+    qs = ", ".join(str(i / k) for i in range(1, k))
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+bounds AS (
+    SELECT quantile_cont(n_tokens, [{qs}]) AS bs FROM toks
+),
+assigned AS (
+    SELECT doc_id, n_tokens,
+           CAST(1 + len(list_filter(bs, b -> n_tokens > b)) AS BIGINT) AS bucket
+    FROM toks CROSS JOIN bounds
+)
+SELECT doc_id, n_tokens, bucket,
+       count(*) OVER (PARTITION BY bucket) AS bucket_size
+FROM assigned
+"""
+
+
+ORACLE_LENGTH_BUCKETS = _length_buckets_oracle()
+
+
 QUERIES = [
+    ("docs_length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS,
+     "Equal-frequency length-bucketed curriculum (broadcast percentile "
+     "boundaries, map-side assignment — no global sort)."),
     ("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES,
      "Sequence packing: fixed-token-budget training sequences via window cumsum."),
     ("decontaminate_ngram", q_decontaminate, ORACLE_DECONTAMINATE,
