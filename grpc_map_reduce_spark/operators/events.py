@@ -549,7 +549,73 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
 """
 
 
+# --------------------------------------------------------------------------
+# Conversion funnel with STRICT step ordering: a user "converts" at
+# step k only via an event strictly after their step-k−1 time — the
+# event-analytics workhorse.  Each stage is a filtered min-aggregate
+# chained through a join; every agg and join keys on user_id, so after
+# the first shuffle the whole cascade is co-partitioned (one exchange
+# of the events table per stage filter, tiny per-user tables after).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """(user_id, did_<step>...) — strict-order funnel completion flags
+    for every user in the event log."""
+    users = events.select("user_id").distinct()
+    out = users
+    prev_t = None
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col("event_type") == step)
+        if prev_t is not None:
+            ev = ev.join(prev_t, "user_id").filter(
+                F.col("ts") > F.col("_prev")
+            )
+        cur = ev.groupBy("user_id").agg(F.min("ts").alias("_prev"))
+        out = out.join(
+            cur.select("user_id", F.lit(True).alias(f"did_{step}")),
+            "user_id", "left",
+        ).withColumn(f"did_{step}", F.coalesce(f"did_{step}", F.lit(False)))
+        prev_t = cur
+    return out
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.t
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN t2 ON e.user_id = t2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t
+    GROUP BY e.user_id
+)
+SELECT u.user_id,
+       t1.user_id IS NOT NULL AS did_view,
+       t2.user_id IS NOT NULL AS did_click,
+       t3.user_id IS NOT NULL AS did_purchase
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+"""
+
+
 QUERIES = [
+    ("events_funnel", q_funnel, ORACLE_FUNNEL,
+     "Strict-order conversion funnel (view -> click -> purchase), "
+     "chained filtered min-aggregates co-partitioned on user_id."),
     ("events_tumbling_window", q_tumbling_window, ORACLE_TUMBLING,
      "Tumbling 1h window aggregation + JSON props extraction "
      "(batch twin of the streaming op)."),
