@@ -612,7 +612,50 @@ LEFT JOIN t3 ON u.user_id = t3.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day; for each (cohort,
+# day-offset) cell, how many distinct cohort members were active.  One
+# min-agg for cohorts (user-keyed), one join back, one distinct-count
+# agg — every step keys on user_id or the small (cohort, offset) pair.
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_active) retention matrix."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(table(spark, sf_dir, "events"))
+
+
+ORACLE_COHORT = """
+WITH days AS (
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_active
+FROM days d JOIN cohorts c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
+    ("events_cohort_retention", q_cohort_retention, ORACLE_COHORT,
+     "Cohort retention matrix: first-seen day x day offset x distinct "
+     "active users."),
     ("events_funnel", q_funnel, ORACLE_FUNNEL,
      "Strict-order conversion funnel (view -> click -> purchase), "
      "chained filtered min-aggregates co-partitioned on user_id."),
