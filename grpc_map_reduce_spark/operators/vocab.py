@@ -105,8 +105,111 @@ GROUP BY t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# BPE merge induction (Sennrich et al., ACL'16): learn the first K
+# byte-pair merges from corpus word frequencies — the tokenizer-
+# TRAINING side of the vocabulary story (vocab_oov above is the
+# tokenizer-EVALUATION side).
+#
+# Distributed shape per round: one explode of adjacent symbol pairs +
+# one weighted count aggregate over the (unique-word, count) table —
+# NOT the raw corpus; the word-frequency table is the classic BPE
+# working set and is many orders smaller than the corpus at any scale.
+# The argmax pair comes to the driver as ONE row per round (the same
+# O(1)-scalar-per-iteration contract as the CC loop's convergence
+# check), and the merge itself is a vectorized Arrow UDF over the
+# word table.  The merge SEQUENCE is inherently sequential — that is
+# BPE — but every round's heavy step is a full Spark aggregate.
+#
+# Iterative + argmax-tie-break semantics make this genuinely
+# non-SQL-expressible, so it registers rows-only; exactness is gated
+# by tests/test_bpe.py against a pure-Python reference implementation.
+BPE_MERGES = 10
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """(rank, left, right, merged, pair_count) — the first
+    ``n_merges`` BPE merges learned from the corpus.
+
+    Ties on pair count break lexicographically on (left, right) so
+    the merge sequence is deterministic across engines and runs.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    wc = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .select(
+            F.split(F.col("word"), "").alias("syms"),
+            "n",
+        )
+        .localCheckpoint()  # the loop re-reads this table every round
+    )
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            wc.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "i", "left"
+                ),
+                F.col("syms"),
+                F.col("n"),
+            )
+            .select(
+                "left",
+                F.expr("syms[i + 1]").alias("right"),
+                "n",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("left"), F.col("right")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merges.append((rank, left, right, left + right, cnt))
+
+        def _apply(batches, left=left, right=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == left
+                                and syms[i + 1] == right):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"syms": out, "n": pdf["n"]})
+
+        wc = wc.mapInPandas(
+            _apply, schema="syms array<string>, n long"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, schema="rank long, left string, right string, "
+                       "merged string, pair_count long"
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merges(table(spark, sf_dir, "documents"))
+
+
 QUERIES = [
     ("vocab_oov", q_vocab_oov, ORACLE_VOCAB_OOV,
      "Top-K corpus vocabulary (partial top-K, no global sort) + "
      "per-doc OOV rate via broadcast membership probe."),
+    ("vocab_bpe_merges", q_bpe_merges, None,
+     "BPE tokenizer-merge induction: K rounds of weighted pair "
+     "counting over the word-frequency table (rows-only; exact-match "
+     "gate vs pure-Python BPE in test_bpe.py)."),
 ]
