@@ -137,6 +137,14 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     import pandas as pd
 
     spark = docs.sparkSession
+    # The corpus-sized work is the word count; the merge loop then
+    # operates on the UNIQUE-word table, which is orders of magnitude
+    # smaller at any scale (≤ a few 10M rows at 100 TB — one
+    # executor's worth).  Checkpoint FIRST at full parallelism (a
+    # coalesce before the checkpoint would collapse the corpus scan
+    # itself to 4 tasks — the classic coalesce pitfall, measured 8×
+    # slower), then coalesce the tiny pinned table so each loop round
+    # schedules a handful of tasks.
     wc = (
         docs.select(F.explode(words("text")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("n"))
@@ -145,6 +153,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             "n",
         )
         .localCheckpoint()  # the loop re-reads this table every round
+        .coalesce(4)
     )
 
     merges = []
@@ -190,9 +199,11 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                     out.append(merged)
                 yield pd.DataFrame({"syms": out, "n": pdf["n"]})
 
+        # lazy: the next round's argmax collect materializes it, so
+        # each round runs ONE job instead of two
         wc = wc.mapInPandas(
             _apply, schema="syms array<string>, n long"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         merges, schema="rank long, left string, right string, "
