@@ -109,3 +109,51 @@ def test_epoch_shuffle_is_a_sharded_permutation(spark, sf_dir):
         .select("doc_id", "shard", "shuffle_pos").collect()
     }
     assert a == c
+
+
+def test_dsir_scores_match_pure_python(spark, sf_dir):
+    """logw must equal an independent pure-Python reconstruction of
+    the hashed-unigram importance weights (same md5 bucketing, same
+    add-one smoothing) to within float-sum reordering tolerance."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from grpc_map_reduce_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+        dsir_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    token_re = re.compile(r"[^a-z]+")
+    per_doc: dict[int, tuple[str, list[int]]] = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        bs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+            for w in token_re.split(r["text"].lower()) if w
+        ]
+        per_doc[r["doc_id"]] = (r["source"], bs)
+
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    for src, bs in per_doc.values():
+        cr.update(bs)
+        if src == DSIR_TARGET_SOURCE:
+            ct.update(bs)
+    r_total, t_total = sum(cr.values()), sum(ct.values())
+    lam = {
+        b: math.log((ct[b] + 1) / (t_total + DSIR_BUCKETS))
+        - math.log((cr[b] + 1) / (r_total + DSIR_BUCKETS))
+        for b in cr
+    }
+
+    got = {r["doc_id"]: r for r in dsir_scores(docs).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, (src, bs) in per_doc.items():
+        want = round(sum(lam[b] for b in bs), 4)
+        r = got[doc_id]
+        assert abs(r["logw"] - want) <= 1e-4 + 1e-9, doc_id
+        assert r["target_like"] == (r["logw"] > 0)
+        assert r["source"] == src
