@@ -30,7 +30,6 @@ from grpc_map_reduce_spark.functions.text import (
     distinct_shingle_hashes_udf,
     words,
 )
-from grpc_map_reduce_spark.operators.text_analysis import RH_B, RH_P
 from grpc_map_reduce_spark.sources.tables import table
 
 
@@ -586,12 +585,26 @@ SELECT doc_a, doc_b, jaccard FROM pairs
 # no suffix array, embarrassingly scalable.
 SPAN_WINDOW = 8
 
+# Window hashes get their OWN 61-bit space (NOT doc_rolling_hash's
+# 31-bit RH_P): at 100 TB there are 1e9-1e10 distinct windows, and a
+# 31-bit space birthday-collides so badly that most windows would be
+# spuriously "shared" (count>=2) — silently inflating shared_bp, with
+# the oracle (same hash) unable to notice.  2^61-1 is Mersenne like
+# RH_P, term hashes take 60 bits of md5 (mirroring the shingle-hash
+# path); the Python accumulator is arbitrary-precision and the DuckDB
+# twin accumulates in HUGEINT, so the (acc*B + t) product never
+# overflows int64 before the mod.  doc_rolling_hash itself stays on
+# RH_P because its Spark side folds JVM-long arithmetic (F.aggregate),
+# where a 61-bit modulus would overflow.
+SPAN_P = (1 << 61) - 1
+SPAN_B = 1_000_003
+
 
 def window_hashes_udf(w: int = SPAN_WINDOW):
     """Vectorized producer of the doc's DISTINCT width-``w`` token-
-    window rolling hashes (first-occurrence order).  Hash = the
-    doc_rolling_hash polynomial ((acc·B + md5term) mod P) folded over
-    each window; docs shorter than ``w`` tokens emit no windows."""
+    window rolling hashes (first-occurrence order).  Hash = polynomial
+    ((acc·SPAN_B + md5term) mod SPAN_P) folded over each window; docs
+    shorter than ``w`` tokens emit no windows."""
     import hashlib
     import re
 
@@ -607,14 +620,14 @@ def window_hashes_udf(w: int = SPAN_WINDOW):
         for t in text:
             ws = [x for x in token_re.split(t.lower()) if x]
             hs = [
-                int(hashlib.md5(x.encode()).hexdigest()[:7], 16) % RH_P
+                int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % SPAN_P
                 for x in ws
             ]
             wins = {}
             for i in range(len(hs) - w + 1):
                 acc = 0
                 for term in hs[i:i + w]:
-                    acc = (acc * RH_B + term) % RH_P
+                    acc = (acc * SPAN_B + term) % SPAN_P
                 wins[acc] = None
             out.append(list(wins))
         return pd.Series(out)
@@ -685,14 +698,14 @@ WITH toks AS (
 ),
 hs AS (
     SELECT doc_id,
-           list_transform(ws, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT % {RH_P}) AS hl
+           list_transform(ws, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {SPAN_P}) AS hl
     FROM toks
 ),
 wins AS (
     SELECT DISTINCT doc_id,
            list_reduce(
-               list_prepend(CAST(0 AS BIGINT), hl[i:i+{SPAN_WINDOW - 1}]),
-               (acc, t) -> (acc * {RH_B} + t) % {RH_P}) AS wh
+               list_prepend(CAST(0 AS HUGEINT), hl[i:i+{SPAN_WINDOW - 1}]),
+               (acc, t) -> (acc * {SPAN_B} + t) % {SPAN_P})::BIGINT AS wh
     FROM hs, unnest(range(1, greatest(len(hl) - {SPAN_WINDOW - 1}, 0) + 1)) AS t(i)
 ),
 shared AS (

@@ -255,9 +255,9 @@ WITH flagged AS (
     FROM events
 ),
 sessions AS (
-    SELECT *, sum(new_session) OVER (
+    SELECT *, CAST(sum(new_session) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id, session_seq,
@@ -367,9 +367,9 @@ WITH flagged AS (
     FROM events
 ),
 sessions AS (
-    SELECT *, sum(new_session) OVER (
+    SELECT *, CAST(sum(new_session) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id,

@@ -48,8 +48,12 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode(payload: bytes, fmt: str) -> bytes:
-    """Decode stub.  Real codecs are not available in this
-    environment; only the deterministic fake format passes through."""
+    """Decode stub.  Real codecs are not available in this environment
+    (``import PIL`` re-checked unavailable in round 4, and installs are
+    off-limits); only the deterministic fake format passes through.  To
+    go real: ``Image.open(io.BytesIO(payload))`` for images /
+    ffmpeg-pipe for av — one function body, the mapInPandas plumbing
+    above is already batch-shaped for it."""
     if fmt == "rawtext":
         return payload
     raise NotImplementedError(
@@ -152,7 +156,21 @@ def sample_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    return extract_features(attach_fake_media(docs.repartition(n_part, "doc_id")))
+    feats = extract_features(attach_fake_media(docs.repartition(n_part, "doc_id")))
+    # the operator keeps feat as a real array<double>; the registered
+    # query serializes it to a JSON string at the edge because raw list
+    # columns crash the driver's pandas canonicalizer (r3
+    # collection_functions ERR).  Elements go through fixed '%.4f'
+    # formatting first — Spark's Jackson prints small doubles as
+    # "4.0E-4" where DuckDB's yyjson prints "0.0004", so raw-double
+    # JSON would not byte-match.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.to_json(
+            F.transform("feat", lambda x: F.format_string("%.4f", x))
+        ).alias("feat"),
+    )
 
 
 # The fake featurizer is pure md5 math, so even the multimodal path is
@@ -161,10 +179,10 @@ ORACLE_MULTIMODAL = f"""
 SELECT
     doc_id,
     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-    list_transform(
+    CAST(to_json(list_transform(
         range(0, {FEAT_DIM}),
-        i -> round((('0x' || substr(md5(text), i * 4 + 1, 4))::BIGINT) / 65535.0, 4)
-    ) AS feat
+        i -> printf('%.4f', round((('0x' || substr(md5(text), i * 4 + 1, 4))::BIGINT) / 65535.0, 4))
+    )) AS VARCHAR) AS feat
 FROM documents
 """
 

@@ -641,10 +641,13 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY pc DESC, o_orderkey)
 # round trip, so the whole post-aggregation stage is map-only on the
 # grouped rows.  One shuffle total (the collect_list groupBy).
 #
-# Hash-compare note: arrays canonicalize as JSON lists identically
-# from both engines; maps do NOT (engine-specific rendering), so map
-# results are reduced to arrays/scalars (map_keys, one element_at)
-# before leaving the query.
+# Hash-compare note: every array column is serialized to a JSON
+# *string* on the way out (Spark to_json / DuckDB to_json::VARCHAR,
+# byte-identical compact rendering) because a raw list column crashes
+# pandas-based canonicalizers (Categorical sort → "unhashable type:
+# 'list'", driver ERR in round 3).  Maps additionally render
+# engine-specifically, so map results are reduced to arrays/scalars
+# (map_keys, one element_at) before the JSON step.
 def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag",
@@ -662,14 +665,14 @@ def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(
         "l_orderkey",
-        "prices",
+        F.to_json("prices").alias("prices"),
         F.size("prices").cast("long").alias("n_items"),
-        F.slice(F.sort_array("prices", asc=False), 1, 2).alias("top2"),
+        F.to_json(F.slice(F.sort_array("prices", asc=False), 1, 2)).alias("top2"),
         (F.element_at("prices", -1) - F.element_at("prices", 1)).alias("price_range"),
         F.exists("prices", lambda x: x > 300000).alias("has_big"),
         F.forall("prices", lambda x: x > 0).alias("all_pos"),
-        "flags",
-        F.map_keys(m).alias("positions"),
+        F.to_json("flags").alias("flags"),
+        F.to_json(F.map_keys(m)).alias("positions"),
         F.element_at(m, F.lit(2).cast("long")).alias("pos2_cents"),
     )
 
@@ -690,14 +693,14 @@ gm AS (
     SELECT *, map(range(1, len(prices) + 1), prices) AS m FROM g
 )
 SELECT l_orderkey,
-       prices,
+       CAST(to_json(prices) AS VARCHAR)                   AS prices,
        CAST(len(prices) AS BIGINT)                        AS n_items,
-       (list_sort(prices, 'DESC'))[1:2]                   AS top2,
+       CAST(to_json((list_sort(prices, 'DESC'))[1:2]) AS VARCHAR) AS top2,
        prices[-1] - prices[1]                             AS price_range,
        len(list_filter(prices, x -> x > 300000)) > 0      AS has_big,
        len(list_filter(prices, x -> x <= 0)) = 0          AS all_pos,
-       flags,
-       map_keys(m)                                        AS positions,
+       CAST(to_json(flags) AS VARCHAR)                    AS flags,
+       CAST(to_json(map_keys(m)) AS VARCHAR)              AS positions,
        map_extract(m, 2)[1]                               AS pos2_cents
 FROM gm
 """

@@ -94,7 +94,7 @@ hashed AS (
 sketch AS (
     SELECT j, bucket, sum(n_exact) AS counter FROM hashed GROUP BY j, bucket
 )
-SELECT word, n_exact, min(counter) AS n_est
+SELECT word, n_exact, CAST(min(counter) AS BIGINT) AS n_est
 FROM hashed JOIN sketch USING (j, bucket)
 GROUP BY word, n_exact
 """
@@ -131,7 +131,7 @@ SELECT
               < {SPLIT_TRAIN_PCT}
          THEN 'train' ELSE 'test' END AS split,
     count(*)                AS n_docs,
-    sum(n_chars)            AS total_chars,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
     round(avg(n_chars), 4)  AS avg_chars
 FROM documents
 GROUP BY 1

