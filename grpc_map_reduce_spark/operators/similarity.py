@@ -227,7 +227,7 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.4
 # Parameter note (probed on the fixture, threshold 0.4): the fixture's
 # near-dup pairs sit at s ∈ [0.4, 0.51] — an adversarially small gap
 # over random (p(0.45) ≈ 0.65 vs p(0) = 0.5) — where 96 bits / 6-bit
-# bands gives 0.70 recall while pruning to ~24 % of all pairs.  Real
+# bands gives 0.63 recall while pruning to ~24 % of all pairs.  Real
 # corpora near-dup at s ≥ 0.9 (p ≥ 0.86), where the same operator with
 # 16-bit bands is simultaneously selective (65k buckets/band) and
 # high-recall; the dataflow is identical, only (n_bits, rows_per_band)
@@ -235,6 +235,33 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.4
 EMB_LSH_BITS = 96
 EMB_LSH_ROWS_PER_BAND = 6
 EMB_LSH_SEED = 7
+
+
+def hyperplanes(seed: int, n_bits: int, dim: int):
+    """Deterministic hash-derived hyperplane matrix (n_bits × dim).
+
+    Entry (i, j) is uniform in [-1, 1): 2·(u/2^52) − 1 where u is the
+    first 52 md5 bits of ``"seed:k"``, k = i·dim + j.  Hash-derived
+    instead of ``np.random``: identical in every task/language with no
+    driver state and no RNG-implementation dependence, which is what
+    lets the DuckDB oracle replay the full LSH pipeline — u/2^52 and
+    the affine map are all power-of-two-exact in float64, so both
+    engines hold bit-identical matrices.  (Sign-projection LSH only
+    needs a symmetric direction distribution; the uniform cube is the
+    standard cheap substitute for Gaussian at these dims.)
+    """
+    import hashlib
+
+    import numpy as np
+
+    u = np.array(
+        [
+            int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:13], 16)
+            for k in range(n_bits * dim)
+        ],
+        dtype=np.float64,
+    )
+    return (2.0 * (u / 2.0**52) - 1.0).reshape(n_bits, dim)
 
 
 def embedding_lsh_candidates(corpus: DataFrame, n_bits: int = EMB_LSH_BITS,
@@ -267,8 +294,9 @@ def embedding_lsh_candidates(corpus: DataFrame, n_bits: int = EMB_LSH_BITS,
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             if H is None:
-                # Seeded → identical hyperplanes in every task/run.
-                H = np.random.RandomState(seed).standard_normal((n_bits, V.shape[1]))
+                # Hash-derived → identical hyperplanes in every
+                # task/run AND in the DuckDB oracle.
+                H = hyperplanes(seed, n_bits, V.shape[1])
             bits = (V @ H.T) >= 0  # sign bits; norm-invariant
             keys = bits.reshape(len(V), n_bands, r).astype(np.int64) @ weights
             yield pd.DataFrame({
@@ -315,8 +343,9 @@ def embedding_lsh_near_dup(corpus: DataFrame, threshold: float = 0.4,
     Output contract matches ``embedding_near_dup`` (id_a < id_b, sim
     rounded to 6 dp) restricted to candidate pairs; tests assert the
     subset property and a recall floor vs the exact operator.
-    Registered rows-only: the seeded hyperplane matrix is numpy-side,
-    so there is no DuckDB twin.
+    Hash-checked: the hyperplane matrix is md5-derived (see
+    :func:`hyperplanes`), so ORACLE_EMB_LSH replays signatures →
+    banding → candidates → exact rescore entirely in SQL.
     """
     import numpy as np
     import pandas as pd
@@ -356,6 +385,61 @@ def embedding_lsh_near_dup(corpus: DataFrame, threshold: float = 0.4,
 
 def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_near_dup(table(spark, sf_dir, "embeddings"))
+
+
+# Full SQL replay of the LSH pipeline: the md5-derived hyperplane
+# matrix is regenerated in the `h` CTE (bit-identical to
+# hyperplanes(), power-of-two-exact arithmetic), signatures and band
+# keys recomputed per vector, candidates bucket-joined, and survivors
+# rescored with the exact cosine — the same dataflow the Spark side
+# runs, so the approximate operator is hash-checked end-to-end rather
+# than rows-only.
+ORACLE_EMB_LSH = f"""
+WITH dims AS (
+    SELECT max(len(embedding)) AS d FROM embeddings
+),
+h AS (
+    SELECT i, j,
+           2.0 * ((('0x' || substr(md5('{EMB_LSH_SEED}:' || CAST(i * d + j AS VARCHAR)), 1, 13))::BIGINT)
+                  / 4503599627370496.0) - 1.0 AS w
+    FROM dims, unnest(range({EMB_LSH_BITS})) AS ti(i), unnest(range(d)) AS tj(j)
+),
+e AS (
+    SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(len(embedding))) AS t(j)
+),
+bits AS (
+    SELECT e.vec_id, h.i,
+           CASE WHEN sum(e.x * h.w) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM e JOIN h ON e.j = h.j
+    GROUP BY e.vec_id, h.i
+),
+keys AS (
+    SELECT vec_id, i // {EMB_LSH_ROWS_PER_BAND} AS band_idx,
+           CAST(sum(bit * (1 << (i % {EMB_LSH_ROWS_PER_BAND}))) AS BIGINT) AS key
+    FROM bits GROUP BY vec_id, i // {EMB_LSH_ROWS_PER_BAND}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM keys a
+    JOIN keys b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.vec_id < b.vec_id
+),
+prods AS (
+    SELECT c.id_a, c.id_b,
+           CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+           CAST(unnest(b.embedding) AS DOUBLE) AS be
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+),
+sims AS (
+    SELECT id_a, id_b,
+           round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6) AS sim
+    FROM prods GROUP BY 1, 2
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.4
+"""
 
 
 # --------------------------------------------------------------------------
@@ -881,7 +965,8 @@ QUERIES = [
      "E2 embedding-cosine near-dup pairs above a similarity threshold."),
     ("ann_ivf_topk", q_ivf_topk, None,
      "E2 IVF-indexed approximate top-k (scale path; rows-only + recall test)."),
-    ("embedding_lsh_neardup", q_embedding_lsh_near_dup, None,
+    ("embedding_lsh_neardup", q_embedding_lsh_near_dup, ORACLE_EMB_LSH,
      "E2 hyperplane-LSH near-dup candidates + exact cosine rescore "
-     "(sub-quadratic scale path; rows-only + recall test)."),
+     "(sub-quadratic scale path; md5-derived hyperplanes let the "
+     "oracle replay the full pipeline in SQL; + recall test)."),
 ]

@@ -22,9 +22,9 @@ def test_embedding_lsh_subset_and_recall(spark, sf_dir):
         assert exact[pair] == sim, f"rescored sim diverged for {pair}"
     if exact:
         recall = len(approx) / len(exact)
-        # Probed 0.70 at sf0.01 with 96 bits / 6-bit bands in the
-        # fixture's adversarial s∈[0.4, 0.51] regime (see module
-        # comment in similarity.py).
+        # Probed 0.63 at sf0.01 with 96 bits / 6-bit bands (md5-derived
+        # uniform hyperplanes) in the fixture's adversarial
+        # s∈[0.4, 0.51] regime (see module comment in similarity.py).
         assert recall >= 0.5, f"embedding-LSH recall collapsed: {recall}"
 
 
