@@ -36,6 +36,10 @@ from grpc_map_reduce_spark.sources.tables import table
 #: fixture corpus (probed at sf0.01: median 7040, p25 6124).
 QUALITY_MIN_BP = 6500
 
+#: DSIR training budget: how many of the scored survivors the capstone
+#: pipeline selects (take-K by importance weight).
+TRAINING_TOP_K = 100
+
 
 def corpus_prep(docs: DataFrame) -> DataFrame:
     """documents → training-ready (doc_id, lang, n_words, quality_bp)."""
@@ -101,9 +105,22 @@ WHERE quality_bp >= {QUALITY_MIN_BP}
 # composition order is part of the semantics, and the chained DuckDB
 # oracle pins exactly that order.
 def training_prep(docs: DataFrame,
-                  quality_min_bp: int = QUALITY_MIN_BP) -> DataFrame:
+                  quality_min_bp: int = QUALITY_MIN_BP,
+                  top_k: int = TRAINING_TOP_K) -> DataFrame:
     """documents → (doc_id, source, logw, shard, shuffle_pos) for the
-    selected training subset."""
+    selected training subset.
+
+    Selection is the deterministic take-K variant of DSIR's importance
+    resampling: rank the scored pool by (logw DESC, doc_id) and keep
+    the ``top_k`` most target-like docs — the paper's fixed training
+    budget, minus the Gumbel noise (seeded noise would hash-diverge
+    across engines; rank is reproducible everywhere).  A plain
+    ``logw > 0`` gate is degenerate on corpora whose sources share a
+    vocabulary distribution (all weights ≤ 0 — true of the synthetic
+    fixture), whereas a budget always selects.  Spark executes the
+    rank as TakeOrderedAndProject — per-partition top-K then a merge
+    of K-row heaps, never a global sort.
+    """
     from grpc_map_reduce_spark.operators.sampling import (
         dsir_scores,
         epoch_shuffle,
@@ -115,14 +132,24 @@ def training_prep(docs: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    qual = (
-        quality_scores(kept)
+    # quality gate inline: quality_scores carries text/source through
+    # (map-only), so the gate is a filter in the SAME flow — the old
+    # formulation joined a doc_id projection back to `kept`, costing
+    # two doc-keyed exchanges for a predicate Catalyst can just keep
+    # in the pipeline.
+    surv = (
+        quality_scores(kept, keep=("source", "text"))
         .filter(F.col("quality_bp") >= quality_min_bp)
-        .select("doc_id")
+        .select("doc_id", "source", "text")
     )
-    surv = kept.join(qual, "doc_id")
-    sel = dsir_scores(surv).filter(F.col("target_like")).select(
-        "doc_id", "source", "logw"
+    # complete=False: token-less docs score -inf-like (absent) and can
+    # never be selected, so the completion join (two more doc-keyed
+    # exchanges) buys nothing here.
+    sel = (
+        dsir_scores(surv, complete=False)
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(top_k)
+        .select("doc_id", "source", "logw")
     )
     return epoch_shuffle(sel).select(
         "doc_id", "source", "logw", "shard", "shuffle_pos"
@@ -201,7 +228,8 @@ sel AS (
     SELECT doc_id, source, round(sum(lam), 4) AS logw
     FROM toks JOIN lam USING (b)
     GROUP BY doc_id, source
-    HAVING round(sum(lam), 4) > 0
+    ORDER BY round(sum(lam), 4) DESC, doc_id
+    LIMIT {TRAINING_TOP_K}
 ),
 h AS (
     SELECT doc_id, source, logw,

@@ -310,7 +310,8 @@ DSIR_TARGET_SOURCE = "src0"
 
 
 def dsir_scores(docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE,
-                n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+                n_buckets: int = DSIR_BUCKETS,
+                complete: bool = True) -> DataFrame:
     """(doc_id, source, logw, target_like) — add-one-smoothed hashed
     unigram importance weights.
 
@@ -321,10 +322,20 @@ def dsir_scores(docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE,
     per-token broadcast join + one groupBy(doc) sum.  The raw corpus
     is never joined to itself and the only full shuffles are the
     bucket aggregation and the final per-doc aggregation.
+
+    ``complete=False`` skips the completion join that re-attaches
+    token-less documents (logw 0, never target-like): a pipeline that
+    only consumes the ``target_like`` survivors loses nothing, and the
+    plan drops the two doc-keyed join exchanges.  The token table is
+    lazily pinned because it feeds two consumers (count tables +
+    per-doc scoring) — without pinning each branch re-runs the whole
+    upstream (at 100 TB: the dedup window) to re-tokenize.
     """
     toks = docs.select(
         "doc_id", "source", F.explode(words("text")).alias("word")
-    ).withColumn("b", _md5_long(F.col("word")) % n_buckets)
+    ).withColumn("b", _md5_long(F.col("word")) % n_buckets).localCheckpoint(
+        eager=False
+    )
     # BOTH count tables from ONE tokenize pass: the target count is a
     # conditional aggregate of the same groupBy, not a second scan.
     counts = toks.groupBy("b").agg(
@@ -352,6 +363,10 @@ def dsir_scores(docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE,
         .groupBy("doc_id", "source")
         .agg(F.round(F.sum("lam"), 4).alias("logw"))
     )
+    if not complete:
+        return scored.select(
+            "doc_id", "source", "logw", (F.col("logw") > 0).alias("target_like")
+        )
     return (
         docs.select("doc_id", "source")
         .join(scored, ["doc_id", "source"], "left")

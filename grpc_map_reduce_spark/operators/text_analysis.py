@@ -127,10 +127,15 @@ FROM toks
 
 
 # --------------------------------------------------------------------------
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Composite quality score from length / punctuation / stopword
     ratios — the standard cheap pre-filter for LLM training corpora.
-    All Column math: map-only, zero shuffle at any scale."""
+    All Column math: map-only, zero shuffle at any scale.
+
+    ``keep`` names extra input columns to carry through — lets a
+    composed pipeline filter on quality and keep flowing (e.g. with
+    ``text``) without joining the scores back to the corpus.
+    """
     ws = words("text")
     n_words = F.size(ws)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
@@ -158,6 +163,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         bp(punct_ratio).alias("punct_bp"),
         bp(score).alias("quality_bp"),
         (bp(stop_ratio) >= 300).alias("looks_en"),
+        *keep,
     )
 
 
