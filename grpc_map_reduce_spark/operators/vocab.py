@@ -121,18 +121,83 @@ GROUP BY t.doc_id
 # word table.  The merge SEQUENCE is inherently sequential — that is
 # BPE — but every round's heavy step is a full Spark aggregate.
 #
+# Adaptive execution (AQE-in-spirit): when the pinned unique-word
+# table is small (≤ BPE_LOCAL_MAX_WORDS rows) the K merge rounds run
+# DRIVER-LOCAL on the collected table instead — this is how every
+# production BPE trainer works (Sennrich's reference implementation
+# and HF tokenizers train single-node over the word-frequency table;
+# only the corpus-side counting needs a cluster).  K driver-
+# synchronized Spark jobs over a 31-row table is pure scheduling
+# overhead (~0.3 s/round), and the collected object is vocabulary-
+# sized, NOT corpus-sized, so this is not a driver-side loop over
+# data.  Above the threshold the per-round Spark loop below runs
+# unchanged; both paths share the exact-match gate in
+# tests/test_bpe.py (the distributed path is forced with
+# ``local_max_words=0``).
+#
 # Iterative + argmax-tie-break semantics make this genuinely
 # non-SQL-expressible, so it registers rows-only; exactness is gated
 # by tests/test_bpe.py against a pure-Python reference implementation.
 BPE_MERGES = 10
 
+#: Unique-word count at or below which the merge loop runs driver-
+#: local.  64k words × ~8 symbols × K rounds ≈ 5M dict operations —
+#: about a second of driver CPU, versus K × ~0.3 s of Spark job
+#: scheduling for the same answer.
+BPE_LOCAL_MAX_WORDS = 1 << 16
 
-def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+
+def _merge_syms(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right application of one merge — the exact
+    semantics of the distributed ``_apply`` UDF and the canonical
+    Sennrich reference."""
+    merged, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            merged.append(left + right)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
+def _local_merge_loop(vocab: dict, n_merges: int) -> list:
+    """The K merge rounds over a collected {syms-tuple: count} table.
+    Identical argmax contract to the distributed loop: max pair
+    count, ties broken lexicographically on (left, right)."""
+    from collections import Counter
+
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, left, right, left + right, cnt))
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            key = tuple(_merge_syms(list(syms), left, right))
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return out
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES,
+               local_max_words: int = BPE_LOCAL_MAX_WORDS) -> DataFrame:
     """(rank, left, right, merged, pair_count) — the first
     ``n_merges`` BPE merges learned from the corpus.
 
     Ties on pair count break lexicographically on (left, right) so
     the merge sequence is deterministic across engines and runs.
+
+    The corpus-side word count always runs distributed; the merge
+    loop runs driver-local when the pinned unique-word table has at
+    most ``local_max_words`` rows (see module comment), else as K
+    driver-synchronized Spark rounds.
     """
     import pandas as pd
 
@@ -143,8 +208,8 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     # executor's worth).  Checkpoint FIRST at full parallelism (a
     # coalesce before the checkpoint would collapse the corpus scan
     # itself to 4 tasks — the classic coalesce pitfall, measured 8×
-    # slower), then coalesce the tiny pinned table so each loop round
-    # schedules a handful of tasks.
+    # slower); the count() below is then a cheap job over the pinned
+    # blocks, not a recompute.
     wc = (
         docs.select(F.explode(words("text")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("n"))
@@ -153,8 +218,19 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             "n",
         )
         .localCheckpoint()  # the loop re-reads this table every round
-        .coalesce(4)
     )
+
+    if wc.count() <= local_max_words:
+        vocab = {tuple(r["syms"]): r["n"] for r in wc.collect()}
+        return spark.createDataFrame(
+            _local_merge_loop(vocab, n_merges),
+            schema="rank long, left string, right string, "
+                   "merged string, pair_count long",
+        )
+
+    # large-table path: per-round Spark aggregate, coalesced so each
+    # round schedules a handful of tasks over the tiny pinned table
+    wc = wc.coalesce(4)
 
     merges = []
     for rank in range(1, n_merges + 1):

@@ -59,3 +59,11 @@ def test_bpe_merges_match_pure_python(spark, sf_dir):
         for r in bpe_merges(docs).orderBy("rank").collect()
     ]
     assert got == want
+
+    # the large-table path (per-round Spark loop) must produce the
+    # identical merge table — force it past the driver-local gate
+    got_dist = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, local_max_words=0).orderBy("rank").collect()
+    ]
+    assert got_dist == want
