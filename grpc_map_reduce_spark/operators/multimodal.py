@@ -6,12 +6,13 @@ frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas``, so executors stream record batches through Python
 without ever materializing a partition.
 
-The container has no codec libraries, so the *decode* step is stubbed
-(`NotImplementedError` for real formats) behind a deterministic fake
-format ``"rawtext"`` whose payload is just the document's UTF-8
-bytes.  Everything Spark-side — schema, partitioning, the mapInPandas
-batch contract, the feature math — is real and tested; swapping the
-stub for PIL/ffmpeg changes one function body.
+Codecs: ``"png"`` is decoded for REAL by the pure-stdlib codec in
+functions/png.py (round 4 — DEFLATE is stdlib zlib; the chunk parse
+and scanline unfiltering are public spec).  ``"rawtext"`` remains the
+deterministic fake whose payload is the document's UTF-8 bytes, so
+the text-backed fixtures stay oracle-checkable.  Formats that truly
+need external libraries (JPEG, video) raise ``NotImplementedError``
+at the one-function codec boundary.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.png import decode_png, encode_png
 from grpc_map_reduce_spark.sources.tables import table
 
 #: Metadata carried next to every media payload.
@@ -48,14 +50,20 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode(payload: bytes, fmt: str) -> bytes:
-    """Decode stub.  Real codecs are not available in this environment
-    (``import PIL`` re-checked unavailable in round 4, and installs are
-    off-limits); only the deterministic fake format passes through.  To
-    go real: ``Image.open(io.BytesIO(payload))`` for images /
-    ffmpeg-pipe for av — one function body, the mapInPandas plumbing
-    above is already batch-shaped for it."""
+    """Decode media to raw bytes.  ``png`` is a REAL codec (round 4):
+    the pure-stdlib decoder in functions/png.py parses the chunk
+    stream, inflates IDAT, and reverses all five scanline filters —
+    no PIL needed (``import PIL`` re-checked unavailable in round 4,
+    and installs are off-limits; PNG's only compression primitive is
+    DEFLATE, which stdlib zlib provides).  ``rawtext`` stays as the
+    deterministic fake for the text-backed fixtures; other formats
+    (JPEG's DCT, video codecs) genuinely need external libs and
+    raise."""
     if fmt == "rawtext":
         return payload
+    if fmt == "png":
+        _, _, _, pixels = decode_png(payload)
+        return pixels
     raise NotImplementedError(
         f"codec for format {fmt!r} not available; plug PIL/ffmpeg in here"
     )
@@ -186,6 +194,80 @@ SELECT
 FROM documents
 """
 
+#: Synthetic thumbnail geometry for the PNG round-trip query.
+PNG_W, PNG_H = 16, 16
+
+
+def attach_png_media(docs: DataFrame) -> DataFrame:
+    """Encode each document's leading ``PNG_W×PNG_H`` bytes (space-
+    padded — fixture text is ASCII, min length 47) as a REAL 8-bit
+    grayscale PNG, Paeth-filtered so the decode path exercises the
+    hardest filter.  Runs as an Arrow-batched mapInPandas, the same
+    executor-side batch shape a binaryFile ingest would feed."""
+    n = PNG_W * PNG_H
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = [
+                encode_png(
+                    PNG_W, PNG_H, 1,
+                    t.encode()[:n].ljust(n, b" "),
+                    filter_type=4,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    attached = docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, media binary"
+    )
+    return attached.select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.lit("png").alias("format"),
+            F.lit(PNG_W).cast("int").alias("width"),
+            F.lit(PNG_H).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec round trip: text bytes → PNG encode (Paeth) → the
+    stdlib PNG decoder → md5 features over the recovered pixels.  The
+    oracle computes the expected pixel string directly in SQL, so a
+    single wrong pixel anywhere in the DEFLATE/unfilter path breaks
+    the hash — DuckDB never sees a PNG, which is the point."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    feats = extract_features(attach_png_media(docs.repartition(n_part, "doc_id")))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.to_json(
+            F.transform("feat", lambda x: F.format_string("%.4f", x))
+        ).alias("feat"),
+    )
+
+
+ORACLE_PNG_DECODE = f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {PNG_W * PNG_H}), {PNG_W * PNG_H}, ' ') AS p
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST({PNG_W * PNG_H} AS BIGINT) AS n_bytes,
+    CAST(to_json(list_transform(
+        range(0, {FEAT_DIM}),
+        i -> printf('%.4f', round((('0x' || substr(md5(p), i * 4 + 1, 4))::BIGINT) / 65535.0, 4))
+    )) AS VARCHAR) AS feat
+FROM pix
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling as a registered query: every 4th frame of each
     fake video, identified by md5 (binary payloads hash-compare
@@ -231,4 +313,8 @@ QUERIES = [
      "E4 multimodal: binary media column → decode stub → md5 features."),
     ("multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE,
      "E4 multimodal: every-4th frame sampling; frames witnessed by md5."),
+    ("multimodal_png_decode", q_multimodal_png_decode, ORACLE_PNG_DECODE,
+     "E4 multimodal: REAL stdlib PNG codec round-trip (Paeth-filtered "
+     "encode → chunk/inflate/unfilter decode), hash-checked against an "
+     "oracle that computes the expected pixels without ever seeing a PNG."),
 ]

@@ -64,6 +64,10 @@ def test_frame_sampling(spark, sf_dir):
         assert n == expected
 
 
-def test_decode_stub_rejects_real_codecs():
+def test_decode_png_is_real_and_video_still_raises():
+    from grpc_map_reduce_spark.functions.png import encode_png
+
+    pix = bytes(range(64))
+    assert _decode(encode_png(8, 8, 1, pix, filter_type=4), "png") == pix
     with pytest.raises(NotImplementedError):
-        _decode(b"\x89PNG...", "png")
+        _decode(b"\x00\x00\x00\x1cftypmp42", "mp4")
