@@ -89,6 +89,7 @@ def _register_more() -> None:
         clustering,
         dedup,
         events,
+        lang_id,
         map_reduce,
         multimodal,
         packing,
@@ -111,6 +112,6 @@ def _register_more() -> None:
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
-                udf_surface, quality_filters, vocab, web):
+                udf_surface, quality_filters, vocab, web, lang_id):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

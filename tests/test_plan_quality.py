@@ -401,3 +401,17 @@ def test_kmeans_corpus_never_shuffled(spark, sf_dir):
     assert n_exchanges == 1, plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lang_id_profile_broadcast_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "docs_lang_id")
+    # the n_langs×K profile probe must broadcast into the trigram
+    # stream — the corpus-sized side never shuffles for the probe
+    assert "BroadcastHashJoin Inner" in plan
+    # the only sort-merge join allowed is the final totality join of
+    # two doc-keyed tables (primary-key equi-join, co-partitionable
+    # at scale); the probe itself must never degrade to SMJ
+    assert "SortMergeJoin LeftOuter" in plan or "BroadcastHashJoin LeftOuter" in plan
+    # no global sort anywhere (profile ranking is per-lang
+    # WindowGroupLimit, argmax is max(struct))
+    assert "rangepartitioning" not in plan

@@ -157,3 +157,43 @@ def test_dsir_scores_match_pure_python(spark, sf_dir):
         assert abs(r["logw"] - want) <= 1e-4 + 1e-9, doc_id
         assert r["target_like"] == (r["logw"] > 0)
         assert r["source"] == src
+
+
+def test_lang_id_profiles_and_totality(spark, sf_dir):
+    from grpc_map_reduce_spark.operators.lang_id import (
+        LANG_PROFILE_K,
+        classify_langs,
+        lang_profiles,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    prof = lang_profiles(docs).collect()
+    per_lang = {}
+    for r in prof:
+        per_lang.setdefault(r["lang"], set()).add(r["tg"])
+    assert per_lang and all(len(v) <= LANG_PROFILE_K for v in per_lang.values())
+    assert all(len(tg) == 3 for v in per_lang.values() for tg in v)
+
+    out = classify_langs(docs, lang_profiles(docs))
+    # total: one row per document, even ones too short to produce
+    # trigrams (they'd predict 'und')
+    assert out.count() == docs.count()
+    langs = {r["lang"] for r in prof}
+    assert out.filter(~F.col("pred_lang").isin(*langs, "und")).count() == 0
+
+
+def test_lang_id_short_doc_gets_und(spark):
+    from grpc_map_reduce_spark.operators.lang_id import (
+        classify_langs,
+        lang_profiles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en"), (2, "ab", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in classify_langs(docs, lang_profiles(docs)).collect()}
+    assert rows[2]["pred_lang"] == "und" and rows[2]["score"] == 0
+    assert not rows[2]["is_correct"]
+    assert rows[1]["pred_lang"] == "en" and rows[1]["is_correct"]
