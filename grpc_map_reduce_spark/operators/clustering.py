@@ -273,9 +273,107 @@ SELECT node AS doc_id, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
 ORACLE_PAGERANK = _pagerank_oracle()
 
 
+# --------------------------------------------------------------------------
+# Canonical-copy selection — the step a training pipeline actually
+# runs after clustering: keep exactly ONE representative per near-dup
+# cluster, chosen by quality, drop the rest.  Tie-break is (quality_bp
+# desc, doc_id asc) via max(struct(quality, -doc_id)) — an aggregate,
+# not a ranking window, so no per-cluster sort materializes.
+#
+# Shuffle budget: cluster assignment (above) + one PK join of two
+# doc-keyed tables (clusters ⋈ quality — quality is map-only) + one
+# groupBy(cluster_id) + one cluster-keyed join for the per-doc flag.
+# Every key is doc- or cluster-grained; nothing is quadratic.
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, quality_bp, is_canonical)
+    for every doc: the canonical copy of each near-dup cluster is the
+    highest-quality member (min doc_id among ties)."""
+    from grpc_map_reduce_spark.operators.text_analysis import quality_scores
+
+    clusters = dedup_clusters(docs)
+    qual = quality_scores(docs).select("doc_id", "quality_bp")
+    scored = clusters.join(qual, "doc_id")
+    per_cluster = scored.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.max(F.struct(F.col("quality_bp"), (-F.col("doc_id")).alias("nid")))
+        .alias("m"),
+    )
+    return (
+        scored.join(
+            per_cluster.select(
+                "cluster_id", "cluster_size", (-F.col("m.nid")).alias("canonical_id")
+            ),
+            "cluster_id",
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "quality_bp",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_docs(table(spark, sf_dir, "documents"))
+
+
+# quality_bp fragment mirrors text_analysis.ORACLE_QUALITY term-for-
+# term (bit-identical doubles before the floor); clustering mirrors
+# ORACLE_DEDUP_CLUSTERS.
+ORACLE_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD)},
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.src AS id, reach.r AS r
+    FROM edges e JOIN reach ON e.dst = reach.id
+),
+clusters AS (
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+qf AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> ''))                                AS n_words,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+               w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w)))
+                                                                         AS n_stop,
+           len(regexp_extract_all(text, '[^\\w\\s]'))                    AS n_punct,
+           length(text)                                                  AS n_chars
+    FROM documents
+),
+qual AS (
+    SELECT doc_id,
+           CAST(floor((0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * least((n_stop * 1.0 / n_words) * 10, 1.0)
+               + 0.3 * (1 - least((n_punct * 1.0 / n_chars) * 5, 1.0))) * 10000)
+               AS BIGINT) AS quality_bp
+    FROM qf
+)
+SELECT c.doc_id,
+       c.cluster_id,
+       CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+       q.quality_bp,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality_bp DESC, c.doc_id) = 1
+           AS is_canonical
+FROM clusters c JOIN qual q USING (doc_id)
+"""
+
+
 QUERIES = [
     ("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
      "Transitive near-dup clusters via large-star/small-star connected components."),
     ("pagerank_neardup", q_pagerank_neardup, ORACLE_PAGERANK,
      "Fixed-K PageRank power iteration over the near-dup graph."),
+    ("dedup_canonical", q_dedup_canonical, ORACLE_DEDUP_CANONICAL,
+     "Keep-best-per-cluster canonical selection: quality argmax via "
+     "max(struct), no ranking window, total per-doc flags."),
 ]

@@ -91,3 +91,23 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = (1 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * (adj.T @ (r / outd))
     want = {i: round(float(r[i]), 6) for i in range(n)}
     assert got == want
+
+
+def test_canonical_one_per_cluster_max_quality(spark, sf_dir):
+    from grpc_map_reduce_spark.operators.clustering import canonical_docs
+    from grpc_map_reduce_spark.sources.tables import table
+
+    rows = canonical_docs(table(spark, sf_dir, "documents")).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1, f"cluster {cid}: {len(canon)} canonicals"
+        best_q = max(m["quality_bp"] for m in members)
+        assert canon[0]["quality_bp"] == best_q
+        # min doc_id among quality ties
+        assert canon[0]["doc_id"] == min(
+            m["doc_id"] for m in members if m["quality_bp"] == best_q
+        )
+        assert all(m["cluster_size"] == len(members) for m in members)
