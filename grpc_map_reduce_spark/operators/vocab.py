@@ -30,6 +30,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,6 +292,65 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# BPE ENCODE — the application side of bpe_merges: segment every
+# document with the learned merge table and report tokenizer fertility
+# (tokens per word), the standard "does this tokenizer fit this
+# corpus" diagnostic alongside vocab_oov.
+#
+# Scale design: encoding is O(vocabulary), not O(corpus) — the merge
+# table (K rows, scalar-class driver collect like the CC convergence
+# flag) is applied by an Arrow-batched pandas UDF over the UNIQUE-word
+# table only; per-word token counts then broadcast back onto the
+# exploded word stream, so the corpus-sized side is one explode + one
+# map-side probe + one keyed aggregate.  Iterative greedy-merge
+# semantics are non-SQL-expressible → rows-only, exact-match gated in
+# test_bpe.py against an independent pure-Python encoder.
+
+
+def _encode_word(word: str, merge_list: list) -> int:
+    """Token count of ``word`` after applying the rank-ordered merges
+    (each greedily, left-to-right — matching training)."""
+    syms = list(word)
+    for left, right in merge_list:
+        if len(syms) == 1:
+            break
+        syms = _merge_syms(syms, left, right)
+    return len(syms)
+
+
+def bpe_encode_stats(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility_bp): per-doc token counts
+    under the learned BPE merge table; fertility in basis points
+    (10000 = 1 token/word)."""
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+
+    @pandas_udf("long")
+    def n_toks(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _encode_word(w, merge_list))
+
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    vocab = toks.select("word").distinct().withColumn("n_t", n_toks("word"))
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_t").alias("n_tokens"),
+        )
+        .withColumn("fertility_bp", F.expr("(n_tokens * 10000) DIV n_words"))
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, bpe_merges(docs))
+
+
 QUERIES = [
     ("vocab_oov", q_vocab_oov, ORACLE_VOCAB_OOV,
      "Top-K corpus vocabulary (partial top-K, no global sort) + "
@@ -299,4 +359,8 @@ QUERIES = [
      "BPE tokenizer-merge induction: K rounds of weighted pair "
      "counting over the word-frequency table (rows-only; exact-match "
      "gate vs pure-Python BPE in test_bpe.py)."),
+    ("vocab_bpe_encode", q_bpe_encode, None,
+     "BPE encode + tokenizer fertility: learned merges applied once "
+     "per unique word, broadcast back onto the word stream (rows-only; "
+     "exact-match gate vs an independent pure-Python encoder)."),
 ]

@@ -67,3 +67,43 @@ def test_bpe_merges_match_pure_python(spark, sf_dir):
         for r in bpe_merges(docs, local_max_words=0).orderBy("rank").collect()
     ]
     assert got_dist == want
+
+
+def test_bpe_encode_matches_pure_python(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    wc: Counter = Counter()
+    for t in texts.values():
+        for w in TOKEN_RE.split(t.lower()):
+            if w:
+                wc[w] += 1
+    merges = _python_bpe(wc, BPE_MERGES)
+    pairs = [(m[1], m[2]) for m in merges]
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for left, right in pairs:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        return len(syms)
+
+    want = {}
+    for d, t in texts.items():
+        ws = [w for w in TOKEN_RE.split(t.lower()) if w]
+        n_tokens = sum(encode(w) for w in ws)
+        want[d] = (len(ws), n_tokens, n_tokens * 10000 // len(ws))
+
+    from grpc_map_reduce_spark.operators.vocab import bpe_encode_stats, bpe_merges
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility_bp"])
+        for r in bpe_encode_stats(docs, bpe_merges(docs)).collect()
+    }
+    assert got == want
