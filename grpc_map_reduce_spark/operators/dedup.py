@@ -485,6 +485,112 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# INCREMENTAL dedup: the shape every production pipeline actually
+# runs — a new shard arrives and must be deduped AGAINST THE EXISTING
+# CORPUS, not within itself.  The LSH band join is one-sided
+# (incoming buckets ⋈ corpus buckets), so shuffle volume is
+# O((|incoming| + |corpus|) × bands) and pair fan-out is
+# incoming×corpus-bucket-collisions only — never corpus×corpus, which
+# is the term that dwarfs everything at 100 TB (the corpus side can
+# also be a pre-materialized signature table, making each shard's
+# cost independent of corpus re-hashing).
+#
+# The fixture has one documents table, so the "existing corpus" /
+# "incoming shard" split is the deterministic md5 split (sketches.
+# hash_split convention): bucket < INCR_CORPUS_PCT ⇒ corpus.
+INCR_CORPUS_PCT = 70
+
+
+def _side_is_corpus(doc_id_col) -> F.Column:
+    bucket = F.conv(
+        F.substring(F.md5(doc_id_col.cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return bucket < INCR_CORPUS_PCT
+
+
+def incremental_dedup(docs: DataFrame, n: int = 3,
+                      threshold: float = LSH_NEAR_DUP_THRESHOLD,
+                      rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, n_matches, best_match_id, best_jaccard, is_dup) for
+    every INCOMING doc: its near-dup matches in the corpus side, with
+    the best match (max jaccard, min match_id among ties) surfaced.
+    Unmatched docs report (0, -1, 0.0, false) — total output."""
+    r = rows_per_band
+    sets = _shingle_sets(docs, n)
+    sig = minhash_signatures(docs, n, sets=sets)
+    n_bands = len(MINHASH_A) // r
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    exploded = (
+        sig.select("doc_id", F.explode(bands).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.key").alias("key"),
+            _side_is_corpus(F.col("doc_id")).alias("is_corpus"),
+        )
+    )
+    inc = exploded.filter(~F.col("is_corpus")).select("doc_id", "band_idx", "key")
+    cor = exploded.filter(F.col("is_corpus")).select(
+        F.col("doc_id").alias("match_id"), "band_idx", "key"
+    )
+    cand = inc.join(cor, ["band_idx", "key"]).select("doc_id", "match_id").distinct()
+    a = sets.select(F.col("doc_id"), F.col("sh_set").alias("_sa"))
+    b = sets.select(F.col("doc_id").alias("match_id"), F.col("sh_set").alias("_sb"))
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
+    scored = (
+        cand.join(a, "doc_id")
+        .join(b, "match_id")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_matches",
+            (-F.col("m.nid")).alias("best_match_id"),
+            F.col("m.jaccard").alias("best_jaccard"),
+        )
+    )
+    incoming = docs.select("doc_id").filter(~_side_is_corpus(F.col("doc_id")))
+    return incoming.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce("best_match_id", F.lit(-1)).cast("long").alias("best_match_id"),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        F.col("n_matches").isNotNull().alias("is_dup"),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Shared oracle SQL: the LSH-candidates ∩ exact-Jaccard `pairs` CTE
 # block, used by the lsh_near_dup oracle here and by the clustering /
 # pagerank oracles (clustering.py) so every consumer of the scale path
@@ -569,6 +675,47 @@ pairs AS MATERIALIZED (
 ORACLE_LSH_NEAR_DUP = f"""
 WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD)}
 SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+# Incremental oracle: the SAME symmetric pairs CTE, restricted to
+# cross-side pairs and re-keyed (incoming doc, corpus match); the
+# Spark side's one-sided band join yields exactly this set because a
+# cross-side pair shares a band bucket iff it appears in the
+# symmetric candidate join.
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD)},
+side AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+               < {INCR_CORPUS_PCT} AS is_corpus
+    FROM documents
+),
+cross_pairs AS (
+    SELECT CASE WHEN sa.is_corpus THEN p.doc_b ELSE p.doc_a END AS doc_id,
+           CASE WHEN sa.is_corpus THEN p.doc_a ELSE p.doc_b END AS match_id,
+           p.jaccard
+    FROM pairs p
+    JOIN side sa ON sa.doc_id = p.doc_a
+    JOIN side sb ON sb.doc_id = p.doc_b
+    WHERE sa.is_corpus <> sb.is_corpus
+),
+best AS (
+    SELECT doc_id, n_matches, match_id, jaccard FROM (
+        SELECT doc_id, match_id, jaccard,
+               count(*) OVER (PARTITION BY doc_id) AS n_matches,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard DESC, match_id) AS rn
+        FROM cross_pairs
+    ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_matches, 0) AS BIGINT)    AS n_matches,
+       CAST(coalesce(b.match_id, -1) AS BIGINT)    AS best_match_id,
+       coalesce(b.jaccard, 0.0)                    AS best_jaccard,
+       b.doc_id IS NOT NULL                        AS is_dup
+FROM side d LEFT JOIN best b USING (doc_id)
+WHERE NOT d.is_corpus
 """
 
 
@@ -743,4 +890,8 @@ QUERIES = [
     ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
      "ExactSubstr-style cross-doc repeated token-window audit "
      "(rolling-hash windows, no pair join / suffix array)."),
+    ("dedup_incremental", q_incremental_dedup, ORACLE_INCREMENTAL_DEDUP,
+     "Incremental shard-vs-corpus dedup: one-sided LSH band join "
+     "(never corpus x corpus), exact rescore, best-match per incoming "
+     "doc, total output."),
 ]

@@ -81,3 +81,46 @@ def test_minhash_candidates_deterministic(spark, sf_dir):
     a = sorted((r.doc_a, r.doc_b, r.n_bands) for r in minhash_candidates(docs).collect())
     b = sorted((r.doc_a, r.doc_b, r.n_bands) for r in minhash_candidates(docs).collect())
     assert a == b and len(a) > 0
+
+
+def test_incremental_matches_symmetric_cross_side(spark, sf_dir):
+    """The one-sided incremental join must find exactly the cross-side
+    subset of the symmetric LSH near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    from grpc_map_reduce_spark.operators.dedup import (
+        _side_is_corpus,
+        incremental_dedup,
+        lsh_near_dup,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    sym = lsh_near_dup(docs).collect()
+    corpus = {
+        r["doc_id"]
+        for r in docs.select("doc_id")
+        .filter(_side_is_corpus(F.col("doc_id")))
+        .collect()
+    }
+    want = {}
+    for r in sym:
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        for inc, match in [(a, b), (b, a)]:
+            if inc not in corpus and match in corpus:
+                want.setdefault(inc, []).append((j, match))
+    got = {r["doc_id"]: r for r in incremental_dedup(docs).collect()}
+    all_incoming = {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - corpus
+    assert set(got) == all_incoming
+    for d, matches in want.items():
+        r = got[d]
+        assert r["is_dup"] and r["n_matches"] == len(matches)
+        best_j = max(m[0] for m in matches)
+        best_id = min(m[1] for m in matches if m[0] == best_j)
+        assert (r["best_jaccard"], r["best_match_id"]) == (best_j, best_id)
+    for d in all_incoming - set(want):
+        r = got[d]
+        assert not r["is_dup"] and r["n_matches"] == 0
+        assert (r["best_match_id"], r["best_jaccard"]) == (-1, 0.0)
