@@ -950,6 +950,49 @@ FROM final_assign f LEFT JOIN agg a ON f.vec_id = a.vid
 """
 
 
+# --------------------------------------------------------------------------
+# FILTERED vector search — the restriction every production vector
+# workload carries ("nearest neighbors WHERE <metadata predicate>").
+# Pre-filtering composes for free in the DataFrame algebra: the
+# predicate lands on the corpus scan BEFORE block packing, so the
+# matmul only ever sees qualifying rows (the plan's PushedFilters
+# proves it reached parquet).  This beats post-filtering — which
+# over-fetches k then discards — whenever the selectivity is below
+# ~50%, and is exact at any selectivity.
+ANN_FILTER_LABEL = 3
+ANN_FILTER_K = 5
+
+
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == ANN_FILTER_LABEL)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(corpus, queries, k=ANN_FILTER_K)
+
+
+ORACLE_FILTERED_TOPK = f"""
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 8 AND c.label = {ANN_FILTER_LABEL}
+),
+sims AS (
+    SELECT query_id, neighbor_id,
+           round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+    FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {ANN_FILTER_K}
+"""
+
+
 QUERIES = [
     ("semdedup", q_semdedup, ORACLE_SEMDEDUP,
      "SemDeDup: k-means then within-cluster-only cosine dedup with "
@@ -969,4 +1012,7 @@ QUERIES = [
      "E2 hyperplane-LSH near-dup candidates + exact cosine rescore "
      "(sub-quadratic scale path; md5-derived hyperplanes let the "
      "oracle replay the full pipeline in SQL; + recall test)."),
+    ("ann_filtered_topk", q_filtered_topk, ORACLE_FILTERED_TOPK,
+     "E2 filtered vector search: metadata predicate pre-filters the "
+     "corpus scan before block packing (exact at any selectivity)."),
 ]

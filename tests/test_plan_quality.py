@@ -415,3 +415,12 @@ def test_lang_id_profile_broadcast_no_global_sort(spark, sf_dir):
     # no global sort anywhere (profile ranking is per-lang
     # WindowGroupLimit, argmax is max(struct))
     assert "rangepartitioning" not in plan
+
+
+def test_filtered_ann_pushes_label_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_filtered_topk")
+    # the metadata predicate must reach the parquet corpus scan —
+    # pre-filtering, not post-filtering of fetched neighbors
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", plan)
+    # query set broadcasts; corpus blocks are never shuffled wide
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
