@@ -176,6 +176,49 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog approximate distinct counts — the cardinality path that
+# actually runs at 100 TB: ``countDistinct`` shuffles every distinct
+# value; ``approx_count_distinct`` folds each partition into a
+# fixed-size register sketch and merges sketches (register-wise max —
+# commutative, associative, so the estimate is DETERMINISTIC for a
+# given dataset regardless of partitioning).  The query reports both
+# alongside the relative error in basis points, the report a data
+# engineer runs before trusting the sketch for a new column family.
+# DuckDB's HLL implementation produces different estimates, so this
+# registers rows-only; the error BOUND is the pytest gate
+# (test_approx.py): |err| ≤ 3·rsd for every row.
+APPROX_RSD = 0.05
+
+
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(df: DataFrame, tbl: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.countDistinct(col).alias("n_exact"),
+            F.approx_count_distinct(col, APPROX_RSD).alias("n_approx"),
+        )
+
+    parts = [
+        one(table(spark, sf_dir, "orders"), "orders", "o_custkey"),
+        one(table(spark, sf_dir, "lineitem"), "lineitem", "l_orderkey"),
+        one(table(spark, sf_dir, "lineitem"), "lineitem", "l_partkey"),
+        one(table(spark, sf_dir, "events"), "events", "user_id"),
+        one(table(spark, sf_dir, "documents"), "documents", "doc_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "err_bp",
+        F.abs(
+            (F.col("n_approx") - F.col("n_exact")) * 10000
+            / F.col("n_exact")
+        ).cast("long"),
+    )
+
+
 QUERIES = [
     ("cms_frequency_estimates", q_cms, ORACLE_CMS,
      "Mergeable Count-Min sketch with exact-vs-estimate comparison."),
@@ -183,4 +226,7 @@ QUERIES = [
      "Deterministic md5 train/test split + per-split stats."),
     ("profile_orders", q_profile_orders, ORACLE_PROFILE,
      "One-pass per-column data-profiling report."),
+    ("approx_distinct_profile", approx_distinct_profile, None,
+     "HLL approx_count_distinct vs exact with error in basis points "
+     "(rows-only; 3-sigma error bound gated in test_approx.py)."),
 ]

@@ -54,3 +54,22 @@ def test_approx_grouped_matches_exact_groups(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.05
+
+
+def test_hll_profile_error_within_3_sigma(spark, sf_dir):
+    from grpc_map_reduce_spark.operators.sketches import (
+        APPROX_RSD,
+        approx_distinct_profile,
+    )
+
+    rows = approx_distinct_profile(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] > 0
+        rel_err = abs(r["n_approx"] - r["n_exact"]) / r["n_exact"]
+        assert rel_err <= 3 * APPROX_RSD, (
+            f"{r['table_name']}.{r['column_name']}: rel err {rel_err:.4f}"
+        )
+        assert r["err_bp"] == int(
+            abs(r["n_approx"] - r["n_exact"]) * 10000 // r["n_exact"]
+        )
