@@ -1,0 +1,194 @@
+"""Data-quality expectations + join-key skew profiling — the two
+reports every large-scale pipeline runs before trusting a new data
+drop (extension E5 posture: know your keys before you shuffle on
+them).
+
+``dq_expectations`` is the dbt/Great-Expectations shape reduced to
+one DataFrame: each rule contributes (rule, n_checked, n_violations,
+passed), and rules compose as a union of small aggregates —
+referential integrity via anti-join counts (at 100 TB these are the
+same keyed shuffles the real joins will run, so violations surface
+*before* the expensive query does), uniqueness via count vs distinct,
+null-rate and range checks as map-side conditional sums.
+
+``skew_profile`` measures the key distributions that decide whether
+those shuffles are safe: per join key, the distinct-key count, the
+hottest key's row count, and the hot-key skew factor
+(max/mean, ×1000) — the number that says "salt this join" (the
+operators/skew.py remedies) before AQE discovers it at runtime.
+
+The reference engine has neither (its input is a fixed text folder);
+both are pure extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def _rule(df: DataFrame, rule: str, violation_col) -> DataFrame:
+    """(rule, n_checked, n_violations, passed) from one aggregate."""
+    return df.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(violation_col, 1).otherwise(0)).cast("long")
+        .alias("n_violations"),
+    ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-gate report: one row per expectation."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    # FK checks: count rows whose key has no match — left join +
+    # null-probe so the count of CHECKED rows stays the child table's
+    # row count (an anti-join would lose it).  The dimension side
+    # ships as a broadcast/bloom the same way the real join would.
+    fk_orders = _rule(
+        orders.join(
+            customer.select(F.col("c_custkey").alias("_ck"), F.lit(1).alias("_hit")),
+            orders["o_custkey"] == F.col("_ck"),
+            "left",
+        ),
+        "orders.o_custkey -> customer",
+        F.col("_hit").isNull(),
+    )
+    fk_lineitem = _rule(
+        lineitem.select("l_orderkey").join(
+            orders.select(F.col("o_orderkey").alias("_ok"), F.lit(1).alias("_hit")),
+            lineitem["l_orderkey"] == F.col("_ok"),
+            "left",
+        ),
+        "lineitem.l_orderkey -> orders",
+        F.col("_hit").isNull(),
+    )
+    # uniqueness: every extra copy of a key is one violation
+    uniq = customer.agg(
+        F.lit("customer.c_custkey unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long")
+        .alias("n_violations"),
+    ).withColumn("passed", F.col("n_violations") == 0)
+    nulls = _rule(events, "events.user_id not null", F.col("user_id").isNull())
+    rng = _rule(
+        lineitem,
+        "lineitem.l_quantity in [1, 50]",
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    dates = _rule(
+        orders,
+        "orders.o_orderdate not null",
+        F.col("o_orderdate").isNull(),
+    )
+    out = fk_orders
+    for part in (fk_lineitem, uniq, nulls, rng, dates):
+        out = out.unionByName(part)
+    return out
+
+
+ORACLE_DQ = """
+SELECT 'orders.o_custkey -> customer' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN c._ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN c._ck IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders o LEFT JOIN (SELECT c_custkey AS _ck FROM customer) c
+     ON o.o_custkey = c._ck
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN oo._ok IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN oo._ok IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN (SELECT o_orderkey AS _ok FROM orders) oo
+     ON l.l_orderkey = oo._ok
+UNION ALL
+SELECT 'customer.c_custkey unique',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+       count(*) = count(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'events.user_id not null',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'lineitem.l_quantity in [1, 50]',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderdate not null',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per join key: rows, distinct keys, hottest-key count, and the
+    skew factor (hottest/mean, ×1000) that decides salting."""
+
+    def one(df: DataFrame, tbl: str, key: str) -> DataFrame:
+        per_key = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        return per_key.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(key).alias("key_name"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_key_rows"),
+        ).withColumn(
+            "skew_x1000",
+            F.expr("(max_key_rows * n_keys * 1000) DIV n_rows"),
+        )
+
+    parts = [
+        one(table(spark, sf_dir, "orders"), "orders", "o_custkey"),
+        one(table(spark, sf_dir, "lineitem"), "lineitem", "l_orderkey"),
+        one(table(spark, sf_dir, "lineitem"), "lineitem", "l_partkey"),
+        one(table(spark, sf_dir, "events"), "events", "user_id"),
+        one(table(spark, sf_dir, "events"), "events", "event_type"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_oracle() -> str:
+    selects = []
+    for tbl, key in [("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+                     ("lineitem", "l_partkey"), ("events", "user_id"),
+                     ("events", "event_type")]:
+        selects.append(f"""
+SELECT '{tbl}' AS table_name, '{key}' AS key_name,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       CAST((max(cnt) * count(*) * 1000) // sum(cnt) AS BIGINT) AS skew_x1000
+FROM (SELECT {key} AS k, count(*) AS cnt FROM {tbl} GROUP BY {key})""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLE_SKEW_PROFILE = _skew_oracle()
+
+
+QUERIES = [
+    ("dq_expectations", dq_expectations, ORACLE_DQ,
+     "Drop-gate data-quality report: FK/unique/null/range expectations "
+     "as a union of keyed-join and conditional-sum aggregates."),
+    ("skew_profile", skew_profile, ORACLE_SKEW_PROFILE,
+     "Join-key skew profiler: distinct keys, hottest key, and the "
+     "max/mean skew factor that decides salting before the shuffle."),
+]

@@ -87,6 +87,7 @@ def _register_more() -> None:
     the reference-parity core above stays readable)."""
     from grpc_map_reduce_spark.operators import (
         clustering,
+        data_quality,
         dedup,
         events,
         lang_id,
@@ -112,6 +113,7 @@ def _register_more() -> None:
     for mod in (relational, tpch_suite, events, dedup, clustering,
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
-                udf_surface, quality_filters, vocab, web, lang_id):
+                udf_surface, quality_filters, vocab, web, lang_id,
+                data_quality):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
