@@ -106,18 +106,39 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     )
 
 
+def _resize_pixels(pix: bytes, w: int, h: int, ch: int,
+                   new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of raw interleaved pixels: output
+    (x, y) takes source (x·w//new_w, y·h//new_h) — the floor mapping,
+    reproducible in SQL for the oracle."""
+    import numpy as np
+
+    a = np.frombuffer(pix, np.uint8).reshape(h, w, ch)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return a[ys][:, xs].tobytes()
+
+
 def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: for ``rawtext`` the payload is truncated/zero-padded
-    to width×height bytes (deterministic); real images raise in
-    :func:`_decode`'s spirit.  Metadata is updated Spark-side."""
+    """Resize: PNG payloads are REALLY resized (decode → nearest-
+    neighbor resample → re-encode); ``rawtext`` truncates/zero-pads to
+    width×height bytes (the deterministic fake).  Metadata is updated
+    Spark-side."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
             out = []
             for payload, meta in zip(pdf["media"], pdf["media_meta"]):
-                raw = _decode(payload, meta["format"])
-                out.append(raw[:target].ljust(target, b"\0"))
+                if meta["format"] == "png":
+                    w0, h0, ch, pix = decode_png(payload)
+                    out.append(encode_png(
+                        width, height, ch,
+                        _resize_pixels(pix, w0, h0, ch, width, height),
+                    ))
+                else:
+                    raw = _decode(payload, meta["format"])
+                    out.append(raw[:target].ljust(target, b"\0"))
             pdf = pdf.copy()
             pdf["media"] = out
             yield pdf
@@ -308,6 +329,59 @@ FROM frames
 """
 
 
+#: Resize target for the registered round-trip query.
+PNG_RW, PNG_RH = 8, 8
+
+
+def q_multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full real-codec image pipeline: encode (Paeth PNG) → decode →
+    nearest-neighbor resize → re-encode → decode again → md5 features
+    over the resized pixels.  The oracle reconstructs the resized
+    pixel string character-by-character with the same floor mapping —
+    two full codec round-trips and the resample kernel all hash-
+    checked against an engine that never touches a PNG."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    resized = resize_media(
+        attach_png_media(docs.repartition(n_part, "doc_id")), PNG_RW, PNG_RH
+    )
+    feats = extract_features(resized)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.to_json(
+            F.transform("feat", lambda x: F.format_string("%.4f", x))
+        ).alias("feat"),
+    )
+
+
+ORACLE_PNG_RESIZE = f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {PNG_W * PNG_H}), {PNG_W * PNG_H}, ' ') AS p
+    FROM documents
+),
+resized AS (
+    SELECT doc_id,
+           list_reduce(list_transform(range(0, {PNG_RW * PNG_RH}),
+               i -> substr(p,
+                           ((i // {PNG_RW}) * {PNG_H} // {PNG_RH}) * {PNG_W}
+                           + ((i % {PNG_RW}) * {PNG_W} // {PNG_RW}) + 1,
+                           1)),
+               (a, b) -> a || b) AS rp
+    FROM pix
+)
+SELECT
+    doc_id,
+    CAST({PNG_RW * PNG_RH} AS BIGINT) AS n_bytes,
+    CAST(to_json(list_transform(
+        range(0, {FEAT_DIM}),
+        i -> printf('%.4f', round((('0x' || substr(md5(rp), i * 4 + 1, 4))::BIGINT) / 65535.0, 4))
+    )) AS VARCHAR) AS feat
+FROM resized
+"""
+
+
 QUERIES = [
     ("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL,
      "E4 multimodal: binary media column → decode stub → md5 features."),
@@ -317,4 +391,8 @@ QUERIES = [
      "E4 multimodal: REAL stdlib PNG codec round-trip (Paeth-filtered "
      "encode → chunk/inflate/unfilter decode), hash-checked against an "
      "oracle that computes the expected pixels without ever seeing a PNG."),
+    ("multimodal_png_resize", q_multimodal_png_resize, ORACLE_PNG_RESIZE,
+     "E4 multimodal: real image resize — decode, nearest-neighbor "
+     "resample, re-encode, decode again; the oracle rebuilds the "
+     "resized pixel string with the same floor mapping."),
 ]

@@ -71,3 +71,25 @@ def test_decode_png_is_real_and_video_still_raises():
     assert _decode(encode_png(8, 8, 1, pix, filter_type=4), "png") == pix
     with pytest.raises(NotImplementedError):
         _decode(b"\x00\x00\x00\x1cftypmp42", "mp4")
+
+
+def test_png_resize_real_pixels():
+    import numpy as np
+
+    from grpc_map_reduce_spark.functions.png import decode_png, encode_png
+    from grpc_map_reduce_spark.operators.multimodal import _resize_pixels
+
+    w, h, ch = 6, 4, 3
+    pix = bytes((7 * i + 3) % 251 for i in range(w * h * ch))
+    small = _resize_pixels(pix, w, h, ch, 3, 2)
+    a = np.frombuffer(pix, np.uint8).reshape(h, w, ch)
+    want = np.stack([
+        [a[0, 0], a[0, 2], a[0, 4]],
+        [a[2, 0], a[2, 2], a[2, 4]],
+    ]).tobytes()
+    assert small == want
+    # full encode->decode->resize->encode->decode chain preserves bytes
+    png = encode_png(w, h, ch, pix, filter_type=3)
+    _, _, _, dec = decode_png(png)
+    png2 = encode_png(3, 2, ch, _resize_pixels(dec, w, h, ch, 3, 2), 4)
+    assert decode_png(png2)[3] == want
