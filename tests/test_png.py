@@ -111,3 +111,24 @@ def test_rejects_unsupported_depth_and_interlace():
 
 def test_channels_map_is_spec():
     assert CHANNELS == {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# property: ANY image round-trips through ANY filter
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ft=st.integers(0, 4),
+    data=st.data(),
+)
+def test_round_trip_property(w, h, ch, ft, data):
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch,
+                           max_size=w * h * ch))
+    )
+    assert decode_png(encode_png(w, h, ch, pix, ft)) == (w, h, ch, pix)
