@@ -993,6 +993,129 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {ANN_FILTER_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Contrastive pair mining — training-data prep for embedding models:
+# per anchor query, ONE positive (its nearest corpus neighbor) and
+# N "random" negatives.  Random-but-reproducible matters more than
+# random here (rebuilding the dataset must yield the same pairs), so
+# negatives are the N corpus vectors with the smallest
+# md5(query_id "_" vec_id) — a per-anchor deterministic permutation,
+# the same md5-membership idiom as the sampling operators.
+#
+# Scale: the anchor set is small by definition (it broadcasts through
+# the ranking cross join), so the negative ranking shuffles
+# O(corpus × |anchors|) narrow rows; similarity for the N·|anchors|
+# chosen pairs is a broadcast probe into the embeddings table.
+# In-batch-negative variants avoid even that at training time; this
+# operator builds the OFFLINE mined set.
+CONTRASTIVE_N_NEG = 3
+
+
+def contrastive_pairs(corpus: DataFrame, queries: DataFrame,
+                      n_neg: int = CONTRASTIVE_N_NEG) -> DataFrame:
+    """(query_id, vec_id, role, sim): one 'positive' (nearest
+    neighbor) + ``n_neg`` deterministic 'negative' rows per query."""
+    pos = cosine_topk(corpus, queries, k=1).select(
+        "query_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.lit("positive").alias("role"),
+        "sim",
+    )
+    q_ids = queries.select(F.col("vec_id").alias("query_id"))
+    cand = (
+        corpus.select("vec_id")
+        .crossJoin(F.broadcast(q_ids))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(pos.select("query_id", F.col("vec_id").alias("_p"))),
+            "query_id",
+        )
+        .filter(F.col("vec_id") != F.col("_p"))
+        .withColumn("h", F.md5(F.concat_ws("_", "query_id", "vec_id")))
+    )
+    w = Window.partitionBy("query_id").orderBy("h")
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_neg)
+        .select("query_id", "vec_id")
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+    )
+    with_q = picked.join(F.broadcast(qe), "query_id")
+    ce = corpus.select("vec_id", F.col("embedding").alias("_ce"))
+    dot = fold(F.zip_with("_qe", "_ce", lambda a, b: a.cast("double") * b.cast("double")))
+    nq = fold(F.transform("_qe", lambda x: x.cast("double") * x.cast("double")))
+    nc = fold(F.transform("_ce", lambda x: x.cast("double") * x.cast("double")))
+    negs = (
+        ce.join(F.broadcast(with_q), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit("negative").alias("role"),
+            F.round(dot / (F.sqrt(nq) * F.sqrt(nc)), 6).alias("sim"),
+        )
+    )
+    return pos.unionByName(negs)
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return contrastive_pairs(emb, emb.filter(F.col("vec_id") < 8))
+
+
+ORACLE_CONTRASTIVE = f"""
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 8
+),
+sims AS (
+    SELECT query_id, neighbor_id,
+           round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+    FROM pairs GROUP BY 1, 2
+),
+pos AS (
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank = 1
+),
+negpick AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY md5(CAST(q.vec_id AS VARCHAR) || '_'
+                                || CAST(c.vec_id AS VARCHAR))) AS rn
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        JOIN pos p ON p.query_id = q.vec_id AND c.vec_id <> p.neighbor_id
+        WHERE q.vec_id < 8
+    ) WHERE rn <= {CONTRASTIVE_N_NEG}
+),
+negexp AS (
+    SELECT np.query_id, np.vec_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM negpick np
+    JOIN embeddings q ON q.vec_id = np.query_id
+    JOIN embeddings c ON c.vec_id = np.vec_id
+)
+SELECT query_id, neighbor_id AS vec_id, 'positive' AS role, sim FROM pos
+UNION ALL
+SELECT query_id, vec_id, 'negative' AS role,
+       round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+FROM negexp GROUP BY query_id, vec_id
+"""
+
+
 QUERIES = [
     ("semdedup", q_semdedup, ORACLE_SEMDEDUP,
      "SemDeDup: k-means then within-cluster-only cosine dedup with "
@@ -1015,4 +1138,8 @@ QUERIES = [
     ("ann_filtered_topk", q_filtered_topk, ORACLE_FILTERED_TOPK,
      "E2 filtered vector search: metadata predicate pre-filters the "
      "corpus scan before block packing (exact at any selectivity)."),
+    ("contrastive_pairs", q_contrastive_pairs, ORACLE_CONTRASTIVE,
+     "Contrastive pair mining: nearest-neighbor positive + "
+     "deterministic md5-ranked negatives per anchor, with exact "
+     "cosine for every emitted pair."),
 ]
