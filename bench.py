@@ -71,8 +71,15 @@ def main() -> None:
         # release their localCheckpoint RDDs and broadcasts — without
         # this, 80+ queries of accumulated state inflate the later
         # queries' timings by up to 2× (GC pressure, not plan cost).
+        # The ContextCleaner is ASYNC, so also unpersist the finished
+        # query's pinned RDD blocks synchronously (blocking=True):
+        # ~15 LSH/iterative queries otherwise stack tens of
+        # checkpointed block sets in storage memory, and the later
+        # iterative queries' timings become load-dependent noise.
         df = None
         gc.collect()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
