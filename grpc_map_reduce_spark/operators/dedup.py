@@ -508,13 +508,13 @@ def _side_is_corpus(doc_id_col) -> F.Column:
     return bucket < INCR_CORPUS_PCT
 
 
-def incremental_dedup(docs: DataFrame, n: int = 3,
-                      threshold: float = LSH_NEAR_DUP_THRESHOLD,
-                      rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, n_matches, best_match_id, best_jaccard, is_dup) for
-    every INCOMING doc: its near-dup matches in the corpus side, with
-    the best match (max jaccard, min match_id among ties) surfaced.
-    Unmatched docs report (0, -1, 0.0, false) — total output."""
+def incremental_scored_pairs(docs: DataFrame, n: int = 3,
+                             threshold: float = LSH_NEAR_DUP_THRESHOLD,
+                             rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, match_id, jaccard): every incoming-side doc's
+    above-threshold matches on the corpus side — the cross-side
+    candidate set, exactly rescored.  The per-doc report below and
+    the streaming twin (streaming/dedup.py) both reduce to this."""
     r = rows_per_band
     sets = _shingle_sets(docs, n)
     sig = minhash_signatures(docs, n, sets=sets)
@@ -561,6 +561,17 @@ def incremental_dedup(docs: DataFrame, n: int = 3,
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return scored.select("doc_id", "match_id", "jaccard")
+
+
+def incremental_dedup(docs: DataFrame, n: int = 3,
+                      threshold: float = LSH_NEAR_DUP_THRESHOLD,
+                      rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, n_matches, best_match_id, best_jaccard, is_dup) for
+    every INCOMING doc: its near-dup matches in the corpus side, with
+    the best match (max jaccard, min match_id among ties) surfaced.
+    Unmatched docs report (0, -1, 0.0, false) — total output."""
+    scored = incremental_scored_pairs(docs, n, threshold, rows_per_band)
     best = (
         scored.groupBy("doc_id")
         .agg(

@@ -1,0 +1,173 @@
+"""Streaming incremental dedup — the streaming twin of
+``operators/dedup.incremental_dedup``: a STREAM of incoming documents
+is deduped against a STATIC corpus index, which is how a production
+ingest hop actually runs (each arriving shard probes the already-kept
+corpus; the corpus is a pre-materialized signature table, not
+re-hashed per batch).
+
+Everything stream-side is map-only or a stream-static join — no
+stream-side shuffle of the corpus ever happens:
+
+  * one Arrow-batched UDF per incoming doc computes BOTH its distinct
+    60-bit shingle-hash set and its full MinHash signature (the batch
+    path's ``groupBy(doc_id)`` signature aggregation would be a
+    stateful streaming agg; fusing it into the map-only UDF removes
+    the state entirely while producing bit-identical signatures);
+  * band keys are derived JVM-side from the signature array in the
+    same ``concat_ws("_", m_i...)`` format as the batch index;
+  * candidates come from a stream-static join against the corpus
+    band-bucket table; multi-band duplicates collapse via
+    ``dropDuplicates`` (bounded by the in-flight shard in the
+    availableNow/replay harness; a production continuous stream would
+    use ``dropDuplicatesWithinWatermark`` on an ingest timestamp);
+  * the exact-Jaccard rescore is a second stream-static join against
+    the corpus shingle-set table, then pure Column math.
+
+Output rows ``(doc_id, match_id, jaccard)`` append per micro-batch —
+exactly ``operators/dedup.incremental_scored_pairs`` (parity-gated in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.operators.dedup import (
+    LSH_NEAR_DUP_THRESHOLD,
+    LSH_ROWS_PER_BAND,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    _shingle_sets,
+    _side_is_corpus,
+    minhash_signatures,
+)
+
+
+def minhash_struct_udf(n: int = 3):
+    """Map-only producer of ``struct<sh_set: array<long>, sigs:
+    array<long>>`` per document — the same 60-bit shingle hashes as
+    ``functions.text.distinct_shingle_hashes_udf`` and the same
+    signature arithmetic as the batch ``minhash_signatures``
+    (``min((a·(h mod P) + b) mod P)``), fused so a stream needs no
+    signature aggregation state."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from grpc_map_reduce_spark.functions.text import TOKEN_SPLIT_RE
+
+    token_re = re.compile(TOKEN_SPLIT_RE)
+
+    @pandas_udf("struct<sh_set: array<long>, sigs: array<long>>")
+    def _ms(text: pd.Series) -> pd.DataFrame:
+        sh_col, sig_col = [], []
+        for t in text:
+            ws = [w for w in token_re.split(t.lower()) if w]
+            if len(ws) <= n:
+                grams = [" ".join(ws)] if ws else []
+            else:
+                grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            hs = [
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in dict.fromkeys(grams)
+            ]
+            sh_col.append(hs)
+            if hs:
+                mod = [h % MINHASH_P for h in hs]
+                sig_col.append([
+                    min((a * h + b) % MINHASH_P for h in mod)
+                    for a, b in zip(MINHASH_A, MINHASH_B)
+                ])
+            else:
+                sig_col.append([])
+        return pd.DataFrame({"sh_set": sh_col, "sigs": sig_col})
+
+    return _ms.asNondeterministic()
+
+
+def corpus_index(docs: DataFrame, n: int = 3,
+                 rows_per_band: int = LSH_ROWS_PER_BAND
+                 ) -> tuple[DataFrame, DataFrame]:
+    """The static corpus side, built once with the BATCH machinery:
+    ``buckets (band_idx, key, match_id)`` and ``sets (match_id,
+    sh_set)``.  At scale both live as bucketed parquet, maintained
+    incrementally as shards are accepted."""
+    r = rows_per_band
+    corpus = docs.filter(_side_is_corpus(F.col("doc_id")))
+    sets = _shingle_sets(corpus, n)
+    sig = minhash_signatures(corpus, n, sets=sets)
+    n_bands = len(MINHASH_A) // r
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col("doc_id").alias("match_id"), F.explode(bands).alias("b")
+    ).select("match_id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.key").alias("key"))
+    return buckets, sets.select(
+        F.col("doc_id").alias("match_id"), F.col("sh_set").alias("_sb")
+    )
+
+
+def streaming_incremental_dedup(doc_stream: DataFrame, buckets: DataFrame,
+                                corpus_sets: DataFrame, n: int = 3,
+                                threshold: float = LSH_NEAR_DUP_THRESHOLD,
+                                rows_per_band: int = LSH_ROWS_PER_BAND
+                                ) -> DataFrame:
+    """(doc_id, match_id, jaccard) appended per micro-batch: each
+    streamed doc's above-threshold corpus matches."""
+    r = rows_per_band
+    n_bands = len(MINHASH_A) // r
+    enriched = (
+        doc_stream.select(
+            "doc_id", minhash_struct_udf(n)("text").alias("ms")
+        )
+        .filter(F.size("ms.sh_set") > 0)
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[F.element_at("ms.sigs", j * r + k + 1) for k in range(r)],
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    exp = enriched.select(
+        "doc_id", F.col("ms.sh_set").alias("_sa"), F.explode(bands).alias("b")
+    ).select("doc_id", "_sa", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.key").alias("key"))
+    cand = (
+        exp.join(buckets, ["band_idx", "key"])  # stream-static
+        .dropDuplicates(["doc_id", "match_id"])
+    )
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(corpus_sets, "match_id")  # stream-static
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )

@@ -325,3 +325,46 @@ def test_incremental_minute_rollup_matches_batch_and_replays(spark, sf_dir, tmp_
     # restart with the same checkpoint: backlog committed, no new deltas
     incremental_minute_rollup(read_events_stream(spark, sf_dir), delta, ckpt)
     assert key(serve_minute_rollup(spark, delta)) == key(batch)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The incoming split streamed file-by-file against the static
+    corpus index must produce exactly the batch cross-side scored
+    pairs (operators/dedup.incremental_scored_pairs)."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        _side_is_corpus,
+        incremental_scored_pairs,
+    )
+    from grpc_map_reduce_spark.streaming.dedup import (
+        corpus_index,
+        streaming_incremental_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(~_side_is_corpus(F.col("doc_id")))
+    src = str(tmp_path / "incoming_docs")
+    incoming.repartition(4).write.parquet(src)
+
+    buckets, sets = corpus_index(docs)
+    buckets = buckets.localCheckpoint()  # static sides pinned, built once
+    sets = sets.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src)
+    )
+    run_to_memory(
+        streaming_incremental_dedup(stream, buckets, sets),
+        "stream_incr_dedup",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in spark.table("stream_incr_dedup").collect()
+    }
+    want = {
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in incremental_scored_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
