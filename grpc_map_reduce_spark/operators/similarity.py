@@ -17,32 +17,73 @@ from grpc_map_reduce_spark.sources.tables import table
 
 
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str,
-                 n_blocks: int) -> DataFrame:
+                 n_blocks: int, keys: tuple = (),
+                 keys_schema: str = "") -> DataFrame:
     """Hash rows into ``n_blocks`` blocks and pack each block into one
-    ``(blk, ids, mat)`` summary row: ids int64 array + the block's
-    L2-normalized float64 matrix as bytes.  The shared building block
-    of the vectorized similarity kernels below — joins then replicate
-    whole-block summaries (O(n·B) bytes) instead of per-pair rows."""
+    ``(*keys, blk, ids, mat)`` summary row: ids int64 array + the
+    block's L2-normalized float64 matrix as bytes.  The shared
+    building block of the vectorized similarity kernels below — joins
+    then replicate whole-block summaries (O(n·B) bytes) instead of
+    per-pair rows.  ``keys`` adds grouping columns (e.g. a metadata
+    partition), turning the pack into a per-group index."""
     import numpy as np
     import pandas as pd
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.DataFrame(
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(
             {"blk": [int(pdf["blk"].iloc[0])],
              "ids": [pdf["id"].to_numpy(np.int64)],
              "mat": [mat.tobytes()]}
         )
+        return pd.DataFrame(row)
 
     base = df.select(
+        *[F.col(k) for k in keys],
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    return base.groupBy("blk").applyInPandas(
-        _pack, schema="blk long, ids array<long>, mat binary"
+    prefix = (keys_schema + ", ") if keys_schema else ""
+    return base.groupBy(*keys, "blk").applyInPandas(
+        _pack, schema=f"{prefix}blk long, ids array<long>, mat binary"
     )
+
+
+def _block_topk_kernel(k: int):
+    """mapInPandas kernel shared by the top-k searches: per packed
+    (corpus block × query block) row, one numpy matmul then a
+    block-local top-k per query by (-sim, neighbor_id) — the global
+    top-k is contained in the union of block winners."""
+    import numpy as np
+    import pandas as pd
+
+    def _block_topk(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                q_ids = np.asarray(row["q_ids"], dtype=np.int64)
+                c_ids = np.asarray(row["ids"], dtype=np.int64)
+                Q = np.frombuffer(row["q_mat"], dtype=np.float64).reshape(len(q_ids), -1)
+                C = np.frombuffer(row["mat"], dtype=np.float64).reshape(len(c_ids), -1)
+                sims = np.round(Q @ C.T, 6)
+                sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-match
+                # block-local top-k by (-sim, neighbor_id): lexsort is
+                # ascending, so sort on (id, -sim) keys reversed.
+                order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
+                take = order[:, :k]
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(q_ids, take.shape[1]),
+                    "neighbor_id": c_ids[take].ravel(),
+                    "sim": np.take_along_axis(sims, take, axis=1).ravel(),
+                }))
+            out = pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []})
+            yield out[out["sim"] > -np.inf]
+
+    return _block_topk
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -70,31 +111,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cpacked = _pack_blocks(corpus, id_col, vec_col, n_blocks)
     joined = cpacked.join(F.broadcast(qpacked))
 
-    def _block_topk(batches):
-        for pdf in batches:
-            frames = []
-            for _, row in pdf.iterrows():
-                q_ids = np.asarray(row["q_ids"], dtype=np.int64)
-                c_ids = np.asarray(row["ids"], dtype=np.int64)
-                Q = np.frombuffer(row["q_mat"], dtype=np.float64).reshape(len(q_ids), -1)
-                C = np.frombuffer(row["mat"], dtype=np.float64).reshape(len(c_ids), -1)
-                sims = np.round(Q @ C.T, 6)
-                sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-match
-                # block-local top-k by (-sim, neighbor_id): lexsort is
-                # ascending, so sort on (id, -sim) keys reversed.
-                order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
-                take = order[:, :k]
-                frames.append(pd.DataFrame({
-                    "query_id": np.repeat(q_ids, take.shape[1]),
-                    "neighbor_id": c_ids[take].ravel(),
-                    "sim": np.take_along_axis(sims, take, axis=1).ravel(),
-                }))
-            out = pd.concat(frames) if frames else pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "sim": []})
-            yield out[out["sim"] > -np.inf]
-
     cand = joined.mapInPandas(
-        _block_topk, schema="query_id long, neighbor_id long, sim double"
+        _block_topk_kernel(k), schema="query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -994,6 +1012,70 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {ANN_FILTER_K}
 
 
 # --------------------------------------------------------------------------
+# GROUP-PARTITIONED vector search — the multi-tenant / per-shard index
+# shape: every query searches ONLY its own group's corpus partition
+# (tenant id, language, document type...).  The group key becomes a
+# pack-and-join key, so blocks of different groups never meet: the
+# equi-join on the group column co-partitions query packs with corpus
+# packs, and the matmul kernel is unchanged.  Contrast with
+# ann_filtered_topk (one global predicate): here the predicate is
+# "same group as the query", per query.
+GROUPED_ANN_K = 5
+
+
+def grouped_cosine_topk(corpus: DataFrame, queries: DataFrame,
+                        k: int = GROUPED_ANN_K, group_col: str = "label",
+                        n_blocks: int = 4) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): top-``k`` neighbors within
+    the query's own ``group_col`` partition."""
+    qp = _pack_blocks(
+        queries, "vec_id", "embedding", 1,
+        keys=(group_col,), keys_schema=f"{group_col} int",
+    ).select(group_col, F.col("ids").alias("q_ids"), F.col("mat").alias("q_mat"))
+    cp = _pack_blocks(
+        corpus, "vec_id", "embedding", n_blocks,
+        keys=(group_col,), keys_schema=f"{group_col} int",
+    )
+    joined = cp.join(F.broadcast(qp), group_col)
+    cand = joined.mapInPandas(
+        _block_topk_kernel(k), schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return grouped_cosine_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+
+ORACLE_GROUPED_TOPK = f"""
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label = q.label
+    WHERE q.vec_id < 8
+),
+sims AS (
+    SELECT query_id, neighbor_id,
+           round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+    FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {GROUPED_ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Contrastive pair mining — training-data prep for embedding models:
 # per anchor query, ONE positive (its nearest corpus neighbor) and
 # N "random" negatives.  Random-but-reproducible matters more than
@@ -1138,6 +1220,9 @@ QUERIES = [
     ("ann_filtered_topk", q_filtered_topk, ORACLE_FILTERED_TOPK,
      "E2 filtered vector search: metadata predicate pre-filters the "
      "corpus scan before block packing (exact at any selectivity)."),
+    ("ann_grouped_topk", q_grouped_topk, ORACLE_GROUPED_TOPK,
+     "E2 group-partitioned vector search: per-group pack-and-join "
+     "index, each query searches only its own partition."),
     ("contrastive_pairs", q_contrastive_pairs, ORACLE_CONTRASTIVE,
      "Contrastive pair mining: nearest-neighbor positive + "
      "deterministic md5-ranked negatives per anchor, with exact "
