@@ -237,6 +237,95 @@ WHERE n_copies > 0
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled mixture (UniMax / multilingual-sampling style):
+# instead of hand-set weights, the target source share is derived
+# from the data as n_s^α with α = 0.5 — large sources are damped,
+# tail sources upsampled, the standard remedy for head-domination in
+# multi-source corpora.  Everything after the one sqrt is INTEGER so
+# the realized sample is bit-stable across engines:
+#
+#   s_i       = floor(sqrt(n_s) · 1000)          (exact per source —
+#               IEEE sqrt of an integer is identical everywhere)
+#   share_bp  = (s_i · 10⁴) DIV Σ s_j            (≤ 10⁴)
+#   ratio_bp  = (T · budget% · share_bp) DIV (100 · n_s)
+#
+# ratio_bp's product is ≤ t_rows·10⁶ — safe in int64 to ~10¹² corpus
+# rows.  Copies/membership then follow the mixture_epoch_resample
+# contract (md5 bucket under ratio_bp mod 10⁴, + full epochs).
+TEMP_BUDGET_PCT = 100
+
+
+def temperature_epoch_resample(df: DataFrame,
+                               budget_pct: int = TEMP_BUDGET_PCT,
+                               source_col: str = "source",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Resample so source shares follow ``sqrt(n_s)`` (α=0.5
+    temperature sampling) → input rows + ``epoch``."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s")).withColumn(
+        "s_i", F.floor(F.sqrt("n_s") * 1000).cast("long")
+    )
+    totals = counts.agg(
+        F.sum("n_s").alias("t_rows"), F.sum("s_i").alias("s_total")
+    )
+    per_source = counts.crossJoin(F.broadcast(totals)).withColumn(
+        "share_bp", F.expr("(s_i * 10000) DIV s_total")
+    ).withColumn(
+        "ratio_bp",
+        F.expr(f"(t_rows * {budget_pct} * share_bp) DIV (100 * n_s)"),
+    ).select(source_col, "ratio_bp")
+    bucket = _md5_long(F.col(id_col).cast("string")) % 10000
+    copies = (F.col("ratio_bp") / 10000).cast("long") + (
+        (bucket < F.col("ratio_bp") % 10000).cast("long")
+    )
+    return (
+        df.join(F.broadcast(per_source), source_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = temperature_epoch_resample(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "source", "epoch")
+
+
+ORACLE_TEMPERATURE_RESAMPLE = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_s,
+           CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS s_i
+    FROM documents GROUP BY source
+),
+totals AS (
+    SELECT sum(n_s) AS t_rows, sum(s_i) AS s_total FROM counts
+),
+per_source AS (
+    SELECT source,
+           (t_rows * {TEMP_BUDGET_PCT} * ((s_i * 10000) // s_total))
+               // (100 * n_s) AS ratio_bp
+    FROM counts CROSS JOIN totals
+),
+copies AS (
+    SELECT d.doc_id, d.source,
+           CAST(p.ratio_bp // 10000
+                + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000 < p.ratio_bp % 10000
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM documents d JOIN per_source p USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, n_copies + CAST(1 AS BIGINT))) AS BIGINT) AS epoch
+FROM copies
+WHERE n_copies > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Epoch shuffle: a reproducible global permutation, sharded.
 #
 # Training dataloaders need every epoch's read order to be (a) a
@@ -419,6 +508,10 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id AND d.source = s.source
 
 
 QUERIES = [
+    ("docs_temperature_resample", q_temperature_resample,
+     ORACLE_TEMPERATURE_RESAMPLE,
+     "Temperature-scaled (alpha=0.5) source resampling: shares follow "
+     "sqrt(n_s), integer ratio/membership math, map-only resample."),
     ("docs_dsir_scores", q_dsir_scores, ORACLE_DSIR,
      "DSIR importance weights: hashed-unigram target-vs-raw "
      "log-likelihood ratio per doc (broadcast count tables)."),

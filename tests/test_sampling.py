@@ -46,3 +46,18 @@ def test_mixture_budget_and_determinism(spark):
     ids2 = sorted(r["doc_id"] for r in half2.collect())
     assert ids1 == ids2
     assert 35 <= len(ids1) <= 65
+
+
+def test_temperature_resample_flattens_head(spark):
+    from grpc_map_reduce_spark.operators.sampling import temperature_epoch_resample
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_epoch_resample(df).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    # sqrt scaling: target shares ~ sqrt(900):sqrt(100) = 3:1 (not the
+    # raw 9:1), under a 100% row budget => head ~750, tail ~250
+    assert 650 <= got["head"] <= 850, got
+    assert 180 <= got["tail"] <= 320, got
+    # tail rows upsampled (multiple epochs), head rows downsampled
+    assert got["tail"] > 100 and got["head"] < 900
