@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.png import decode_png, encode_png
+from grpc_map_reduce_spark.functions.wav import decode_wav, encode_wav
 from grpc_map_reduce_spark.sources.tables import table
 
 #: Metadata carried next to every media payload.
@@ -64,6 +65,9 @@ def _decode(payload: bytes, fmt: str) -> bytes:
     if fmt == "png":
         _, _, _, pixels = decode_png(payload)
         return pixels
+    if fmt == "wav":
+        _, _, _, samples = decode_wav(payload)
+        return samples
     raise NotImplementedError(
         f"codec for format {fmt!r} not available; plug PIL/ffmpeg in here"
     )
@@ -329,6 +333,104 @@ FROM frames
 """
 
 
+#: Synthetic audio geometry: 8-bit unsigned PCM, text bytes as the
+#: waveform (space-padded, same witness trick as the PNG queries).
+WAV_N, WAV_RATE = 256, 8000
+
+
+def attach_wav_media(docs: DataFrame) -> DataFrame:
+    """Encode each document's leading ``WAV_N`` bytes as a REAL 8-bit
+    PCM WAV (RIFF container via functions/wav.py)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = [
+                encode_wav(WAV_RATE, 1, 8,
+                           t.encode()[:WAV_N].ljust(WAV_N, b" "))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    attached = docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, media binary"
+    )
+    return attached.select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.lit("wav").alias("format"),
+            F.lit(WAV_N).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """Real signal features over decoded PCM, all INTEGER so the hash
+    is engine-portable: sample count, total energy (Σ|s−128| for u8),
+    peak deviation, and midline zero-crossing count."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "n_samples": [], "energy": [],
+                    "peak": [], "zero_crossings": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_meta"]
+            ):
+                raw = _decode(payload, meta["format"])
+                s = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(s))
+                rows["energy"].append(int(np.abs(s).sum()))
+                rows["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+                neg = s < 0
+                rows["zero_crossings"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches,
+        schema="doc_id long, n_samples long, energy long, peak long, "
+               "zero_crossings long",
+    )
+
+
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio pipeline: text bytes → PCM WAV encode → RIFF parse →
+    integer signal features; the oracle computes the same features
+    from the character codes directly."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return audio_features(attach_wav_media(docs.repartition(n_part, "doc_id")))
+
+
+ORACLE_WAV_FEATURES = f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {WAV_N}), {WAV_N}, ' ') AS p
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           list_transform(range(1, {WAV_N} + 1),
+                          i -> ascii(substr(p, i, 1)) - 128) AS sm
+    FROM pix
+)
+SELECT doc_id,
+       CAST({WAV_N} AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS energy,
+       CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(len(list_filter(range(1, {WAV_N}),
+                i -> (sm[i] < 0) <> (sm[i + 1] < 0))) AS BIGINT)
+           AS zero_crossings
+FROM s
+"""
+
+
 #: Resize target for the registered round-trip query.
 PNG_RW, PNG_RH = 8, 8
 
@@ -395,4 +497,8 @@ QUERIES = [
      "E4 multimodal: real image resize — decode, nearest-neighbor "
      "resample, re-encode, decode again; the oracle rebuilds the "
      "resized pixel string with the same floor mapping."),
+    ("multimodal_wav_features", q_multimodal_wav_features, ORACLE_WAV_FEATURES,
+     "E4 multimodal: real audio — RIFF/PCM WAV encode→parse round "
+     "trip with integer signal features (energy, peak, zero "
+     "crossings), hash-checked against character-code math."),
 ]

@@ -93,3 +93,45 @@ def test_png_resize_real_pixels():
     _, _, _, dec = decode_png(png)
     png2 = encode_png(3, 2, ch, _resize_pixels(dec, w, h, ch, 3, 2), 4)
     assert decode_png(png2)[3] == want
+
+
+def test_wav_codec_round_trip_and_rejection():
+    import struct
+
+    import pytest as _pytest
+
+    from grpc_map_reduce_spark.functions.wav import decode_wav, encode_wav
+
+    for rate, ch, bits, n in [(8000, 1, 8, 255), (44100, 2, 16, 128)]:
+        width = ch * bits // 8
+        samples = bytes((13 * i) % 256 for i in range(n * width))
+        wav = encode_wav(rate, ch, bits, samples)
+        assert decode_wav(wav) == (rate, ch, bits, samples)
+        # odd-sized data chunk must be word-aligned in the container
+        assert len(wav) % 2 == 0
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNKJUNKJUNKJUNK")
+    wav = bytearray(encode_wav(8000, 1, 8, b"abcd"))
+    # audio format field lives at offset 20 (RIFF 12 + 'fmt ' header 8)
+    wav[20:22] = struct.pack("<H", 3)  # IEEE float PCM
+    with _pytest.raises(ValueError, match="audio format"):
+        decode_wav(bytes(wav))
+
+
+def test_wav_features_match_hand_computation(spark):
+    from grpc_map_reduce_spark.operators.multimodal import (
+        attach_wav_media,
+        audio_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aZaZ" * 80)], "doc_id long, text string"
+    )
+    r = audio_features(attach_wav_media(docs)).collect()[0]
+    # 'a'=97 -> -31, 'Z'=90 -> -38; padding ' '=32 -> -96
+    pad = 256 - 320  # text longer than WAV_N: no padding, 256 samples
+    assert r["n_samples"] == 256
+    assert r["energy"] == 128 * (31 + 38)
+    assert r["peak"] == 38
+    assert r["zero_crossings"] == 0  # all samples below midline
