@@ -184,7 +184,54 @@ FROM (SELECT {key} AS k, count(*) AS cnt FROM {tbl} GROUP BY {key})""")
 ORACLE_SKEW_PROFILE = _skew_oracle()
 
 
+# --------------------------------------------------------------------------
+# Blocked fuzzy entity matching — the record-linkage primitive: find
+# same-entity candidates whose keys differ by typos.  The quadratic
+# is bounded by BLOCKING (pairs form only within a blocking key; here
+# c_nationkey), the standard entity-resolution shape — at 100 TB the
+# block key grows more selective (nation × name prefix, or a
+# sorted-neighborhood window) but the plan is the same bounded
+# self-join.  Levenshtein is exact and identically defined in both
+# engines, so the output is hash-checkable.
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["nk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+ORACLE_FUZZY = f"""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = [
+    ("customers_fuzzy_match", fuzzy_name_match, ORACLE_FUZZY,
+     "Blocked fuzzy entity matching: levenshtein <= 2 within "
+     "nation blocks (bounded self-join, record-linkage shape)."),
     ("dq_expectations", dq_expectations, ORACLE_DQ,
      "Drop-gate data-quality report: FK/unique/null/range expectations "
      "as a union of keyed-join and conditional-sum aggregates."),
