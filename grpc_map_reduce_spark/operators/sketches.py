@@ -219,6 +219,45 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Approximate quantiles — the t-digest/GK side of the sketch family:
+# exact percentiles need a full sort (or a per-group collect);
+# ``percentile_approx`` folds each partition into a bounded
+# Greenwald-Khanna sketch and merges — one pass, mergeable, the only
+# viable shape at 100 TB.  The report carries exact vs approx with
+# the rank-error knob; rows-only (the sketch is Spark-specific), with
+# the error bound pytest-gated (|approx − exact| within the accuracy
+# contract) in test_approx.py.
+QUANTILE_PROBES = (0.25, 0.5, 0.75, 0.95, 0.99)
+QUANTILE_ACCURACY = 1000  # GK accuracy: rank error <= n / accuracy
+
+
+def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    probes = list(QUANTILE_PROBES)
+    agg = orders.agg(
+        F.percentile_approx("o_totalprice", probes, QUANTILE_ACCURACY)
+        .alias("approx"),
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, probes))}))"
+        ).alias("exact"),
+        F.count("*").alias("n_rows"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in probes]).alias("q"),
+        F.col("approx").alias("approx"),
+        F.col("exact").alias("exact"),
+    )
+    return agg.select(
+        F.explode(pairs).alias("z"), "n_rows"
+    ).select(
+        F.col("z.q").alias("quantile"),
+        F.round(F.col("z.approx"), 2).alias("approx_value"),
+        F.round(F.col("z.exact"), 2).alias("exact_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 QUERIES = [
     ("cms_frequency_estimates", q_cms, ORACLE_CMS,
      "Mergeable Count-Min sketch with exact-vs-estimate comparison."),
@@ -229,4 +268,7 @@ QUERIES = [
     ("approx_distinct_profile", approx_distinct_profile, None,
      "HLL approx_count_distinct vs exact with error in basis points "
      "(rows-only; 3-sigma error bound gated in test_approx.py)."),
+    ("approx_quantiles_profile", approx_quantiles_profile, None,
+     "GK-sketch approximate quantiles vs exact percentiles (rows-only; "
+     "rank-error bound gated in test_approx.py)."),
 ]

@@ -73,3 +73,34 @@ def test_hll_profile_error_within_3_sigma(spark, sf_dir):
         assert r["err_bp"] == int(
             abs(r["n_approx"] - r["n_exact"]) * 10000 // r["n_exact"]
         )
+
+
+def test_gk_quantiles_within_rank_error(spark, sf_dir):
+    import duckdb
+
+    from grpc_map_reduce_spark.operators.sketches import (
+        QUANTILE_ACCURACY,
+        approx_quantiles_profile,
+    )
+
+    rows = approx_quantiles_profile(spark, sf_dir).collect()
+    assert len(rows) == 5
+    values = sorted(
+        r[0] for r in duckdb.sql(
+            f"SELECT o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchall()
+    )
+    n = len(values)
+    for r in rows:
+        # GK contract: the approx value's RANK is within n/accuracy of
+        # the target rank
+        import bisect
+
+        target = r["quantile"] * (n - 1)
+        lo = bisect.bisect_left(values, r["approx_value"] - 0.01)
+        hi = bisect.bisect_right(values, r["approx_value"] + 0.01)
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= n / QUANTILE_ACCURACY + 1, (r, err, n)
+        assert abs(r["exact_value"] - values[int(target)]) <= max(
+            0.02, abs(values[min(int(target) + 1, n - 1)] - values[int(target)])
+        )
