@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grpc_map_reduce_spark.functions.gif import decode_gif, encode_gif
 from grpc_map_reduce_spark.functions.png import decode_png, encode_png
 from grpc_map_reduce_spark.functions.wav import decode_wav, encode_wav
 from grpc_map_reduce_spark.sources.tables import table
@@ -68,6 +69,9 @@ def _decode(payload: bytes, fmt: str) -> bytes:
     if fmt == "wav":
         _, _, _, samples = decode_wav(payload)
         return samples
+    if fmt == "gif":
+        _, _, frames = decode_gif(payload)
+        return b"".join(frames)
     raise NotImplementedError(
         f"codec for format {fmt!r} not available; plug PIL/ffmpeg in here"
     )
@@ -431,6 +435,95 @@ FROM s
 """
 
 
+#: Synthetic animation geometry: GIF_NF frames of GIF_W×GIF_H gray
+#: pixels per document (text bytes, space-padded — the same oracle
+#: witness trick as PNG/WAV).
+GIF_W, GIF_H, GIF_NF = 8, 8, 3
+
+
+def attach_gif_media(docs: DataFrame) -> DataFrame:
+    """Encode each document's leading bytes as a REAL animated GIF89a
+    (LZW-compressed, multi-frame) via functions/gif.py."""
+    fsz = GIF_W * GIF_H
+    total = fsz * GIF_NF
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for t in pdf["text"]:
+                raw = t.encode()[:total].ljust(total, b" ")
+                frames = [raw[i * fsz:(i + 1) * fsz] for i in range(GIF_NF)]
+                media.append(encode_gif(GIF_W, GIF_H, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    attached = docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, media binary"
+    )
+    return attached.select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.lit("gif").alias("format"),
+            F.lit(GIF_W).cast("int").alias("width"),
+            F.lit(GIF_H).cast("int").alias("height"),
+            F.lit(GIF_NF).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def sample_gif_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the GIF container, keep every
+    ``every_n``-th decoded frame — one output row per kept frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": [],
+                    "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                _, _, frames = decode_gif(payload)
+                for i in range(0, len(frames), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_md5"].append(
+                        hashlib.md5(frames[i]).hexdigest()
+                    )
+                    rows["frame_bytes"].append(len(frames[i]))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx int, frame_md5 string, frame_bytes long",
+    )
+
+
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-style pipeline: text bytes → animated GIF encode
+    (LZW) → container parse + LZW decode → every-2nd-frame sample,
+    witnessed by md5.  The oracle computes each kept frame's bytes
+    directly from the text, so one wrong byte anywhere in the LZW
+    round trip breaks the hash."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return sample_gif_frames(attach_gif_media(docs.repartition(n_part, "doc_id")))
+
+
+ORACLE_GIF_FRAMES = f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {GIF_W * GIF_H * GIF_NF}),
+                {GIF_W * GIF_H * GIF_NF}, ' ') AS p
+    FROM documents
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       md5(substr(p, f * {GIF_W * GIF_H} + 1, {GIF_W * GIF_H})) AS frame_md5,
+       CAST({GIF_W * GIF_H} AS BIGINT) AS frame_bytes
+FROM pix, unnest(range(0, {GIF_NF}, 2)) AS t(f)
+"""
+
+
 #: Resize target for the registered round-trip query.
 PNG_RW, PNG_RH = 8, 8
 
@@ -501,4 +594,8 @@ QUERIES = [
      "E4 multimodal: real audio — RIFF/PCM WAV encode→parse round "
      "trip with integer signal features (energy, peak, zero "
      "crossings), hash-checked against character-code math."),
+    ("multimodal_gif_frames", q_multimodal_gif_frames, ORACLE_GIF_FRAMES,
+     "E4 multimodal: real video-style frame sampling — animated GIF "
+     "encode (LZW) → container parse + decode → every-2nd frame, "
+     "md5-witnessed against text-derived expected frames."),
 ]
