@@ -577,6 +577,86 @@ FROM resized
 """
 
 
+def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
+    """Ingest-robust decode: each payload either decodes (``ok``) or
+    lands in quarantine with its error class — a corrupt blob must
+    never kill the job, it must become a countable row.  Output one
+    row per doc: (doc_id, status, n_bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "status": [], "n_bytes": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_meta"]
+            ):
+                try:
+                    raw = _decode(payload, meta["format"])
+                    rows["status"].append("ok")
+                    rows["n_bytes"].append(len(raw))
+                except ValueError:
+                    rows["status"].append("corrupt")
+                    rows["n_bytes"].append(0)
+                except NotImplementedError:
+                    rows["status"].append("unsupported_format")
+                    rows["n_bytes"].append(0)
+                rows["doc_id"].append(doc_id)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches, schema="doc_id long, status string, n_bytes long"
+    )
+
+
+def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically corrupt a known subset (doc_id % 7 == 0 gets
+    its PNG signature clobbered; doc_id % 11 == 0 claims an
+    unsupported format) and report per-status counts — the oracle
+    predicts the split from the id arithmetic alone, so the codecs'
+    rejection paths are part of the hash."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    media = attach_png_media(docs.repartition(n_part, "doc_id"))
+    media = media.withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(b"XXXX"), F.substring("media", 5, 1 << 24)),
+        ).otherwise(F.col("media")),
+    ).withColumn(
+        "media_meta",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.struct(
+                F.lit("mp4").alias("format"),
+                F.col("media_meta.width").alias("width"),
+                F.col("media_meta.height").alias("height"),
+                F.col("media_meta.n_frames").alias("n_frames"),
+            ),
+        ).otherwise(F.col("media_meta")),
+    )
+    return (
+        decode_with_quarantine(media)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )
+
+
+# doc_id % 11 wins over % 7 (format check precedes signature parse)
+ORACLE_QUARANTINE = f"""
+SELECT CASE WHEN doc_id % 11 = 0 THEN 'unsupported_format'
+            WHEN doc_id % 7 = 0 THEN 'corrupt'
+            ELSE 'ok' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 <> 0
+                     THEN {PNG_W * PNG_H} ELSE 0 END) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = [
     ("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL,
      "E4 multimodal: binary media column → decode stub → md5 features."),
@@ -598,4 +678,8 @@ QUERIES = [
      "E4 multimodal: real video-style frame sampling — animated GIF "
      "encode (LZW) → container parse + decode → every-2nd frame, "
      "md5-witnessed against text-derived expected frames."),
+    ("multimodal_quarantine", q_multimodal_quarantine, ORACLE_QUARANTINE,
+     "E4 ingest robustness: corrupt/unsupported payloads become "
+     "quarantine rows, never job failures; the codecs' rejection "
+     "paths are part of the hash."),
 ]
