@@ -35,6 +35,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -413,7 +414,50 @@ FROM synth
 """
 
 
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal: DEFLATE-compressed size over raw
+# size, in basis points.  Highly templated/repetitive text compresses
+# far below natural prose, making the ratio a cheap, language-free
+# repetition filter used alongside the Gopher heuristics in real
+# corpus pipelines.  Map-only Arrow UDF (stdlib zlib, fixed level so
+# the byte count is deterministic); DuckDB has no DEFLATE, so this
+# registers rows-only with a pytest parity gate against direct zlib.
+COMPRESSION_LEVEL = 6
+COMPRESSION_KEEP_MIN_BP = 2500  # keep docs compressing to >= 25%
+
+
+def compression_signal(docs: DataFrame) -> DataFrame:
+    """(doc_id, raw_bytes, deflate_bytes, ratio_bp, keep)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def deflate_len(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda t: len(zlib.compress(t.encode(), COMPRESSION_LEVEL))
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length(F.encode("text", "UTF-8")).cast("long")
+            .alias("raw_bytes"),
+            deflate_len("text").alias("deflate_bytes"),
+        )
+        .withColumn("ratio_bp", F.expr("(deflate_bytes * 10000) DIV raw_bytes"))
+        .withColumn("keep", F.col("ratio_bp") >= COMPRESSION_KEEP_MIN_BP)
+    )
+
+
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compression_signal(table(spark, sf_dir, "documents"))
+
+
 QUERIES = [
+    ("docs_compression_signal", q_compression_signal, None,
+     "DEFLATE compression-ratio repetition filter (map-only, integer "
+     "basis points; rows-only + zlib parity gate)."),
     ("repetition_stats", q_repetition_stats, ORACLE_REPETITION,
      "Gopher-style repetition quality filter: top-word share + duplicate "
      "2/3-gram fractions (integer basis points) + keep decision."),

@@ -70,3 +70,29 @@ def test_redact_pii_planted(spark):
     assert rows[3]["n_phones"] == 2
     assert rows[4]["masked"] == "nothing sensitive here"
     assert rows[4]["n_emails"] == rows[4]["n_ips"] == rows[4]["n_phones"] == 0
+
+
+def test_compression_signal_matches_zlib(spark, sf_dir):
+    import zlib
+
+    from grpc_map_reduce_spark.operators.quality_filters import (
+        COMPRESSION_LEVEL,
+        compression_signal,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r for r in compression_signal(docs).collect()}
+    assert set(got) == set(texts)
+    for d, t in texts.items():
+        raw = len(t.encode())
+        comp = len(zlib.compress(t.encode(), COMPRESSION_LEVEL))
+        r = got[d]
+        assert (r["raw_bytes"], r["deflate_bytes"]) == (raw, comp)
+        assert r["ratio_bp"] == comp * 10000 // raw
+        assert r["keep"] == (r["ratio_bp"] >= 2500)
+    # word-soup fixture text is repetitive but not degenerate: both
+    # signal directions should exist relative to natural-prose ratios
+    ratios = [r["ratio_bp"] for r in got.values()]
+    assert min(ratios) > 0 and max(ratios) < 10000
