@@ -92,7 +92,8 @@ def test_compression_signal_matches_zlib(spark, sf_dir):
         assert (r["raw_bytes"], r["deflate_bytes"]) == (raw, comp)
         assert r["ratio_bp"] == comp * 10000 // raw
         assert r["keep"] == (r["ratio_bp"] >= 2500)
-    # word-soup fixture text is repetitive but not degenerate: both
-    # signal directions should exist relative to natural-prose ratios
+    # word-soup fixture text is repetitive but not degenerate; tiny
+    # docs can exceed 100% (DEFLATE framing overhead), which is itself
+    # a valid "too short to judge" signal
     ratios = [r["ratio_bp"] for r in got.values()]
-    assert min(ratios) > 0 and max(ratios) < 10000
+    assert min(ratios) > 0 and max(ratios) < 20000
