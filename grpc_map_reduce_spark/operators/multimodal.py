@@ -657,7 +657,55 @@ GROUP BY 1
 """
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard round trip, in memory: each Arrow batch of
+    documents packs into one tar shard (deterministic metadata, stdlib
+    tarfile), the shard is parsed back, and each recovered member is
+    witnessed by md5 + the doc_id parsed from its member name.  The
+    oracle computes md5(text) directly — a byte error anywhere in the
+    tar framing or payload breaks the hash.  (sources/webdataset.py
+    carries the file-based reader/writer twins for real shards.)"""
+    from grpc_map_reduce_spark.sources.webdataset import pack_tar, unpack_tar
+
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            members = [
+                (f"{int(d):08d}.txt", t.encode())
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            if not members:
+                continue
+            recovered = unpack_tar(pack_tar(members))
+            rows = {"doc_id": [], "payload_md5": [], "payload_bytes": []}
+            for name, payload in recovered:
+                rows["doc_id"].append(int(name.split(".")[0]))
+                rows["payload_md5"].append(hashlib.md5(payload).hexdigest())
+                rows["payload_bytes"].append(len(payload))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").repartition(n_part, "doc_id").mapInPandas(
+        batches, schema="doc_id long, payload_md5 string, payload_bytes long"
+    )
+
+
+ORACLE_WEBDATASET = """
+SELECT doc_id,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+"""
+
+
 QUERIES = [
+    ("webdataset_roundtrip", q_webdataset_roundtrip, ORACLE_WEBDATASET,
+     "WebDataset tar-shard round trip: pack each Arrow batch into a "
+     "tar, parse it back, md5-witness every member against the "
+     "source text."),
     ("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL,
      "E4 multimodal: binary media column → decode stub → md5 features."),
     ("multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE,

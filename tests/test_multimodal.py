@@ -4,6 +4,7 @@ stub behavior for unsupported codecs."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.multimodal import (
     FEAT_DIM,
@@ -135,3 +136,37 @@ def test_wav_features_match_hand_computation(spark):
     assert r["energy"] == 128 * (31 + 38)
     assert r["peak"] == 38
     assert r["zero_crossings"] == 0  # all samples below midline
+
+
+def test_webdataset_write_read_round_trip(spark, sf_dir, tmp_path):
+    from grpc_map_reduce_spark.sources.tables import table
+    from grpc_map_reduce_spark.sources.webdataset import (
+        read_tar_members,
+        write_tar_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.format_string("%08d.txt", "doc_id").alias("member"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = str(tmp_path / "shards")
+    meta = write_tar_shards(docs, out, n_shards=4).collect()
+    assert {r["shard_id"] for r in meta} <= set(range(4))
+    assert sum(r["n_members"] for r in meta) == docs.count()
+
+    back = read_tar_members(spark, out + "/*.tar")
+    got = {
+        (r["member"], bytes(r["payload"]))
+        for r in back.collect()
+    }
+    want = {
+        (r["member"], bytes(r["payload"])) for r in docs.collect()
+    }
+    assert got == want
+    # determinism: the same write produces byte-identical shards
+    out2 = str(tmp_path / "shards2")
+    write_tar_shards(docs, out2, n_shards=4).collect()
+    import pathlib
+
+    for p in pathlib.Path(out).glob("*.tar"):
+        assert p.read_bytes() == (pathlib.Path(out2) / p.name).read_bytes()
