@@ -258,7 +258,90 @@ def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters: exact frequent-word report via a bounded
+# per-partition sketch + exact recount of the candidate set.
+#
+# Guarantee that makes the output EXACT (not approximate): if a word
+# has global frequency > n/φ⁻¹ then by pigeonhole it has frequency
+# > n_p/φ⁻¹ in at least one partition, and a Misra-Gries summary of
+# capacity φ⁻¹ always retains any item above that local threshold —
+# so the union of per-partition candidates is a superset of the true
+# heavy hitters, and the second (exact-count) pass filters it to
+# exactly {word : count(word) · φ⁻¹ > n}.  The sketch pass is
+# Arrow-batched with O(φ⁻¹) memory per partition; the recount joins
+# the token stream against the broadcast candidate set BEFORE the
+# groupBy, so the only shuffle carries candidate words — at 100 TB
+# that is O(partitions · φ⁻¹) rows, not the corpus vocabulary.
+
+HH_INV_PHI = 500  # report words with count > n_tokens / 500
+
+
+def _mg_candidates(inv_phi: int):
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                c = counters.get(w)
+                if c is not None:
+                    counters[w] = c + 1
+                elif len(counters) < inv_phi:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"word": list(counters)})
+
+    return mg
+
+
+def heavy_hitters(docs: DataFrame, inv_phi: int = HH_INV_PHI) -> DataFrame:
+    """Words with count · ``inv_phi`` > total tokens, with exact counts."""
+    toks = docs.select(F.explode(words("text")).alias("word"))
+    cands = toks.mapInPandas(
+        _mg_candidates(inv_phi), "word string"
+    ).distinct()
+    counts = (
+        toks.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = toks.agg(F.count("*").alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * inv_phi > F.col("_n"))
+        .select("word", "cnt")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(table(spark, sf_dir, "documents"))
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents
+),
+clean AS (SELECT word FROM toks WHERE word <> '')
+SELECT word, count(*) AS cnt
+FROM clean
+GROUP BY word
+HAVING count(*) * {HH_INV_PHI} > (SELECT count(*) FROM clean)
+"""
+
+
 QUERIES = [
+    ("heavy_hitters", q_heavy_hitters, ORACLE_HEAVY_HITTERS,
+     "Exact frequent words via Misra-Gries candidate sketch + exact "
+     "recount of the broadcast candidate set."),
     ("cms_frequency_estimates", q_cms, ORACLE_CMS,
      "Mergeable Count-Min sketch with exact-vs-estimate comparison."),
     ("hash_split_stats", q_hash_split_stats, ORACLE_HASH_SPLIT,

@@ -104,6 +104,7 @@ def _register_more() -> None:
         skew,
         sql_api,
         text_analysis,
+        timeseries,
         tpch_suite,
         udf_surface,
         vocab,
@@ -114,6 +115,6 @@ def _register_more() -> None:
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
                 udf_surface, quality_filters, vocab, web, lang_id,
-                data_quality):
+                data_quality, timeseries):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)
