@@ -368,7 +368,114 @@ FROM clusters c JOIN qual q USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Triangle counting over the near-dup graph — the density diagnostic
+# for dedup quality: triangles are triples of mutually-similar docs
+# (template families, mirror farms); a node's local clustering
+# coefficient separates "hub of one template" from "bridge between
+# unrelated dups".  Algorithm: canonical wedge join (Suri & Vassilvitskii,
+# WWW'11 "Counting Triangles and the Curse of the Last Reducer"
+# without the degree re-orientation): edges are held src<dst, wedges
+# (v,w) are enumerated at their common lower endpoint, then closed by
+# one join back onto the edge set.  Two shuffles; wedge count is
+# Σ deg(u)² over canonical degrees — at 100 TB, re-orient edges by
+# (degree, id) before the wedge join to bound the per-node fan-out at
+# the median degree (the standard skew fix; the SQL oracle mirrors
+# the canonical-id orientation used here).
+#
+# clustering_coeff_bp = floor(2·T·10⁴ / (deg·(deg−1))) — exact-int
+# numerator and denominator, one IEEE division + floor: hash-stable
+# (functions.money rationale).
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + degree + clustering coefficient (bp)
+    for every node of the undirected simple graph ``edges``."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = e1.join(e2, on=F.col("e1.a") == F.col("e2.a")).where(
+        F.col("e1.b") < F.col("e2.b")
+    ).select(
+        F.col("e1.a").alias("u"), F.col("e1.b").alias("v"),
+        F.col("e2.b").alias("w"),
+    )
+    tri = wedges.join(
+        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+    ).select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") > 1,
+                F.floor(
+                    F.coalesce("n_triangles", F.lit(0)) * 2 * 10000
+                    / (F.col("degree") * (F.col("degree") - 1))
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("clustering_coeff_bp"),
+        )
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = lsh_near_dup(
+        table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
+    ).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return triangle_counts(edges).withColumnRenamed("node", "doc_id")
+
+
+ORACLE_TRIANGLES = f"""
+WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
+e AS MATERIALIZED (
+    SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+    FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY 1),
+tri AS MATERIALIZED (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+per_node AS (
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ) GROUP BY 1
+)
+SELECT d.node AS doc_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree > 1
+                 THEN floor(coalesce(p.n_triangles, 0) * 2 * 10000
+                            / (d.degree * (d.degree - 1)))
+                 ELSE 0 END AS BIGINT) AS clustering_coeff_bp
+FROM deg d LEFT JOIN per_node p USING (node)
+"""
+
+
 QUERIES = [
+    ("dedup_triangles", q_triangle_counts, ORACLE_TRIANGLES,
+     "Per-node triangle count + clustering coefficient over the "
+     "near-dup graph (canonical wedge join, two shuffles)."),
     ("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
      "Transitive near-dup clusters via large-star/small-star connected components."),
     ("pagerank_neardup", q_pagerank_neardup, ORACLE_PAGERANK,

@@ -701,7 +701,68 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Spectrogram features — the first step of any audio-understanding
+# pipeline (frame → window → DFT → per-frame spectral features).
+# Frames are non-overlapping SPEC_FRAME-sample windows of the decoded
+# PCM; per frame we emit integer energy, the dominant rfft bin
+# (argmax of magnitude, DC excluded; ties break to the lowest bin via
+# argmax-first), and the dominant magnitude floored ×1000.  Output is
+# rows-only for the driver (a DFT has no faithful SQL twin); the real
+# gate is test_multimodal.py::test_spectrogram_matches_direct_dft,
+# which cross-checks against an independent O(N²) direct-definition
+# DFT built in the test.
+#
+# Scale: mapInPandas over the media column — Arrow-batched, O(frames ·
+# FRAME log FRAME) per doc, zero shuffle; the same shape as the other
+# codec passes.
+SPEC_FRAME = 64
+
+
+def audio_spectrogram(media_df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_energy": [],
+                    "dominant_bin": [], "dominant_mag_x1000": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_meta"]
+            ):
+                raw = _decode(payload, meta["format"])
+                s = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+                n_frames = len(s) // frame
+                for fi in range(n_frames):
+                    seg = s[fi * frame:(fi + 1) * frame]
+                    mag = np.abs(np.fft.rfft(seg))
+                    k = 1 + int(np.argmax(mag[1:]))  # skip DC
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_energy"].append(int(np.abs(seg).sum()))
+                    rows["dominant_bin"].append(k)
+                    rows["dominant_mag_x1000"].append(int(mag[k] * 1000))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx long, frame_energy long, "
+               "dominant_bin long, dominant_mag_x1000 long",
+    )
+
+
+def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return audio_spectrogram(
+        attach_wav_media(docs.repartition(n_part, "doc_id"))
+    )
+
+
 QUERIES = [
+    ("multimodal_spectrogram", q_multimodal_spectrogram, None,
+     "E4 multimodal: framed rfft spectrogram features over decoded "
+     "PCM (rows-only; gated against an independent direct-DFT "
+     "reference in test_multimodal.py)."),
     ("webdataset_roundtrip", q_webdataset_roundtrip, ORACLE_WEBDATASET,
      "WebDataset tar-shard round trip: pack each Arrow batch into a "
      "tar, parse it back, md5-witness every member against the "

@@ -36,7 +36,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
@@ -454,7 +454,107 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_signal(table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Winsorized length statistics — the robust-scaling step a mixture
+# pipeline runs before length-based weighting: clamp doc lengths to
+# exact discrete [p05, p95] percentiles so a handful of megadocs (or
+# empty crawls) can't dominate a mean.  Percentiles follow an explicit
+# integer rule BOTH engines implement verbatim — p_q = min{v : cum(v)
+# ≥ ceil(q·n)} over the VALUE-DOMAIN cumulative histogram — rather
+# than either engine's interpolating quantile, so the cut is exact
+# and hash-stable.
+#
+# Scale notes: the histogram groupBy is one shuffle whose key count
+# is |distinct n_chars| — value-domain-sized, not corpus-sized.  The
+# cumulative window runs un-partitioned over that domain table (a
+# few thousand rows at ANY corpus size; the data-sized tables never
+# see a global sort), and the two thresholds broadcast back onto the
+# doc scan.
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def winsorized_length_stats(docs: DataFrame) -> DataFrame:
+    """Per-source doc counts and winsorized length stats, clamped to
+    the corpus-global exact-discrete [p05, p95] length band."""
+    n = docs.agg(F.count("*").alias("_n"))
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    k_lo = F.floor((F.col("_n") * WINSOR_LO_PCT + 99) / 100)
+    k_hi = F.floor((F.col("_n") * WINSOR_HI_PCT + 99) / 100)
+    thr = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.min(F.when(F.col("cum") >= k_lo, F.col("n_chars"))).alias("p_lo"),
+            F.min(F.when(F.col("cum") >= k_hi, F.col("n_chars"))).alias("p_hi"),
+        )
+    )
+    clamped = docs.crossJoin(F.broadcast(thr)).select(
+        "source",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.least(F.col("n_chars"), F.col("p_hi")), F.col("p_lo"))
+        .alias("w_len"),
+        (F.col("n_chars") < F.col("p_lo")).cast("long").alias("lo_clip"),
+        (F.col("n_chars") > F.col("p_hi")).cast("long").alias("hi_clip"),
+    )
+    return clamped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("p_lo").cast("long").alias("p05_len"),
+        F.min("p_hi").cast("long").alias("p95_len"),
+        F.floor(F.sum("w_len") * 100 / F.count("*")).cast("long")
+        .alias("winsor_mean_len_x100"),
+        F.sum("lo_clip").cast("long").alias("n_clipped_low"),
+        F.sum("hi_clip").cast("long").alias("n_clipped_high"),
+    )
+
+
+def q_docs_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_length_stats(table(spark, sf_dir, "documents"))
+
+
+ORACLE_WINSORIZE = f"""
+WITH n AS (SELECT count(*) AS _n FROM documents),
+hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+cum AS (
+    SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+),
+thr AS (
+    SELECT min(CASE WHEN cum >= (SELECT floor((_n * {WINSOR_LO_PCT} + 99) / 100)
+                                 FROM n) THEN n_chars END) AS p_lo,
+           min(CASE WHEN cum >= (SELECT floor((_n * {WINSOR_HI_PCT} + 99) / 100)
+                                 FROM n) THEN n_chars END) AS p_hi
+    FROM cum
+),
+clamped AS (
+    SELECT d.source, t.p_lo, t.p_hi,
+           greatest(least(d.n_chars, t.p_hi), t.p_lo) AS w_len,
+           CASE WHEN d.n_chars < t.p_lo THEN 1 ELSE 0 END AS lo_clip,
+           CASE WHEN d.n_chars > t.p_hi THEN 1 ELSE 0 END AS hi_clip
+    FROM documents d CROSS JOIN thr t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(min(p_lo) AS BIGINT) AS p05_len,
+       CAST(min(p_hi) AS BIGINT) AS p95_len,
+       CAST(floor(sum(w_len) * 100 / count(*)) AS BIGINT)
+           AS winsor_mean_len_x100,
+       CAST(sum(lo_clip) AS BIGINT) AS n_clipped_low,
+       CAST(sum(hi_clip) AS BIGINT) AS n_clipped_high
+FROM clamped
+GROUP BY source
+"""
+
+
 QUERIES = [
+    ("docs_winsorize", q_docs_winsorize, ORACLE_WINSORIZE,
+     "Exact-discrete-percentile winsorized length stats per source "
+     "(value-domain histogram, broadcast thresholds)."),
     ("docs_compression_signal", q_compression_signal, None,
      "DEFLATE compression-ratio repetition filter (map-only, integer "
      "basis points; rows-only + zlib parity gate)."),

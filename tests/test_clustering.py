@@ -111,3 +111,17 @@ def test_canonical_one_per_cluster_max_quality(spark, sf_dir):
             m["doc_id"] for m in members if m["quality_bp"] == best_q
         )
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_triangle_counts_known_graph(spark):
+    from grpc_map_reduce_spark.operators.clustering import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6),
+             (2, 1)]  # duplicate reversed edge must not double-count
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.clustering_coeff_bp)
+           for r in triangle_counts(df).collect()}
+    for n in (1, 2, 3, 4):
+        assert got[n] == (3, 3, 10000)  # coeff 1.0 -> 10000 bp
+    assert got[5] == (1, 0, 0) and got[6] == (1, 0, 0)

@@ -170,3 +170,57 @@ def test_webdataset_write_read_round_trip(spark, sf_dir, tmp_path):
 
     for p in pathlib.Path(out).glob("*.tar"):
         assert p.read_bytes() == (pathlib.Path(out2) / p.name).read_bytes()
+
+
+def test_spectrogram_matches_direct_dft(spark, sf_dir):
+    """Cross-check the rfft-based operator against an independent
+    O(N^2) direct-definition DFT computed entirely outside Spark."""
+    import math
+
+    import numpy as np
+
+    from grpc_map_reduce_spark.operators.multimodal import (
+        SPEC_FRAME,
+        WAV_N,
+        attach_wav_media,
+        audio_spectrogram,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(40)
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_energy, r.dominant_bin,
+                                  r.dominant_mag_x1000)
+        for r in audio_spectrogram(attach_wav_media(docs)).collect()
+    }
+
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    n_checked = 0
+    for doc_id, text in texts.items():
+        pcm = text.encode()[:WAV_N].ljust(WAV_N, b" ")
+        s = [b - 128.0 for b in pcm]
+        for fi in range(WAV_N // SPEC_FRAME):
+            seg = s[fi * SPEC_FRAME:(fi + 1) * SPEC_FRAME]
+            mags = []
+            for k in range(SPEC_FRAME // 2 + 1):
+                re = sum(x * math.cos(-2 * math.pi * k * i / SPEC_FRAME)
+                         for i, x in enumerate(seg))
+                im = sum(x * math.sin(-2 * math.pi * k * i / SPEC_FRAME)
+                         for i, x in enumerate(seg))
+                mags.append(math.hypot(re, im))
+            k_dom = 1 + max(range(len(mags) - 1), key=lambda j: mags[j + 1])
+            # argmax-first tie-break parity: direct comparison below
+            energy = int(sum(abs(x) for x in seg))
+            g = got[(doc_id, fi)]
+            assert g[0] == energy
+            if mags[k_dom] < 1e-6:
+                # constant frame: spectrum is numerically zero, the
+                # argmax is float noise — only the magnitude matters
+                assert g[2] == 0
+            else:
+                assert g[1] == k_dom or math.isclose(
+                    mags[g[1]], mags[k_dom], rel_tol=1e-9
+                )
+                assert abs(g[2] - int(mags[g[1]] * 1000)) <= 1  # ulp slack
+            n_checked += 1
+    assert n_checked >= 40 * (WAV_N // SPEC_FRAME)

@@ -97,3 +97,25 @@ def test_compression_signal_matches_zlib(spark, sf_dir):
     # a valid "too short to judge" signal
     ratios = [r["ratio_bp"] for r in got.values()]
     assert min(ratios) > 0 and max(ratios) < 20000
+
+
+def test_winsorize_exact_discrete_percentiles(spark):
+    import pandas as pd
+
+    from grpc_map_reduce_spark.operators.quality_filters import (
+        winsorized_length_stats,
+    )
+
+    # 100 docs, lengths 1..100: ceil(0.05*100)=5 -> p05=5; ceil(95)=95
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        "source": ["s"] * 100,
+        "n_chars": range(1, 101),
+    })
+    out = winsorized_length_stats(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.p05_len, r.p95_len) == (5, 95)
+    assert r.n_clipped_low == 4 and r.n_clipped_high == 5
+    w = [min(max(x, 5), 95) for x in range(1, 101)]
+    assert r.winsor_mean_len_x100 == sum(w) * 100 // 100
