@@ -455,6 +455,142 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity — the next rung up from the
+# unigram CCNet score: P(w|prev) = λ·P_bi + (1−λ)·P_uni with add-one
+# smoothing on both components, trained on the same md5-train split.
+# Jelinek-Mercer interpolation is the classic backoff that keeps
+# unseen bigrams finite without discount bookkeeping, and it is
+# expressible as pure column arithmetic over two count tables.
+#
+# Scale notes: bigram extraction is MAP-ONLY (slice + arrays_zip on
+# the token array — no window, no extra shuffle); the bigram count
+# table is keyed by (prev, word) and joined WITHOUT a broadcast hint
+# — at fixture scale AQE broadcasts it, at 100 TB it is a shuffle
+# join on the bigram key, which is the correct plan when the bigram
+# vocabulary outgrows executor memory.  Only the unigram vocab and
+# the scalar totals are forced-broadcast.
+LM_LAMBDA_X10 = 7  # λ = 0.7, kept integral so both engines parse "0.7" alike
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, word) for every adjacent token pair — map-only."""
+    ws = words("text")
+    pairs = F.arrays_zip(
+        F.expr("slice(_ws, 1, greatest(size(_ws) - 1, 0))").alias("prev"),
+        F.expr("slice(_ws, 2, greatest(size(_ws) - 1, 0))").alias("word"),
+    )
+    return (
+        docs.withColumn("_ws", ws)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"),
+                F.col("bg.word").alias("word"))
+    )
+
+
+def bigram_nll(docs: DataFrame) -> DataFrame:
+    """Per-doc mean NLL under the interpolated bigram LM.
+
+    Output: (doc_id, n_bigrams, n_unseen_bigrams, mean_nll) for every
+    doc with ≥2 tokens.
+    """
+    from grpc_map_reduce_spark.operators.sketches import hash_split
+
+    lam = LM_LAMBDA_X10 / 10.0
+    train = hash_split(docs).filter(F.col("split") == "train")
+    tr_bi = _bigrams(train)
+    tr_uni = train.select(F.explode(words("text")).alias("word"))
+
+    uni = tr_uni.groupBy("word").agg(F.count("*").alias("c1"))
+    ctx = tr_bi.groupBy(F.col("prev").alias("word")).agg(
+        F.count("*").alias("cctx")
+    )
+    bi = tr_bi.groupBy("prev", "word").agg(F.count("*").alias("c2"))
+    tot = uni.agg(F.sum("c1").alias("total"), F.count("*").alias("vsize"))
+
+    probe = _bigrams(docs)
+    p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + LM_SMOOTH_K) / (
+        F.col("total") + LM_SMOOTH_K * F.col("vsize")
+    )
+    p_bi = (F.coalesce(F.col("c2"), F.lit(0)) + LM_SMOOTH_K) / (
+        F.coalesce(F.col("cctx"), F.lit(0)) + LM_SMOOTH_K * F.col("vsize")
+    )
+    nll = -F.log(lam * p_bi + (1 - lam) * p_uni)
+    return (
+        probe.join(bi, ["prev", "word"], "left")
+        .join(F.broadcast(ctx.withColumnRenamed("word", "prev")), "prev", "left")
+        .join(F.broadcast(uni), "word", "left")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("c2").isNull().cast("long")).alias("n_unseen_bigrams"),
+            F.round(F.avg(nll), 6).alias("mean_nll"),
+        )
+    )
+
+
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_nll(table(spark, sf_dir, "documents"))
+
+
+def _bigram_oracle() -> str:
+    from grpc_map_reduce_spark.operators.sketches import SPLIT_TRAIN_PCT
+
+    lam = LM_LAMBDA_X10 / 10.0
+    return f"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       w -> w <> '') AS arr
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(arr) AS word,
+           generate_subscripts(arr, 1) AS pos
+    FROM ws
+),
+bg AS (
+    SELECT a.doc_id, a.word AS prev, b.word AS word
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+tr AS (
+    SELECT doc_id FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+          < {SPLIT_TRAIN_PCT}
+),
+uni AS (
+    SELECT word, count(*) AS c1 FROM toks JOIN tr USING (doc_id) GROUP BY word
+),
+ctx AS (
+    SELECT prev, count(*) AS cctx FROM bg JOIN tr USING (doc_id) GROUP BY prev
+),
+bi AS (
+    SELECT prev, word, count(*) AS c2
+    FROM bg JOIN tr USING (doc_id) GROUP BY prev, word
+),
+tot AS (SELECT sum(c1) AS total, count(*) AS vsize FROM uni)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unseen_bigrams,
+       round(avg(-ln(
+           {lam} * ((coalesce(b.c2, 0) + {LM_SMOOTH_K})
+                    / (coalesce(c.cctx, 0) + {LM_SMOOTH_K} * tot.vsize))
+         + {1 - lam} * ((coalesce(u.c1, 0) + {LM_SMOOTH_K})
+                        / (tot.total + {LM_SMOOTH_K} * tot.vsize))
+       )), 6) AS mean_nll
+FROM bg p
+LEFT JOIN bi  b ON p.prev = b.prev AND p.word = b.word
+LEFT JOIN ctx c ON p.prev = c.prev
+LEFT JOIN uni u ON p.word = u.word, tot
+GROUP BY p.doc_id
+"""
+
+
+ORACLE_BIGRAM_NLL = _bigram_oracle()
+
+
+# --------------------------------------------------------------------------
 # Winsorized length statistics — the robust-scaling step a mixture
 # pipeline runs before length-based weighting: clamp doc lengths to
 # exact discrete [p05, p95] percentiles so a handful of megadocs (or
@@ -561,6 +697,9 @@ QUERIES = [
     ("repetition_stats", q_repetition_stats, ORACLE_REPETITION,
      "Gopher-style repetition quality filter: top-word share + duplicate "
      "2/3-gram fractions (integer basis points) + keep decision."),
+    ("doc_bigram_perplexity", q_doc_bigram_perplexity, ORACLE_BIGRAM_NLL,
+     "Interpolated (Jelinek-Mercer) bigram-LM mean NLL per doc: "
+     "map-only bigram extraction, shuffle-joined bigram counts."),
     ("doc_perplexity", q_doc_perplexity, ORACLE_UNIGRAM_NLL,
      "CCNet-style unigram-LM quality score: add-one-smoothed mean NLL "
      "vs the md5-train split, broadcast LM, OOV counted."),

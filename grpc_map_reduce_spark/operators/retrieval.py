@@ -197,7 +197,94 @@ WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Phrase search over a POSITIONAL inverted index — the retrieval
+# shape the plain inverted_index query (reference `ii` job) can't
+# answer: "docs where w1 is immediately followed by w2".  The index
+# is (word, doc_id, pos) from one posexplode; a phrase probe is a
+# self-join of the two posting lists on (doc_id, pos+1) — postings-
+# sized, never corpus-sized, and the probe terms are filtered BEFORE
+# the join so the shuffle carries only the queried words' postings
+# (at 100 TB: two index lookups + a co-partitioned merge, the
+# standard positional-index intersection).
+PHRASES = [("table", "hash"), ("merge", "group"), ("vector", "small")]
+
+
+def positional_index(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, pos) — pos is 0-based token position."""
+    return docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "word")
+    )
+
+
+def phrase_search(docs: DataFrame,
+                  phrases: list[tuple[str, str]] = PHRASES) -> DataFrame:
+    """Per (phrase, doc): occurrence count + first hit position."""
+    idx = positional_index(docs)
+    probe = [w for p in phrases for w in p]
+    hits = None
+    pruned = idx.where(F.col("word").isin(probe))
+    for w1, w2 in phrases:
+        a = pruned.where(F.col("word") == w1).select(
+            "doc_id", F.col("pos").alias("p1")
+        )
+        b = pruned.where(F.col("word") == w2).select(
+            "doc_id", F.col("pos").alias("p2")
+        )
+        h = (
+            a.join(b, (a.doc_id == b.doc_id) & (F.col("p2") == F.col("p1") + 1))
+            .select(a.doc_id, "p1")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_hits"),
+                F.min("p1").alias("first_pos"),
+            )
+            .select(F.lit(f"{w1} {w2}").alias("phrase"), "doc_id",
+                    "n_hits", "first_pos")
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return hits
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_search(table(spark, sf_dir, "documents"))
+
+
+def _phrase_oracle() -> str:
+    selects = []
+    for w1, w2 in PHRASES:
+        selects.append(f"""
+SELECT '{w1} {w2}' AS phrase, a.doc_id,
+       count(*) AS n_hits,
+       CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = '{w1}' AND b.word = '{w2}'
+GROUP BY a.doc_id""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       w -> w <> '') AS arr
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(arr) AS word,
+           generate_subscripts(arr, 1) - 1 AS pos
+    FROM ws
+)
+{body}
+"""
+
+
+ORACLE_PHRASE = _phrase_oracle()
+
+
 QUERIES = [
+    ("phrase_search", q_phrase_search, ORACLE_PHRASE,
+     "Positional-index phrase search: adjacency self-join of pruned "
+     "posting lists, per-doc hit counts."),
     ("bm25_retrieval", q_bm25, ORACLE_BM25,
      "BM25 ranked retrieval over the inverted-index aggregates."),
     ("tfidf_keywords", q_tfidf_keywords, ORACLE_TFIDF,

@@ -119,3 +119,66 @@ def test_winsorize_exact_discrete_percentiles(spark):
     assert r.n_clipped_low == 4 and r.n_clipped_high == 5
     w = [min(max(x, 5), 95) for x in range(1, 101)]
     assert r.winsor_mean_len_x100 == sum(w) * 100 // 100
+
+
+def test_bigram_nll_matches_pure_python(spark):
+    """Reconstruct the interpolated bigram LM in plain Python over a
+    tiny corpus and compare NLLs exactly (same rounding)."""
+    import math
+
+    import pandas as pd
+
+    from grpc_map_reduce_spark.operators.quality_filters import (
+        LM_LAMBDA_X10,
+        LM_SMOOTH_K,
+        bigram_nll,
+    )
+    from grpc_map_reduce_spark.operators.sketches import SPLIT_TRAIN_PCT
+
+    texts = ["the cat sat on the mat", "the cat ran", "a dog sat",
+             "the mat sat on a cat", "dog ran fast"]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    got = {r.doc_id: (r.n_bigrams, r.n_unseen_bigrams, r.mean_nll)
+           for r in bigram_nll(spark.createDataFrame(pdf)).collect()}
+
+    import hashlib
+
+    def in_train(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return h % 100 < SPLIT_TRAIN_PCT
+
+    lam = LM_LAMBDA_X10 / 10.0
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    tr = [i for i in toks if in_train(i)]
+    uni, ctx, bi = {}, {}, {}
+    for i in tr:
+        for w in toks[i]:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks[i], toks[i][1:]):
+            ctx[a] = ctx.get(a, 0) + 1
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    total, vsize = sum(uni.values()), len(uni)
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert i not in got
+            continue
+        nlls = []
+        unseen = 0
+        for a, b in pairs:
+            if (a, b) not in bi:
+                unseen += 1
+            p_bi = (bi.get((a, b), 0) + LM_SMOOTH_K) / (
+                ctx.get(a, 0) + LM_SMOOTH_K * vsize)
+            p_uni = (uni.get(b, 0) + LM_SMOOTH_K) / (
+                total + LM_SMOOTH_K * vsize)
+            nlls.append(-math.log(lam * p_bi + (1 - lam) * p_uni))
+        want = (len(pairs), unseen, round(sum(nlls) / len(nlls), 6))
+        assert got[i][:2] == want[:2], (i, got[i], want)
+        assert abs(got[i][2] - want[2]) <= 1e-6, (i, got[i], want)
