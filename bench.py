@@ -32,7 +32,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("grpc-map-reduce-spark-bench")
+    spark = get_spark(
+        "grpc-map-reduce-spark-bench",
+        # The status store retains per-execution metrics for 1000 SQL
+        # executions by default — 125 AQE-heavy queries of listener
+        # state is pure driver-heap ballast in a bench session.
+        extra_conf={"spark.sql.ui.retainedExecutions": "8"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Absorb JVM/executor/Arrow-worker startup outside the timed
@@ -80,6 +86,15 @@ def main() -> None:
         gc.collect()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(True)
+        # Python gc does NOT collect the JVM: broadcasts, shuffle
+        # state and RDD metadata pile up until a JVM GC lets the
+        # ContextCleaner's weak-reference queue drain (its built-in
+        # periodic GC runs every 30 min — never, in a 4-min bench).
+        # One System.gc() per few queries keeps late queries from
+        # paying earlier queries' garbage (measured: the same query
+        # is up to ~8x slower 60 queries into the session otherwise).
+        if len(timings) % 4 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

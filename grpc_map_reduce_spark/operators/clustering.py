@@ -389,12 +389,18 @@ FROM clusters c JOIN qual q USING (doc_id)
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle count + degree + clustering coefficient (bp)
     for every node of the undirected simple graph ``edges``."""
+    # Pin the canonical edge set: it feeds FOUR consumers (two wedge
+    # legs, the closure probe, the degree count) — without the
+    # checkpoint each consumer re-evaluates the whole upstream
+    # edge-generation pipeline (the LSH chain in the registered
+    # query), multiplying its shuffles by four.
     e = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
