@@ -652,7 +652,75 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Malformed-record quarantine for JSON ingestion — the batch twin of
+# every "bad records path" ingest contract: parse a JSON payload
+# column against a strict schema, route unparseable rows to a counted
+# quarantine instead of failing the job, and aggregate only the valid
+# ones.  The fixture's props are all well-formed, so (same pattern as
+# pii_redact) the query FABRICATES deterministic corruption — every
+# (event_id % 7 == 0) row loses its closing brace — so the rejection
+# path is actually exercised and hash-checked.  Corruption is by
+# TRUNCATION, not suffixing: Spark's Jackson parser accepts trailing
+# garbage after a complete value ('{"k":69}{' parses!) while DuckDB's
+# json_valid does not — truncation is rejected identically by both.
+#
+# Map-only parse + one groupBy — scales like any ingest scrub.
+JSONQ_CORRUPT_MOD = 7
+
+
+def json_quarantine(events: DataFrame) -> DataFrame:
+    raw = events.withColumn(
+        "_raw",
+        F.when(
+            F.col("event_id") % JSONQ_CORRUPT_MOD == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    parsed = raw.withColumn("_k", F.from_json("_raw", "k bigint").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("_k").isNotNull().cast("long")).alias("n_valid"),
+        F.sum(F.col("_k").isNull().cast("long")).alias("n_quarantined"),
+        F.sum(F.coalesce("_k", F.lit(0))).alias("sum_k_valid"),
+    )
+
+
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_quarantine(table(spark, sf_dir, "events"))
+
+
+ORACLE_JSON_QUARANTINE = f"""
+WITH raw AS (
+    SELECT event_type,
+           CASE WHEN event_id % {JSONQ_CORRUPT_MOD} = 0
+                THEN substring(props, 1, length(props) - 1)
+                ELSE props END AS r
+    FROM events
+),
+parsed AS (
+    SELECT event_type,
+           CASE WHEN json_valid(r)
+                THEN CAST(json_extract_string(r, '$.k') AS BIGINT)
+                ELSE NULL END AS k
+    FROM raw
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quarantined,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k_valid
+FROM parsed
+GROUP BY event_type
+"""
+
+
 QUERIES = [
+    ("events_json_quarantine", q_json_quarantine, ORACLE_JSON_QUARANTINE,
+     "Malformed-JSON ingest quarantine: strict-schema parse, counted "
+     "rejects, aggregate over valid rows only (map-only + one agg)."),
     ("events_cohort_retention", q_cohort_retention, ORACLE_COHORT,
      "Cohort retention matrix: first-seen day x day offset x distinct "
      "active users."),
