@@ -179,3 +179,70 @@ def test_scd2_property(spark, rows):
             nxt = runs[v][1] if v < len(runs) else None
             want.append((u, v, kind, start, nxt, nxt is None, n))
     assert got == sorted(want)
+
+
+WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(tokens=WORDS, inv_phi=st.sampled_from([2, 3, 5, 10]))
+@_SETTINGS
+def test_heavy_hitters_exact_property(spark, tokens, inv_phi):
+    """The MG candidate-superset + exact-recount pipeline must return
+    EXACTLY {w : count(w)*inv_phi > n} regardless of token order,
+    partitioning, or sketch evictions."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from grpc_map_reduce_spark.operators.sketches import heavy_hitters
+
+    texts = [" ".join(tokens[i::4]) for i in range(4) if tokens[i::4]]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r.word: r.cnt for r in heavy_hitters(docs, inv_phi).collect()}
+    n = len(tokens)
+    want = {w: c for w, c in Counter(tokens).items() if c * inv_phi > n}
+    assert got == want
+
+
+@given(rows=EVENTS)
+@_SETTINGS
+def test_gap_fill_property(spark, rows):
+    """For every user: the grid covers exactly the hours from first to
+    last event with no holes; zero-filled hours carry the most recent
+    non-silent hour's total; per-hour sums match a direct recount."""
+    from collections import defaultdict
+
+    from grpc_map_reduce_spark.operators.timeseries import gap_fill_hourly
+
+    out = gap_fill_hourly(_events_df(spark, rows)).collect()
+
+    per_user = defaultdict(dict)
+    for r in out:
+        per_user[r.user_id][r.hour] = r
+
+    by_hour = defaultdict(lambda: [0, 0])  # (user, hour_epoch) -> [n, cents]
+    for u, ts, _ in rows:
+        h = ts // 3600
+        by_hour[(u, h)][0] += 1
+        by_hour[(u, h)][1] += 100  # value is always 1.0 -> 100 cents
+    users = {u for u, _, _ in rows}
+    for u in users:
+        hours = sorted(h for (uu, h) in by_hour if uu == u)
+        grid = sorted(per_user[u])
+        assert len(grid) == hours[-1] - hours[0] + 1  # contiguous
+        carry = 0
+        for i, hr in enumerate(grid):
+            h_epoch = hours[0] + i
+            n, cents = by_hour.get((u, h_epoch), (0, 0))
+            r = per_user[u][hr]
+            assert r.n_events == n
+            assert r.hour_value_cents == cents
+            if n:
+                carry = cents
+            assert r.carried_value_cents == carry
