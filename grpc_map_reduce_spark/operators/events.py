@@ -218,11 +218,10 @@ ASOF LEFT JOIN clicks1 c ON p.user_id = c.user_id AND p.ts >= c.ts
 
 
 # --------------------------------------------------------------------------
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize(ev: DataFrame) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap, expressed as the
     classic gaps-and-islands window computation (works identically at
     any scale: one shuffle on user_id + one sort)."""
-    ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     with_new = ev.withColumn(
@@ -242,6 +241,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("session_value_cents"),
         )
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(table(spark, sf_dir, "events"))
 
 
 ORACLE_SESSIONIZE = """
