@@ -55,6 +55,15 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # local[32] packs driver + all executor threads into ONE JVM whose
+    # default heap is 1 GiB — 32 concurrent tasks' shuffle/agg buffers
+    # plus 100+ queries of session state in 1 GiB is permanent GC
+    # pressure (measured: late-session queries up to 8x slower before
+    # the bench added periodic System.gc()).  8 GiB is still tiny
+    # against the 128 GiB host but removes the artificial ceiling.
+    # Only effective when the JVM starts through this factory; a
+    # pre-existing session keeps its own heap (harmless no-op).
+    "spark.driver.memory": "8g",
 }
 
 
