@@ -27,36 +27,63 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from grpc_map_reduce_spark import get_spark, registry
 
 
+def recycle_jvm(spark, fresh_session):
+    """Stop the session AND its JVM, then build a fresh one.
+
+    ``spark.stop()`` alone reuses the live Py4J gateway, so the next
+    ``getOrCreate()`` lands in the SAME JVM — accumulated codegen
+    classes, metaspace, and JIT state survive, which is exactly the
+    degradation being reset.  Shutting the gateway down forces the
+    next SparkContext to launch a brand-new JVM.
+    """
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    spark.stop()
+    gw = SparkContext._gateway
+    if gw is not None:
+        gw.shutdown()
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    return fresh_session()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(
-        "grpc-map-reduce-spark-bench",
-        # The status store retains per-execution metrics for 1000 SQL
-        # executions by default — 125 AQE-heavy queries of listener
-        # state is pure driver-heap ballast in a bench session.
-        extra_conf={"spark.sql.ui.retainedExecutions": "8"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        spark = get_spark(
+            "grpc-map-reduce-spark-bench",
+            # The status store retains per-execution metrics for 1000 SQL
+            # executions by default — 125 AQE-heavy queries of listener
+            # state is pure driver-heap ballast in a bench session.
+            extra_conf={"spark.sql.ui.retainedExecutions": "8"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
 
-    # Absorb JVM/executor/Arrow-worker startup outside the timed
-    # region so the first query isn't charged for session warmup.
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # ...and the Python/Arrow worker pool (pandas-UDF operators).
-    from pyspark.sql.functions import pandas_udf
+        # Absorb JVM/executor/Arrow-worker startup outside the timed
+        # region so the first query isn't charged for session warmup.
+        spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        # ...and the Python/Arrow worker pool (pandas-UDF operators).
+        from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _noop_udf(s):
-        return s
+        @pandas_udf("long")
+        def _noop_udf(s):
+            return s
 
-    spark.range(10_000).select(_noop_udf("id")).write.format("noop").mode(
-        "overwrite"
-    ).save()
+        spark.range(10_000).select(_noop_udf("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return spark
+
+    spark = fresh_session()
 
     # Optional subset (comma-separated names) — lets the contract test
     # exercise the full harness in seconds instead of minutes.  The
@@ -93,8 +120,16 @@ def main() -> None:
         # One System.gc() per few queries keeps late queries from
         # paying earlier queries' garbage (measured: the same query
         # is up to ~8x slower 60 queries into the session otherwise).
-        if len(timings) % 4 == 0:
+        if len(timings) % int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1")) == 0:
             spark.sparkContext._jvm.System.gc()
+        # JVM recycling (off by default): measured WORSE than per-query
+        # GC alone — each fresh JVM re-pays cold-JIT on its first
+        # queries (total 179.5 s recycling every 24 vs 149.6 s with one
+        # warm JVM + per-query System.gc()).  Kept as a knob because on
+        # larger inventories metaspace drag could eventually win.
+        restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "0"))
+        if restart_every and len(timings) % restart_every == 0:
+            spark = recycle_jvm(spark, fresh_session)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -292,7 +292,10 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
 
     clusters = dedup_clusters(docs)
     qual = quality_scores(docs).select("doc_id", "quality_bp")
-    scored = clusters.join(qual, "doc_id")
+    # Pinned: both the per-cluster argmax and the final flag join read
+    # this — without the checkpoint the cluster-assignment join (and
+    # the quality scan) re-execute once per consumer.
+    scored = clusters.join(qual, "doc_id").localCheckpoint(eager=False)
     per_cluster = scored.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"),
         F.max(F.struct(F.col("quality_bp"), (-F.col("doc_id")).alias("nid")))

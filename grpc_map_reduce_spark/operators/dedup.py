@@ -485,6 +485,62 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CONTAINMENT (asymmetric Jaccard): C(A→B) = |A∩B| / |A|.  Jaccard
+# misses the quote/subset shape — a short doc fully contained in a
+# long one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on containment.
+# Training pipelines run this next to near-dup to catch boilerplate
+# inclusion, quotation farms, and partial mirrors.  Same sub-quadratic
+# skeleton as lsh_near_dup: LSH band candidates → exact set rescore;
+# only the score and its (direction-max) threshold differ.  Note the
+# recall asymmetry inherited from MinHash: band collision probability
+# tracks JACCARD, so a tiny-doc-in-huge-doc pair (high containment,
+# low Jaccard) needs the 1-row band config to surface — documented
+# recall knob, same as the near-dup path.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = CONTAINMENT_THRESHOLD,
+                      rows_per_band: int = LSH_ROWS_PER_BAND,
+                      max_bucket: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_common, cont_a_in_b, cont_b_in_a) for LSH
+    candidate pairs where either direction's containment ≥ threshold."""
+    sets = _shingle_sets(docs, n)
+    cand = minhash_candidates(
+        docs, n, rows_per_band=rows_per_band, sets=sets, max_bucket=max_bucket
+    ).select("doc_a", "doc_b")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "cont_a_in_b", F.round(F.col("n_common") / F.size("_sa"), 6)
+        )
+        .withColumn(
+            "cont_b_in_a", F.round(F.col("n_common") / F.size("_sb"), 6)
+        )
+    )
+    return (
+        scored.filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            "cont_a_in_b", "cont_b_in_a",
+        )
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(table(spark, sf_dir, "documents"))
+
+
+# ORACLE_CONTAINMENT is defined after lsh_pairs_sql below (it reuses
+# the shared candidate fragment's `common` CTE).
+
+
+# --------------------------------------------------------------------------
 # INCREMENTAL dedup: the shape every production pipeline actually
 # runs — a new shard arrives and must be deduped AGAINST THE EXISTING
 # CORPUS, not within itself.  The LSH band join is one-sided
@@ -686,6 +742,21 @@ pairs AS MATERIALIZED (
 ORACLE_LSH_NEAR_DUP = f"""
 WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD)}
 SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+# Reuses the shared candidate fragment's `common` CTE (n_common, na,
+# nb) directly; the fragment's jaccard-thresholded `pairs` CTE goes
+# unreferenced and is pruned.
+ORACLE_CONTAINMENT = f"""
+WITH {lsh_pairs_sql(0.0)}
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(n_common * 1.0 / na, 6) AS cont_a_in_b,
+       round(n_common * 1.0 / nb, 6) AS cont_b_in_a
+FROM common
+WHERE greatest(round(n_common * 1.0 / na, 6),
+               round(n_common * 1.0 / nb, 6)) >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -895,6 +966,9 @@ QUERIES = [
      "E2 near-dup: 60-bit tf-weighted SimHash signatures."),
     ("dedup_minhash_lsh", q_minhash_candidates, ORACLE_MINHASH,
      "E2 near-dup: MinHash LSH band-bucket candidate pairs."),
+    ("dedup_containment", q_containment_pairs, ORACLE_CONTAINMENT,
+     "E2 near-dup: asymmetric containment |A∩B|/|A| over LSH "
+     "candidates — catches quote/subset pairs Jaccard misses."),
     ("dedup_lsh_neardup", q_lsh_near_dup, ORACLE_LSH_NEAR_DUP,
      "E2 composed scale path: LSH candidates -> exact Jaccard rescore "
      "(sub-quadratic; no shingle self-join)."),

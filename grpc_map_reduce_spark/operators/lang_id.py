@@ -56,12 +56,32 @@ def _trigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_profiles(docs: DataFrame, k: int = LANG_PROFILE_K) -> DataFrame:
+def _doc_tg_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, tg, cnt) — per-doc trigram occurrence counts.
+
+    Each doc carries exactly one ``lang``, so this ONE aggregate
+    serves both consumers: profile learning re-aggregates it by
+    (lang, tg) over the far smaller doc×distinct-trigram table, and
+    classification drops ``lang`` — the corpus-sized trigram explode
+    and its shuffle run once instead of twice (was 2 full passes,
+    measured ~2× the query's wall time at sf0.1)."""
+    return (
+        _trigrams(docs)
+        .groupBy("doc_id", "lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def lang_profiles(docs: DataFrame, k: int = LANG_PROFILE_K,
+                  base: DataFrame | None = None) -> DataFrame:
     """(lang, tg) — each language's top-``k`` trigrams by corpus
     count, ties broken by trigram so the profile is deterministic."""
     from pyspark.sql import Window
 
-    counts = _trigrams(docs).groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    if base is None:
+        base = _doc_tg_counts(docs)
+    counts = base.groupBy("lang", "tg").agg(F.sum("cnt").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tg")
     return (
         counts.withColumn("r", F.row_number().over(w))
@@ -70,13 +90,12 @@ def lang_profiles(docs: DataFrame, k: int = LANG_PROFILE_K) -> DataFrame:
     )
 
 
-def classify_langs(docs: DataFrame, profiles: DataFrame) -> DataFrame:
+def classify_langs(docs: DataFrame, profiles: DataFrame,
+                   base: DataFrame | None = None) -> DataFrame:
     """(doc_id, lang, pred_lang, score, is_correct) for every doc."""
-    doc_tg = (
-        _trigrams(docs)
-        .groupBy("doc_id", "tg")
-        .agg(F.count("*").alias("cnt"))
-    )
+    if base is None:
+        base = _doc_tg_counts(docs)
+    doc_tg = base.select("doc_id", "tg", "cnt")
     probe = F.broadcast(profiles.withColumnRenamed("lang", "cand_lang"))
     scores = (
         doc_tg.join(probe, "tg")  # inner: non-profile trigrams score 0 anyway
@@ -108,7 +127,8 @@ def classify_langs(docs: DataFrame, profiles: DataFrame) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return classify_langs(docs, lang_profiles(docs))
+    base = _doc_tg_counts(docs)
+    return classify_langs(docs, lang_profiles(docs, base=base), base=base)
 
 
 ORACLE_LANG_ID = f"""

@@ -281,6 +281,159 @@ toks AS (
 ORACLE_PHRASE = _phrase_oracle()
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25) and
+# dense (embedding cosine) rankings, the standard first-stage fusion
+# in modern RAG / retrieval stacks (Cormack et al., SIGIR'09):
+#     rrf(d) = Σ_legs 1 / (K + rank_leg(d)),   K = 60.
+# One hybrid query = the BM25 term set + one query embedding (the
+# fixture's vec_id space is the doc_id space).  Ranks, not scores,
+# are fused, so the two legs' incomparable score scales never meet —
+# and the output is hash-stable: ranks are integers and each
+# reciprocal is the same IEEE double on both engines.
+#
+# Scale: each leg is the already-sub-quadratic operator (BM25's
+# reduced aggregates; cosine's broadcast-query block scan); fusion
+# touches only 2×POOL candidate rows — a full-outer join of two
+# top-POOL lists, nothing corpus-sized.  Absent legs are encoded as
+# rank 0 (NOT null: a nullable int column decays to float64 in the
+# driver's pandas canonicalization, which would hash-diverge).
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOP = 15
+RRF_QUERY_VEC = 0
+
+
+def hybrid_rrf(docs: DataFrame, emb: DataFrame,
+               terms: list[str], query_vec_id: int = RRF_QUERY_VEC,
+               pool: int = RRF_POOL, top: int = RRF_TOP) -> DataFrame:
+    """(doc_id, r_text, r_vec, rrf, rank): top-``top`` fused results."""
+    from pyspark.sql import Window
+
+    from grpc_map_reduce_spark.operators.similarity import cosine_topk
+
+    # Both windows rank tiny post-limit candidate lists (≤ pool rows),
+    # so the unpartitioned sort is a single-partition no-op, not a
+    # corpus-wide global sort.
+    wt = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    t = (
+        bm25_scores(docs, terms, top_k=pool)
+        .withColumn("r_text", F.row_number().over(wt).cast("long"))
+        .select("doc_id", "r_text")
+    )
+    v = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == query_vec_id), k=pool
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_vec"))
+
+    fused = (
+        t.join(v, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_text", F.lit(0)).cast("long").alias("r_text"),
+            F.coalesce("r_vec", F.lit(0)).cast("long").alias("r_vec"),
+        )
+    )
+
+    def _contrib(col: str) -> F.Column:
+        return F.when(
+            F.col(col) > 0, F.lit(1.0) / (F.lit(RRF_K) + F.col(col))
+        ).otherwise(F.lit(0.0))
+
+    wr = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rrf", F.round(_contrib("r_text") + _contrib("r_vec"), 6))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= top)
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_rrf(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        list(DEFAULT_TERMS),
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM toks WHERE word <> '' GROUP BY doc_id, word
+),
+dl AS (
+    SELECT doc_id, count(*) AS dl
+    FROM toks WHERE word <> '' GROUP BY doc_id
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+    SELECT word, count(*) AS df FROM tf
+    WHERE word IN ({_TERMS_SQL}) GROUP BY word
+),
+bm AS (
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN dl    USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+),
+t AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_text
+    FROM bm
+    QUALIFY r_text <= {RRF_POOL}
+),
+vpairs AS (
+    SELECT c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = {RRF_QUERY_VEC}
+),
+vsims AS (
+    SELECT neighbor_id,
+           round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+    FROM vpairs GROUP BY 1
+),
+v AS (
+    SELECT neighbor_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS r_vec
+    FROM vsims
+    QUALIFY r_vec <= {RRF_POOL}
+),
+fused AS (
+    SELECT coalesce(t.doc_id, v.doc_id)      AS doc_id,
+           CAST(coalesce(t.r_text, 0) AS BIGINT) AS r_text,
+           CAST(coalesce(v.r_vec, 0) AS BIGINT)  AS r_vec
+    FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+),
+scored AS (
+    SELECT doc_id, r_text, r_vec,
+           round((CASE WHEN r_text > 0
+                       THEN CAST(1 AS DOUBLE) / ({RRF_K} + r_text) ELSE 0 END)
+               + (CASE WHEN r_vec > 0
+                       THEN CAST(1 AS DOUBLE) / ({RRF_K} + r_vec) ELSE 0 END),
+                 6) AS rrf
+    FROM fused
+)
+SELECT doc_id, r_text, r_vec, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {RRF_TOP}
+"""
+
+
 QUERIES = [
     ("phrase_search", q_phrase_search, ORACLE_PHRASE,
      "Positional-index phrase search: adjacency self-join of pruned "
@@ -289,4 +442,7 @@ QUERIES = [
      "BM25 ranked retrieval over the inverted-index aggregates."),
     ("tfidf_keywords", q_tfidf_keywords, ORACLE_TFIDF,
      "Per-document top-k TF-IDF keywords (smooth idf, windowed top-k)."),
+    ("hybrid_rrf_retrieval", q_hybrid_rrf, ORACLE_HYBRID_RRF,
+     "Reciprocal-rank fusion of BM25 and embedding-cosine rankings "
+     "(RAG first-stage hybrid retrieval; integer ranks fused)."),
 ]
