@@ -30,7 +30,7 @@ from grpc_map_reduce_spark.functions.text import (
     distinct_shingle_hashes_udf,
     words,
 )
-from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.sources.tables import spread, table
 
 
 # --------------------------------------------------------------------------
@@ -288,9 +288,8 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     Column-expression alternative gets duplicated by Catalyst into
     inferred filters/generator projections and re-runs the tokenizer
     per slice (measured ~10× slower at sf0.1; see functions.text)."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(n_part, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", distinct_shingle_hashes_udf(n)("text").alias("sh_set"))
         .localCheckpoint(eager=False)
     )

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.sources.tables import spread, table
 
 #: Profile size: top-K trigrams per language.
 LANG_PROFILE_K = 32
@@ -50,7 +50,7 @@ _TG = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
 def _trigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, tg) — one row per trigram occurrence."""
     return (
-        docs.filter(F.length("text") >= 3)
+        spread(docs).filter(F.length("text") >= 3)
         .select("doc_id", "lang", F.lower("text").alias("t"))
         .select("doc_id", "lang", F.explode(F.expr(_TG)).alias("tg"))
     )

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
-from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.sources.tables import spread, table
 
 # Keep-thresholds (basis points), Gopher-flavored: drop a doc when its
 # most frequent word exceeds 20% of tokens or >18% of its 2-gram /
@@ -130,7 +130,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # more than once (or inside a lambda), so nothing expensive is
     # duplicated when Catalyst collapses projects.
     stats = (
-        docs.select("doc_id", words("text").alias("ws"))
+        spread(docs).select("doc_id", words("text").alias("ws"))
         .filter(F.size("ws") >= 1)
         .select(
             "doc_id",
@@ -278,6 +278,7 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     """
     from grpc_map_reduce_spark.operators.sketches import hash_split
 
+    docs = spread(docs)
     toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
     train_toks = (
         hash_split(docs)
@@ -439,7 +440,7 @@ def compression_signal(docs: DataFrame) -> DataFrame:
         )
 
     return (
-        docs.select(
+        spread(docs).select(
             "doc_id",
             F.octet_length(F.encode("text", "UTF-8")).cast("long")
             .alias("raw_bytes"),
@@ -496,6 +497,7 @@ def bigram_nll(docs: DataFrame) -> DataFrame:
     from grpc_map_reduce_spark.operators.sketches import hash_split
 
     lam = LM_LAMBDA_X10 / 10.0
+    docs = spread(docs)
     train = hash_split(docs).filter(F.col("split") == "train")
     tr_bi = _bigrams(train)
     tr_uni = train.select(F.explode(words("text")).alias("word"))

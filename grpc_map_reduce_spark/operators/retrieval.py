@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
-from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.sources.tables import spread, table
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -41,7 +41,7 @@ def bm25_scores(docs: DataFrame, terms: list[str], k1: float = BM25_K1,
     idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
     never negative, well-defined for df = N).
     """
-    tokens = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    tokens = spread(docs).select("doc_id", F.explode(words("text")).alias("word"))
     # tf feeds FOUR consumers (scoring, dl, stats, df).  Spark has no
     # common-subplan reuse across branches, so without pinning, each
     # branch re-scans and re-tokenizes the corpus (4 full scans,
@@ -140,7 +140,7 @@ def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     from pyspark.sql.window import Window
 
     tf = (
-        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        spread(docs).select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)  # feeds df AND scoring
@@ -212,7 +212,7 @@ PHRASES = [("table", "hash"), ("merge", "group"), ("vector", "small")]
 
 def positional_index(docs: DataFrame) -> DataFrame:
     """(word, doc_id, pos) — pos is 0-based token position."""
-    return docs.select(
+    return spread(docs).select(
         "doc_id", F.posexplode(words("text")).alias("pos", "word")
     )
 

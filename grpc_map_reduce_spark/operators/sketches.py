@@ -338,6 +338,103 @@ HAVING count(*) * {HH_INV_PHI} > (SELECT count(*) FROM clean)
 """
 
 
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / BJKST) distinct-count sketch.  The HLL
+# profile above uses Spark's native approx_count_distinct, whose
+# binary sketch has no DuckDB twin (rows-only check); KMV is the
+# mergeable cardinality estimator that IS engine-portable: keep the k
+# smallest 60-bit hashes of the distinct values — a partial top-k,
+# trivially mergeable by "union then re-take-k" — and estimate
+#     D̂ = (k-1) / R_k,   R_k = the k-th smallest hash / 2^60.
+# Every step is integer or a single IEEE double ratio, so the
+# estimate is bit-identical across engines and the oracle hash-checks
+# the whole sketch path, not just row counts.
+#
+# Scale: per column, one pruned scan → distinct hash agg → partial
+# top-k (TakeOrdered — each partition keeps k, merge keeps k; never a
+# global sort).  Exact counts ride the same scan for the error column.
+KMV_K = 256
+_KMV_COLS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def kmv_estimate(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """One row: (column_name, est_distinct, exact_distinct, err_bp)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hs = df.select(h.alias("h")).where(F.col("h").isNotNull()).distinct()
+    kth = (
+        hs.orderBy("h").limit(k)
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n"))
+    )
+    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+    est = F.when(F.col("n") < k, F.col("n")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * (F.lit(float(1 << 60)) / F.col("hk"))
+        )
+    ).cast("long")
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(col).alias("column_name"),
+            est.alias("est_distinct"),
+            F.col("exact_distinct"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "(abs(est_distinct - exact_distinct) * 10000)"
+                " DIV exact_distinct"
+            ),
+        )
+    )
+
+
+def q_kmv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, col in _KMV_COLS:
+        part = kmv_estimate(table(spark, sf_dir, tbl), col)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _kmv_oracle() -> str:
+    k = KMV_K
+    parts = []
+    for tbl, col in _KMV_COLS:
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       CAST(CASE WHEN n < {k} THEN n
+                 ELSE floor(CAST({k - 1} AS DOUBLE)
+                            * (CAST({1 << 60} AS DOUBLE) / hk)) END
+            AS BIGINT) AS est_distinct,
+       (SELECT count(DISTINCT {col}) FROM {tbl}) AS exact_distinct,
+       (abs(CAST(CASE WHEN n < {k} THEN n
+                 ELSE floor(CAST({k - 1} AS DOUBLE)
+                            * (CAST({1 << 60} AS DOUBLE) / hk)) END
+            AS BIGINT) - (SELECT count(DISTINCT {col}) FROM {tbl})) * 10000)
+           // (SELECT count(DISTINCT {col}) FROM {tbl}) AS err_bp
+FROM (
+    SELECT max(h) AS hk, count(*) AS n FROM (
+        SELECT h FROM (
+            SELECT DISTINCT
+                (('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT)
+                    AS h
+            FROM {tbl} WHERE {col} IS NOT NULL
+        ) ORDER BY h LIMIT {k}
+    )
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_KMV = _kmv_oracle()
+
+
 QUERIES = [
     ("heavy_hitters", q_heavy_hitters, ORACLE_HEAVY_HITTERS,
      "Exact frequent words via Misra-Gries candidate sketch + exact "
@@ -348,6 +445,9 @@ QUERIES = [
      "Deterministic md5 train/test split + per-split stats."),
     ("profile_orders", q_profile_orders, ORACLE_PROFILE,
      "One-pass per-column data-profiling report."),
+    ("kmv_distinct_profile", q_kmv_profile, ORACLE_KMV,
+     "KMV/BJKST k-minimum-values distinct sketch: partial top-k of "
+     "60-bit hashes, engine-portable estimate, error vs exact."),
     ("approx_distinct_profile", approx_distinct_profile, None,
      "HLL approx_count_distinct vs exact with error in basis points "
      "(rows-only; 3-sigma error bound gated in test_approx.py)."),

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
-from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.sources.tables import spread, table
 
 #: Vocabulary size for the registered query — small enough that the
 #: 31-word fixture corpus produces real OOV tokens (a K ≥ corpus
@@ -333,7 +333,7 @@ def bpe_encode_stats(docs: DataFrame, merges: DataFrame) -> DataFrame:
     def n_toks(col: pd.Series) -> pd.Series:
         return col.map(lambda w: _encode_word(w, merge_list))
 
-    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    toks = spread(docs).select("doc_id", F.explode(words("text")).alias("word"))
     vocab = toks.select("word").distinct().withColumn("n_t", n_toks("word"))
     return (
         toks.join(F.broadcast(vocab), "word")

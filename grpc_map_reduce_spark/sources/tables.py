@@ -42,6 +42,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Ensure ``df`` enters heavy per-row compute with at least one
+    partition per core.
+
+    The fixture parquet ships as SINGLE-row-group files, so every scan
+    collapses to one split and the first stage of a map-only operator
+    runs on one core — a harness artifact (measured: 4.5M bounded
+    levenshteins serialized onto one thread), not a property of the
+    operator.  At production scale the scan already carries ≥ cores
+    splits and this returns ``df`` unchanged — NO shuffle; below that
+    it inserts one round-robin (or hash, if ``cols`` are given)
+    exchange of the raw scan, i.e. the same distribution a properly
+    row-grouped file would have given the scan for free.
+
+    Use at the head of CPU-heavy map-only / explode-first operators
+    only; aggregation-first plans parallelize at their own shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    # .rdd compiles the physical plan to read its partitioning but
+    # launches no job; for a file scan this is the split count.
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *cols) if cols else df.repartition(p)
+
+
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
     Spark's vectorized reader only accepts as a raw int64 via the
