@@ -243,6 +243,115 @@ WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
 """
 
 
+# --------------------------------------------------------------------------
+# CDC snapshot diff — the change-data-capture primitive: given two
+# snapshots of a keyed table, emit exactly the insert/update/delete
+# set (unchanged rows excluded).  This is the reconciliation every
+# incremental pipeline runs between a warehouse table and a fresh
+# extract, and the input half of MERGE (sources/layout.py applies
+# changes; this op DERIVES them).
+#
+# The fixture has one orders table, so the two snapshots are carved
+# deterministically from it by md5 bucket of the key (the hash_split
+# convention): bucket 0-4 exists only in v1 (⇒ deletes), 95-99 only
+# in v2 (⇒ inserts), 40-59 changes price by +5% in v2 (⇒ updates),
+# everything else is identical and must NOT appear in the output.
+#
+# Scale: one pruned scan feeding two filter branches, one full-outer
+# join keyed on the PK — the exact plan a real snapshot-vs-snapshot
+# diff runs (two scans, one co-partitioned join).  Absent-side prices
+# are encoded 0 (nullable ints decay to float64 in the driver's
+# pandas canonicalization).
+SNAP_DELETE_PCT = 5    # buckets [0, 5)   → v1 only
+SNAP_INSERT_PCT = 95   # buckets [95,100) → v2 only
+SNAP_UPDATE_LO, SNAP_UPDATE_HI = 40, 60
+
+
+def _key_bucket(col) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+
+
+def snapshot_diff(orders: DataFrame) -> DataFrame:
+    """(o_orderkey, change_type, old_price_cents, new_price_cents)."""
+    from grpc_map_reduce_spark.functions.money import cents
+
+    base = orders.select(
+        "o_orderkey",
+        cents("o_totalprice").alias("pc"),
+        _key_bucket(F.col("o_orderkey")).alias("bk"),
+    )
+    v1 = base.filter(F.col("bk") < SNAP_INSERT_PCT).select(
+        "o_orderkey", F.col("pc").alias("old_price_cents")
+    )
+    v2 = base.filter(F.col("bk") >= SNAP_DELETE_PCT).select(
+        "o_orderkey",
+        F.when(
+            (F.col("bk") >= SNAP_UPDATE_LO) & (F.col("bk") < SNAP_UPDATE_HI),
+            F.expr("pc * 105 DIV 100"),
+        ).otherwise(F.col("pc")).alias("new_price_cents"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price_cents").isNull(), F.lit("insert"))
+        .when(F.col("new_price_cents").isNull(), F.lit("delete"))
+        .when(
+            F.col("old_price_cents") != F.col("new_price_cents"),
+            F.lit("update"),
+        )
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "o_orderkey",
+            "change_type",
+            F.coalesce("old_price_cents", F.lit(0)).alias("old_price_cents"),
+            F.coalesce("new_price_cents", F.lit(0)).alias("new_price_cents"),
+        )
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snapshot_diff(table(spark, sf_dir, "orders"))
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+           (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 100) AS bk
+    FROM orders
+),
+v1 AS (
+    SELECT o_orderkey, pc AS old_price_cents FROM base
+    WHERE bk < {SNAP_INSERT_PCT}
+),
+v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN bk >= {SNAP_UPDATE_LO} AND bk < {SNAP_UPDATE_HI}
+                THEN pc * 105 // 100 ELSE pc END AS new_price_cents
+    FROM base WHERE bk >= {SNAP_DELETE_PCT}
+),
+j AS (
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           v1.old_price_cents, v2.new_price_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN old_price_cents IS NULL THEN 'insert'
+            WHEN new_price_cents IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CAST(coalesce(old_price_cents, 0) AS BIGINT) AS old_price_cents,
+       CAST(coalesce(new_price_cents, 0) AS BIGINT) AS new_price_cents
+FROM j
+WHERE old_price_cents IS NULL OR new_price_cents IS NULL
+   OR old_price_cents <> new_price_cents
+"""
+
+
 QUERIES = [
     ("customers_fuzzy_match", fuzzy_name_match, ORACLE_FUZZY,
      "Blocked fuzzy entity matching: levenshtein <= 2 within "
@@ -253,4 +362,7 @@ QUERIES = [
     ("skew_profile", skew_profile, ORACLE_SKEW_PROFILE,
      "Join-key skew profiler: distinct keys, hottest key, and the "
      "max/mean skew factor that decides salting before the shuffle."),
+    ("orders_snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+     "CDC snapshot diff: insert/update/delete set between two keyed "
+     "snapshots via one full-outer PK join (MERGE's input half)."),
 ]

@@ -758,7 +758,151 @@ def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup — the image-side analog of the
+# text near-dup family: decode → 9×7 nearest-neighbor thumbnail →
+# 56-bit gradient hash (bit = left pixel < right pixel) → LSH-banded
+# candidate pairs → exact Hamming rescore.  56 bits (not the classic
+# 64) keeps the hash in non-negative int64 range on both engines.
+# 4 bands × 14 bits guarantee every pair with Hamming ≤ 3 shares a
+# clean band (pigeonhole); candidates rescore by bit_count(xor).
+#
+# Scale: hashing is map-only over decoded media; the pair join is
+# O(images × 4) band rows bucket-joined — the same sub-quadratic
+# shape as the MinHash text path, never all-pairs.
+DHASH_W, DHASH_H = 9, 7
+DHASH_BITS = (DHASH_W - 1) * DHASH_H  # 56
+DHASH_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS  # 14
+DHASH_HAMMING_MAX = 8
+
+
+def dhash_images(media_df: DataFrame) -> DataFrame:
+    """(doc_id, dhash) — 56-bit gradient hash of each decoded image."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["media"]:
+                w0, h0, ch, pix = decode_png(payload)
+                rp = _resize_pixels(pix, w0, h0, ch, DHASH_W, DHASH_H)
+                a = np.frombuffer(rp, np.uint8).reshape(DHASH_H, DHASH_W)
+                v = 0
+                for bit in (a[:, :-1] < a[:, 1:]).flatten():
+                    v = (v << 1) | int(bit)
+                hashes.append(v)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return media_df.mapInPandas(batches, schema="doc_id long, dhash long")
+
+
+def phash_near_dup_pairs(media_df: DataFrame,
+                         max_hamming: int = DHASH_HAMMING_MAX) -> DataFrame:
+    """(doc_a, doc_b, hamming) for banded-candidate image pairs."""
+    sigs = dhash_images(media_df).localCheckpoint(eager=False)
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            F.shiftright("dhash", j * DHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1)).alias("key"),
+        )
+        for j in range(DHASH_BANDS)
+    ])
+    exploded = sigs.select("doc_id", "dhash", F.explode(bands).alias("b")) \
+        .select("doc_id", "dhash", "b.band_idx", "b.key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return phash_near_dup_pairs(
+        attach_png_media(docs.repartition(n_part, "doc_id"))
+    )
+
+
+# The oracle rebuilds the 9×7 thumbnail from text with the resize
+# floor mapping (as ORACLE_PNG_RESIZE), derives the 56-bit hash from
+# character-code comparisons, and replays the band join + Hamming
+# rescore — DuckDB never decodes a PNG.
+_DHASH_SQL_BANDS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, dhash, {j} AS band_idx, "
+    f"(dhash >> {j * DHASH_BAND_BITS}) & {(1 << DHASH_BAND_BITS) - 1} AS key "
+    f"FROM sigs"
+    for j in range(DHASH_BANDS)
+)
+
+ORACLE_PHASH_PAIRS = f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {PNG_W * PNG_H}), {PNG_W * PNG_H}, ' ') AS p
+    FROM documents
+),
+resized AS (
+    SELECT doc_id,
+           list_reduce(list_transform(range(0, {DHASH_W * DHASH_H}),
+               i -> substr(p,
+                           ((i // {DHASH_W}) * {PNG_H} // {DHASH_H}) * {PNG_W}
+                           + ((i % {DHASH_W}) * {PNG_W} // {DHASH_W}) + 1,
+                           1)),
+               (a, b) -> a || b) AS rp
+    FROM pix
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {DHASH_BITS}),
+               i -> CASE WHEN ascii(substr(rp, (i // {DHASH_W - 1}) * {DHASH_W} + (i % {DHASH_W - 1}) + 1, 1))
+                          < ascii(substr(rp, (i // {DHASH_W - 1}) * {DHASH_W} + (i % {DHASH_W - 1}) + 2, 1))
+                    THEN (1::BIGINT << ({DHASH_BITS - 1} - i)) ELSE 0 END))
+               AS BIGINT) AS dhash
+    FROM resized
+),
+bands AS (
+    {_DHASH_SQL_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.dhash AS ha, b.dhash AS hb
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {DHASH_HAMMING_MAX}
+"""
+
+
 QUERIES = [
+    ("multimodal_phash_pairs", q_multimodal_phash_pairs, ORACLE_PHASH_PAIRS,
+     "E4 multimodal: dHash perceptual-hash image near-dup — decode → "
+     "9×7 thumbnail → 56-bit gradient hash → banded candidates → "
+     "exact Hamming rescore; oracle replays it from character codes."),
     ("multimodal_spectrogram", q_multimodal_spectrogram, None,
      "E4 multimodal: framed rfft spectrogram features over decoded "
      "PCM (rows-only; gated against an independent direct-DFT "
