@@ -655,9 +655,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+#: Probe width for the registered IVF query (and its oracle).
+IVF_N_PROBE = 2
+IVF_TOP_K = 10
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8))
+    # n_lists / kmeans_iters intentionally pinned to the kmeans
+    # constants: the DuckDB oracle replays the index build via the
+    # SAME kmeans_assign_sql() fragment the kmeans/semdedup oracles
+    # use, so one SQL formulation checks every consumer of the
+    # clustering stage.
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=IVF_TOP_K,
+        n_lists=KMEANS_K, n_probe=IVF_N_PROBE, kmeans_iters=KMEANS_ITERS,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -858,6 +871,44 @@ WITH {kmeans_assign_sql()}
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
        count(*) OVER (PARTITION BY cid) AS cluster_size
 FROM final_assign
+"""
+
+
+# IVF search replayed in SQL on the same index-build fragment: probe
+# the n_probe nearest centroids per query (dot DESC, cid tie — the
+# stable-argsort order the numpy kernel uses), brute-force only the
+# probed lists' members, exclude self, round sims to 6 dp before the
+# final rank.  Probe/assignment are discrete argmax decisions, robust
+# to the ~1e-15 centroid accumulation-order drift between the
+# fixed-order partial sums (Spark) and avg() (DuckDB) — the same
+# robustness ORACLE_KMEANS already depends on.
+ORACLE_IVF_TOPK = f"""
+WITH {kmeans_assign_sql()},
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM norm WHERE vec_id < 8
+),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) AS rn
+        FROM q CROSS JOIN c{KMEANS_ITERS} c
+    ) WHERE rn <= {IVF_N_PROBE}
+),
+cand AS (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(n.v, q.qv), 6) AS sim
+    FROM probe p
+    JOIN final_assign fa ON fa.cid = p.cid
+    JOIN norm n ON n.vec_id = fa.vec_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE n.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= {IVF_TOP_K}
 """
 
 
@@ -1211,8 +1262,10 @@ QUERIES = [
      "E2 similarity search: brute-force cosine top-k (oracle baseline)."),
     ("embedding_near_dup", q_embedding_near_dup, ORACLE_NEAR_DUP,
      "E2 embedding-cosine near-dup pairs above a similarity threshold."),
-    ("ann_ivf_topk", q_ivf_topk, None,
-     "E2 IVF-indexed approximate top-k (scale path; rows-only + recall test)."),
+    ("ann_ivf_topk", q_ivf_topk, ORACLE_IVF_TOPK,
+     "E2 IVF-indexed approximate top-k (scale path): the oracle "
+     "replays index build, probe, and rescore on the shared "
+     "kmeans_assign_sql fragment; + recall test."),
     ("embedding_lsh_neardup", q_embedding_lsh_near_dup, ORACLE_EMB_LSH,
      "E2 hyperplane-LSH near-dup candidates + exact cosine rescore "
      "(sub-quadratic scale path; md5-derived hyperplanes let the "
