@@ -720,7 +720,58 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Event-type transition matrix: first-order Markov counts over each
+# user's event sequence — the session-flow fingerprint (view→click
+# vs view→error rates) behind funnel diagnosis and bot detection.
+# One lag window co-partitioned on user_id (the same shuffle every
+# per-user op here pays), then a 25-row aggregate; share in basis
+# points of all transitions (integer division, hash-stable).
+def transition_matrix(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    total = trans.agg(F.sum("n_transitions").alias("total"))
+    return (
+        trans.crossJoin(F.broadcast(total))
+        .select(
+            "from_type", "to_type", "n_transitions",
+            F.expr("(n_transitions * 10000) DIV total").alias("share_bp"),
+        )
+    )
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_matrix(table(spark, sf_dir, "events"))
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type
+    FROM events
+),
+trans AS (
+    SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST((n_transitions * 10000)
+            // (SELECT sum(n_transitions) FROM trans) AS BIGINT) AS share_bp
+FROM trans
+"""
+
+
 QUERIES = [
+    ("events_transition_matrix", q_transition_matrix, ORACLE_TRANSITIONS,
+     "First-order Markov event-type transition counts per user "
+     "sequence (one lag window + 25-row aggregate)."),
     ("events_json_quarantine", q_json_quarantine, ORACLE_JSON_QUARANTINE,
      "Malformed-JSON ingest quarantine: strict-schema parse, counted "
      "rejects, aggregate over valid rows only (map-only + one agg)."),

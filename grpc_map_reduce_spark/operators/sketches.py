@@ -435,7 +435,47 @@ FROM (
 ORACLE_KMV = _kmv_oracle()
 
 
+# --------------------------------------------------------------------------
+# Numeric correlation profile: pairwise Pearson r over lineitem's
+# measure columns — the profiling report behind feature selection and
+# anomaly baselining.  corr() is a single-pass streaming aggregate on
+# both engines (co-moment accumulation, map-side partial); 600k-row
+# double sums differ across engines only at ~1e-12 relative, far
+# under the 6-dp rounding.
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+)
+
+
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(*[
+        F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}")
+        for a, b in _CORR_PAIRS
+    ]).selectExpr(
+        "stack({n}, {args}) AS (pair, r)".format(
+            n=len(_CORR_PAIRS),
+            args=", ".join(
+                f"'{a}~{b}', corr_{a}_{b}" for a, b in _CORR_PAIRS
+            ),
+        )
+    )
+
+
+ORACLE_CORR = "\nUNION ALL\n".join(
+    f"SELECT '{a}~{b}' AS pair, round(corr({a}, {b}), 6) AS r FROM lineitem"
+    for a, b in _CORR_PAIRS
+)
+
+
 QUERIES = [
+    ("lineitem_corr_profile", q_corr_profile, ORACLE_CORR,
+     "Pairwise Pearson correlation profile over lineitem measures "
+     "(one-pass co-moment aggregates, 6-dp rounded)."),
     ("heavy_hitters", q_heavy_hitters, ORACLE_HEAVY_HITTERS,
      "Exact frequent words via Misra-Gries candidate sketch + exact "
      "recount of the broadcast candidate set."),
