@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.money import cents
-from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.sources.tables import spread, table
 
 
 # --------------------------------------------------------------------------
@@ -35,15 +35,23 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     ``floor(sum·10⁴ / count)`` — exact int64 sum and count, one IEEE
     division, floor: bit-identical across engines (functions.money
     rationale; never hash a rounded double)."""
+    # Project the JSON scalar ONCE: three aggregates reference k, and
+    # each agg child would otherwise re-run get_json_object per row
+    # (3 parses/row in the partial-agg stage).  spread(): the JSON
+    # parse + partial agg run before the window shuffle, i.e. on the
+    # scan's split count — one core on the fixture's single-row-group
+    # file without it.
     k = F.get_json_object("props", "$.k").cast("long")
     return (
-        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        spread(events).withColumn("k", k)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(cents("value")).alias("total_value_cents"),
             F.countDistinct("user_id").alias("n_users"),
-            F.floor(F.sum(k) * 10000 / F.count(k)).cast("long").alias("avg_k_bp"),
-            F.max(k).alias("max_k"),
+            F.floor(F.sum("k") * 10000 / F.count("k")).cast("long")
+            .alias("avg_k_bp"),
+            F.max("k").alias("max_k"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -90,7 +98,7 @@ def sliding_window_agg(events: DataFrame, width: str = "1 hour",
     fundamental cost of sliding windows on any engine (the streaming
     twin in streaming/windows.py carries the same expression)."""
     return (
-        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        spread(events).groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(cents("value")).alias("total_value_cents"),
