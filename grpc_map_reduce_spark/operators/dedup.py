@@ -535,6 +535,62 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# N-gram novelty: what fraction of a document's distinct shingles
+# appear NOWHERE else in the corpus?  Low novelty = heavily templated
+# or duplicated content (memorization risk when over-represented);
+# the per-doc score that ranks what the pair-wise dedup family finds.
+# One shingle explode → document-frequency aggregate → one join back:
+# both shuffles keyed on the 8-byte shingle hash.
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_unique, novelty_bp) per doc with ≥1
+    shingle; novelty in basis points (10000 = all shingles unique)."""
+    sh = (
+        _shingle_sets(docs, n)
+        .select("doc_id", F.explode("sh_set").alias("h"))
+        .localCheckpoint(eager=False)  # feeds df agg AND the join back
+    )
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .withColumn("novelty_bp", F.expr("(n_unique * 10000) DIV n_shingles"))
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(table(spark, sf_dir, "documents"))
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           (('0x' || substr(md5(unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           ))), 1, 15))::BIGINT) AS h
+    FROM toks
+),
+dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000) // count(*)
+            AS BIGINT) AS novelty_bp
+FROM sh JOIN dfreq USING (h)
+GROUP BY doc_id
+"""
+
+
 # ORACLE_CONTAINMENT is defined after lsh_pairs_sql below (it reuses
 # the shared candidate fragment's `common` CTE).
 
@@ -968,6 +1024,9 @@ QUERIES = [
     ("dedup_containment", q_containment_pairs, ORACLE_CONTAINMENT,
      "E2 near-dup: asymmetric containment |A∩B|/|A| over LSH "
      "candidates — catches quote/subset pairs Jaccard misses."),
+    ("docs_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
+     "Per-doc corpus-unique shingle fraction (novelty/memorization "
+     "signal): df aggregate + join back on the 8-byte shingle hash."),
     ("dedup_lsh_neardup", q_lsh_near_dup, ORACLE_LSH_NEAR_DUP,
      "E2 composed scale path: LSH candidates -> exact Jaccard rescore "
      "(sub-quadratic; no shingle self-join)."),
