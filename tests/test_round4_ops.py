@@ -1,0 +1,102 @@
+"""Property checks for the round-4 additions beyond their oracle
+parity: planted-fixture semantics for novelty / snapshot diff /
+transition matrix / KMV / dHash, independent of what the driver
+fixtures happen to contain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grpc_map_reduce_spark.operators.data_quality import (
+    SNAP_DELETE_PCT,
+    SNAP_INSERT_PCT,
+    snapshot_diff,
+)
+from grpc_map_reduce_spark.operators.dedup import ngram_novelty
+from grpc_map_reduce_spark.operators.events import transition_matrix
+from grpc_map_reduce_spark.operators.multimodal import (
+    attach_png_media,
+    dhash_images,
+    phash_near_dup_pairs,
+)
+from grpc_map_reduce_spark.operators.sketches import KMV_K, kmv_estimate
+from grpc_map_reduce_spark.sources.tables import table
+
+
+def test_novelty_zero_for_exact_twins(spark):
+    body = " ".join(f"tok{i} word{i} gram{i}" for i in range(30))
+    other = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, other)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    # twins share every shingle → nothing corpus-unique
+    assert rows[1].novelty_bp == 0 and rows[2].novelty_bp == 0
+    # the unrelated doc is fully unique
+    assert rows[3].novelty_bp == 10000
+    assert rows[3].n_unique == rows[3].n_shingles
+
+
+def test_snapshot_diff_classes_partition_by_bucket(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    out = snapshot_diff(orders).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.change_type, []).append(r)
+    assert set(by_type) == {"insert", "update", "delete"}
+    for r in by_type["insert"]:
+        assert r.old_price_cents == 0 and r.new_price_cents > 0
+    for r in by_type["delete"]:
+        assert r.new_price_cents == 0 and r.old_price_cents > 0
+    for r in by_type["update"]:
+        # +5% in integer cents
+        assert r.new_price_cents == r.old_price_cents * 105 // 100
+    # unchanged rows must NOT appear: every orderkey at most once
+    keys = [r.o_orderkey for r in out]
+    assert len(keys) == len(set(keys))
+    n = orders.count()
+    # bucket carving is md5-uniform: each class ≈ its bucket width
+    assert abs(len(by_type["delete"]) / n - SNAP_DELETE_PCT / 100) < 0.02
+    assert abs(len(by_type["insert"]) / n - (100 - SNAP_INSERT_PCT) / 100) < 0.02
+
+
+def test_transition_matrix_conserves_events(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    out = transition_matrix(events).collect()
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    # every user's k events contribute k-1 transitions
+    assert sum(r.n_transitions for r in out) == n_events - n_users
+    assert all(0 <= r.share_bp <= 10000 for r in out)
+    # 5 event types → at most 25 cells
+    assert len(out) <= 25
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark):
+    # below k distinct values: the estimate IS the exact count
+    small = spark.range(0, 100).select((F.col("id") % 37).alias("v"))
+    row = kmv_estimate(small, "v").collect()[0]
+    assert row.est_distinct == row.exact_distinct == 37
+
+    # well above k: relative error within ~5/sqrt(k) (generous 3-sigma)
+    big = spark.range(0, 200_000).select((F.col("id") * 7919).alias("v"))
+    row = kmv_estimate(big, "v").collect()[0]
+    rel = abs(row.est_distinct - row.exact_distinct) / row.exact_distinct
+    assert rel < 5 / (KMV_K ** 0.5), f"KMV error {rel:.3f} out of bounds"
+
+
+def test_dhash_identical_images_pair_at_hamming_zero(spark):
+    base = "x" * 300  # same pixels → same 56-bit hash
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different text " * 20)],
+        "doc_id long, text string",
+    )
+    media = attach_png_media(docs)
+    sigs = {r.doc_id: r.dhash for r in dhash_images(media).collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < (1 << 56)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(media).collect()
+    }
+    assert pairs.get((1, 2)) == 0
