@@ -41,7 +41,7 @@ SCRATCH = os.path.join(
     ".scratch", "scaleprobe",
 )
 PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
-          "q1_pricing_summary"]
+          "q1_pricing_summary", "dedup_canonical", "docs_lang_id"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
