@@ -757,6 +757,63 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(table(spark, sf_dir, "events"))
 
 
+# The order-3 extension: top-k 3-step behavioral paths (sequence
+# mining's frequent-path query).  Same single user_id window shuffle —
+# two lags instead of one — then a tiny path aggregate and a global
+# top-k, which is TakeOrdered (per-partition partial top-k), never a
+# full sort.
+PATH_TOP_K = 20
+
+
+def top_event_paths(events: DataFrame, k: int = PATH_TOP_K) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.withColumn("p1", F.lag("event_type", 2).over(w))
+        .withColumn("p2", F.lag("event_type", 1).over(w))
+        .filter(F.col("p1").isNotNull())
+        .select(
+            F.concat_ws(">", "p1", "p2", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        paths.orderBy(F.col("n").desc(), "path")
+        .limit(k)
+        .select(
+            "path", "n",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "path")
+            ).cast("long").alias("rank"),
+        )
+    )
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_event_paths(table(spark, sf_dir, "events"))
+
+
+ORACLE_TOP_PATHS = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type, 2) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS p1,
+           lag(event_type, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS p2
+    FROM events
+),
+paths AS (
+    SELECT p1 || '>' || p2 || '>' || event_type AS path, count(*) AS n
+    FROM seq WHERE p1 IS NOT NULL
+    GROUP BY 1
+)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+FROM paths
+QUALIFY rank <= {PATH_TOP_K}
+"""
+
+
 ORACLE_TRANSITIONS = """
 WITH seq AS (
     SELECT user_id, event_type,
@@ -780,6 +837,9 @@ QUERIES = [
     ("events_transition_matrix", q_transition_matrix, ORACLE_TRANSITIONS,
      "First-order Markov event-type transition counts per user "
      "sequence (one lag window + 25-row aggregate)."),
+    ("events_top_paths", q_top_event_paths, ORACLE_TOP_PATHS,
+     "Top-k 3-step behavioral paths (double-lag window, partial "
+     "top-k — no global sort)."),
     ("events_json_quarantine", q_json_quarantine, ORACLE_JSON_QUARANTINE,
      "Malformed-JSON ingest quarantine: strict-schema parse, counted "
      "rejects, aggregate over valid rows only (map-only + one agg)."),

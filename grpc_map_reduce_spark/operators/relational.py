@@ -756,7 +756,110 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# RFM customer segmentation — the classic lifecycle-marketing scoring
+# (recency / frequency / monetary quintiles).  Quintiles are assigned
+# WITHIN each nation: an unpartitioned ntile window would pull every
+# customer into one partition (Spark executes a partitionBy-less
+# window single-threaded — a genuine scale smell), while per-market
+# quintiles distribute on c_nationkey and are the analytically usual
+# form.  Ordering carries a full (metric, custkey) tie-break so both
+# engines tile identically.
+def rfm_segmentation(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
+        )
+    )
+    rfm = (
+        per_cust.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days", F.datediff("ref", "last_order").cast("long")
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+    )
+    w_r = Window.partitionBy("c_nationkey").orderBy(
+        F.col("recency_days").desc(), "o_custkey"
+    )
+    w_f = Window.partitionBy("c_nationkey").orderBy(
+        F.col("frequency").asc(), "o_custkey"
+    )
+    w_m = Window.partitionBy("c_nationkey").orderBy(
+        F.col("monetary_cents").asc(), "o_custkey"
+    )
+    return (
+        rfm.withColumn("r_score", F.ntile(5).over(w_r).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(w_f).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(w_m).cast("long"))
+        .select(
+            "o_custkey",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "recency_days", "frequency", "monetary_cents",
+            "r_score", "f_score", "m_score",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+        )
+    )
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segmentation(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_order,
+           count(*) AS frequency,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+rfm AS (
+    SELECT p.o_custkey, c.c_nationkey,
+           CAST(date_diff('day', p.last_order, ref.ref) AS BIGINT)
+               AS recency_days,
+           p.frequency, p.monetary_cents
+    FROM per_cust p
+    JOIN customer c ON c.c_custkey = p.o_custkey
+    CROSS JOIN ref
+)
+SELECT o_custkey,
+       CAST(c_nationkey AS BIGINT) AS nationkey,
+       recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                ORDER BY frequency ASC, o_custkey) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                ORDER BY monetary_cents ASC, o_custkey) AS BIGINT) AS m_score,
+       CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                ORDER BY recency_days DESC, o_custkey) AS VARCHAR)
+       || CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                ORDER BY frequency ASC, o_custkey) AS VARCHAR)
+       || CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                ORDER BY monetary_cents ASC, o_custkey) AS VARCHAR) AS segment
+FROM rfm
+"""
+
+
 QUERIES = [
+    ("orders_rfm_segments", q_rfm_segmentation, ORACLE_RFM,
+     "RFM customer segmentation: per-nation recency/frequency/monetary "
+     "quintiles (distributed ntile windows, full tie-breaks)."),
     ("full_outer_reconcile", full_outer_reconcile, ORACLE_FULL_OUTER,
      "FULL OUTER reconciliation of two pre-aggregated sides "
      "(aggregate-then-join; never full-outer raw facts)."),
