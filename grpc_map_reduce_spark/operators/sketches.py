@@ -403,6 +403,108 @@ def q_kmv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def kmv_merge_estimate(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """Demonstrate KMV's mergeability — the property that makes it a
+    DISTRIBUTED sketch: per-shard k-min sets union-then-retake-k into
+    exactly the global k-min set, so the merged estimate EQUALS the
+    direct estimate (not approximately — identically).  Shards are
+    carved by hash parity so each distinct value lives on one side,
+    the same shape as per-partition sketches merging in a combiner.
+
+    Output: (column_name, est_merged, est_direct, merge_exact,
+    exact_distinct)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hs = df.select(h.alias("h")).where(F.col("h").isNotNull()).distinct()
+
+    def kmin(src: DataFrame) -> DataFrame:
+        return src.orderBy("h").limit(k)
+
+    merged = kmin(
+        kmin(hs.filter(F.col("h") % 2 == 0))
+        .unionAll(kmin(hs.filter(F.col("h") % 2 == 1)))
+    ).agg(F.max("h").alias("hk"), F.count("*").alias("n"))
+    direct = kmin(hs).agg(
+        F.max("h").alias("hk2"), F.count("*").alias("n2")
+    )
+    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+
+    def est(hk, n):
+        return F.when(F.col(n) < k, F.col(n)).otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * (F.lit(float(1 << 60)) / F.col(hk))
+            )
+        ).cast("long")
+
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(col).alias("column_name"),
+            est("hk", "n").alias("est_merged"),
+            est("hk2", "n2").alias("est_direct"),
+            (F.col("hk") == F.col("hk2")).alias("merge_exact"),
+            "exact_distinct",
+        )
+    )
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = kmv_merge_estimate(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    b = kmv_merge_estimate(table(spark, sf_dir, "orders"), "o_custkey")
+    return a.unionByName(b)
+
+
+def _kmv_merge_oracle_part(tbl: str, col: str) -> str:
+    k = KMV_K
+    e = (
+        f"CAST(CASE WHEN {{n}} < {k} THEN {{n}} "
+        f"ELSE floor(CAST({k - 1} AS DOUBLE) "
+        f"* (CAST({1 << 60} AS DOUBLE) / {{hk}})) END AS BIGINT)"
+    )
+    return f"""
+SELECT '{col}' AS column_name,
+       {e.format(n="m.n", hk="m.hk")} AS est_merged,
+       {e.format(n="d.n2", hk="d.hk2")} AS est_direct,
+       m.hk = d.hk2 AS merge_exact,
+       (SELECT count(DISTINCT {col}) FROM {tbl}) AS exact_distinct
+FROM (
+    SELECT max(h) AS hk, count(*) AS n FROM (
+        SELECT h FROM (
+            SELECT h FROM (
+                SELECT h FROM (
+                    SELECT DISTINCT (('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT) AS h
+                    FROM {tbl} WHERE {col} IS NOT NULL
+                ) WHERE h % 2 = 0 ORDER BY h LIMIT {k}
+            )
+            UNION ALL
+            SELECT h FROM (
+                SELECT h FROM (
+                    SELECT DISTINCT (('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT) AS h
+                    FROM {tbl} WHERE {col} IS NOT NULL
+                ) WHERE h % 2 = 1 ORDER BY h LIMIT {k}
+            )
+        ) ORDER BY h LIMIT {k}
+    )
+) m
+CROSS JOIN (
+    SELECT max(h) AS hk2, count(*) AS n2 FROM (
+        SELECT h FROM (
+            SELECT DISTINCT (('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT) AS h
+            FROM {tbl} WHERE {col} IS NOT NULL
+        ) ORDER BY h LIMIT {k}
+    )
+) d"""
+
+
+ORACLE_KMV_MERGE = (
+    _kmv_merge_oracle_part("lineitem", "l_orderkey")
+    + "\nUNION ALL\n"
+    + _kmv_merge_oracle_part("orders", "o_custkey")
+)
+
+
 def _kmv_oracle() -> str:
     k = KMV_K
     parts = []
@@ -488,6 +590,9 @@ QUERIES = [
     ("kmv_distinct_profile", q_kmv_profile, ORACLE_KMV,
      "KMV/BJKST k-minimum-values distinct sketch: partial top-k of "
      "60-bit hashes, engine-portable estimate, error vs exact."),
+    ("kmv_merge_profile", q_kmv_merge, ORACLE_KMV_MERGE,
+     "KMV mergeability witness: per-shard k-min sets union-retake-k "
+     "to the identical global sketch (merged estimate == direct)."),
     ("approx_distinct_profile", approx_distinct_profile, None,
      "HLL approx_count_distinct vs exact with error in basis points "
      "(rows-only; 3-sigma error bound gated in test_approx.py)."),

@@ -50,3 +50,25 @@ def test_sessionize_layout_invariant(spark, sf_dir, parts):
     ev = table(spark, sf_dir, "events")
     base = _rows(sessionize(ev))
     assert _rows(sessionize(ev.repartition(parts))) == base
+
+
+def test_spread_is_noop_when_scan_is_wide_enough(spark, sf_dir):
+    """spread() must insert its round-robin ONLY for split-starved
+    scans: on an input already carrying >= defaultParallelism
+    partitions it must return the frame untouched (identity), because
+    at production scale that exchange would be a full-corpus shuffle
+    for nothing."""
+    from grpc_map_reduce_spark.sources.tables import spread
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000).repartition(p + 4)
+    assert spread(wide) is wide
+
+    narrow = table(spark, sf_dir, "documents")  # single-row-group file
+    assert narrow.rdd.getNumPartitions() < p
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == p
+    # same rows either way
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in narrow.select("doc_id").collect())
