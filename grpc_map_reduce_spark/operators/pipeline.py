@@ -117,9 +117,14 @@ def training_prep(docs: DataFrame,
     across engines; rank is reproducible everywhere).  A plain
     ``logw > 0`` gate is degenerate on corpora whose sources share a
     vocabulary distribution (all weights ≤ 0 — true of the synthetic
-    fixture), whereas a budget always selects.  Spark executes the
-    rank as TakeOrderedAndProject — per-partition top-K then a merge
-    of K-row heaps, never a global sort.
+    fixture), whereas a budget always selects.  The take-K is cut off
+    from the downstream shard plan with a lazy checkpoint so its limit
+    stays TERMINAL in its own subplan and compiles to
+    TakeOrderedAndProject — per-partition top-K then a merge of K-row
+    heaps.  Fused with epoch_shuffle, Catalyst instead plans
+    Sort(global=true) + GlobalLimit: a range-partitioned sort of the
+    ENTIRE scored corpus to select K rows — the one global sort the
+    plan audit ever flagged, and a scale-killer at 100 TB.
     """
     from grpc_map_reduce_spark.operators.sampling import (
         dsir_scores,
@@ -147,9 +152,10 @@ def training_prep(docs: DataFrame,
     # exchanges) buys nothing here.
     sel = (
         dsir_scores(surv, complete=False)
+        .select("doc_id", "source", "logw")
         .orderBy(F.desc("logw"), "doc_id")
         .limit(top_k)
-        .select("doc_id", "source", "logw")
+        .localCheckpoint(eager=False)
     )
     return epoch_shuffle(sel).select(
         "doc_id", "source", "logw", "shard", "shuffle_pos"
