@@ -86,6 +86,7 @@ def _register_more() -> None:
     """Registrations for the wider operator surface (kept separate so
     the reference-parity core above stays readable)."""
     from grpc_map_reduce_spark.operators import (
+        basket,
         clustering,
         data_quality,
         dedup,
@@ -115,6 +116,6 @@ def _register_more() -> None:
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
                 udf_surface, quality_filters, vocab, web, lang_id,
-                data_quality, timeseries):
+                data_quality, timeseries, basket):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

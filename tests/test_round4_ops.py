@@ -100,3 +100,48 @@ def test_dhash_identical_images_pair_at_hamming_zero(spark):
         for r in phash_near_dup_pairs(media).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (operators/basket.py)
+
+def test_market_basket_planted_rules(spark):
+    """Hand-checkable baskets: parts 1,2 co-occur in 2 of 4 orders;
+    metrics must match the integer cross-multiplied definitions, the
+    item gate must drop parts below min support, and pairs below the
+    pair gate must be absent."""
+    from grpc_map_reduce_spark.operators.basket import market_basket
+
+    rows = [
+        # (orderkey, partkey): part1 in o1,o2,o3; part2 in o1,o2,o4;
+        # part3 only in o1 (gated out at min_item=2);
+        # duplicate line exercises the DISTINCT basket collapse.
+        (1, 1), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 1),
+        (4, 2),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r.part_a, r.part_b): r
+        for r in market_basket(li, min_item=2, min_pair=2).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert (r.pair_n, r.n_a, r.n_b) == (2, 3, 3)
+    # conf = 2*10000 // 3; lift = 2*4*10000 // (3*3)
+    assert r.conf_a2b_bp == 6666
+    assert r.conf_b2a_bp == 6666
+    assert r.lift_bp == 8888
+
+
+def test_market_basket_one_shuffle_feeds_both_join_sides(spark):
+    """The gated basket stream must be shared — the a x b self-join
+    reads the single checkpointed exchange twice, never re-scans."""
+    from grpc_map_reduce_spark.operators.basket import market_basket
+    from grpc_map_reduce_spark.sources.tables import table
+
+    df = market_basket(table(spark, "/root/testdata/sf0.001", "lineitem"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "rangepartitioning" not in plan  # no global sort
