@@ -352,7 +352,113 @@ WHERE old_price_cents IS NULL OR new_price_cents IS NULL
 """
 
 
+# --------------------------------------------------------------------------
+# Exact ROC-AUC of the quality score against the lang=='en' label —
+# the eval metric behind every learned quality filter (fastText /
+# DCLM-style classifiers): does the cheap heuristic score actually
+# rank English docs above the rest, per source?
+#
+# Exact AUC needs rank statistics, and ranks usually mean a global
+# sort.  This formulation never sorts the corpus: quality_bp lives in
+# a BOUNDED domain (0..10000 basis points), so the Mann-Whitney U
+# statistic folds over the per-(source, score) HISTOGRAM — one
+# map-only scoring pass, one keyed aggregate corpus-side, then a
+# window over ≤10k histogram rows per source (each positive beats
+# every lower-scored negative + half its score-ties; doubled units
+# keep the halves integral).  All metric math is int64
+# cross-multiplication; magnitudes are 2·NP·NN·10⁴, safe past
+# eval-set scale (~10⁸ rows) — corpus-scale AUC should sample first,
+# as every eval harness does.
+def quality_auc(docs: DataFrame) -> DataFrame:
+    """(source, n_pos, n_neg, auc_bp): exact per-source Mann-Whitney
+    AUC of quality_bp for the lang=='en' label, in basis points.
+    Sources with a single class are dropped (AUC undefined)."""
+    from pyspark.sql import Window
+
+    from grpc_map_reduce_spark.operators.text_analysis import quality_scores
+
+    scored = quality_scores(docs, keep=("source",)).select(
+        "source", "quality_bp",
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    hist = scored.groupBy("source", "quality_bp").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("quality_bp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_b = F.col("n") - F.col("n_pos")
+    cum_neg = F.coalesce(F.sum(neg_b).over(w), F.lit(0))
+    # doubled U contribution: each positive in the bucket beats all
+    # negatives strictly below + half the tied negatives
+    u2 = (F.col("n_pos") * (2 * cum_neg + neg_b)).alias("u2")
+    per_src = hist.select("source", "n", "n_pos", u2).groupBy("source").agg(
+        F.sum("n_pos").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos")).alias("n_neg"),
+        F.sum("u2").alias("u2"),
+    )
+    return (
+        per_src.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source", "n_pos", "n_neg",
+            F.expr("(u2 * 10000) DIV (2 * n_pos * n_neg)").alias("auc_bp"),
+        )
+    )
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_auc(table(spark, sf_dir, "documents"))
+
+
+def _auc_oracle() -> str:
+    from grpc_map_reduce_spark.operators.text_analysis import ORACLE_QUALITY
+
+    # reuse the exact quality_bp fragment so both AUCs rank the same
+    # scores bit-for-bit
+    return f"""
+WITH q AS ({ORACLE_QUALITY}),
+scored AS (
+    SELECT d.source, q.quality_bp,
+           CASE WHEN q.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM q JOIN documents d USING (doc_id)
+),
+hist AS (
+    SELECT source, quality_bp, count(*) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM scored GROUP BY source, quality_bp
+),
+cum AS (
+    SELECT source, n, n_pos,
+           CAST(coalesce(sum(n - n_pos) OVER (
+               PARTITION BY source ORDER BY quality_bp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cum_neg
+    FROM hist
+),
+per_src AS (
+    SELECT source,
+           CAST(sum(n_pos) AS BIGINT)          AS n_pos,
+           CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+           CAST(sum(n_pos * (2 * cum_neg + (n - n_pos))) AS BIGINT) AS u2
+    FROM cum GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       CAST((u2 * 10000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+FROM per_src
+WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+ORACLE_QUALITY_AUC = _auc_oracle()
+
+
 QUERIES = [
+    ("quality_auc", q_quality_auc, ORACLE_QUALITY_AUC,
+     "Exact per-source Mann-Whitney ROC-AUC of the quality score vs "
+     "the lang=='en' label — histogram rank statistics over the "
+     "bounded basis-point score domain, no global sort."),
     ("customers_fuzzy_match", fuzzy_name_match, ORACLE_FUZZY,
      "Blocked fuzzy entity matching: levenshtein <= 2 within "
      "nation blocks (bounded self-join, record-linkage shape)."),

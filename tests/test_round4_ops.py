@@ -145,3 +145,51 @@ def test_market_basket_one_shuffle_feeds_both_join_sides(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") >= 2
     assert "rangepartitioning" not in plan  # no global sort
+
+
+# --------------------------------------------------------------------------
+# Exact ROC-AUC (operators/data_quality.py::quality_auc)
+
+def test_quality_auc_matches_pure_python_rank_walk(spark):
+    """The histogram Mann-Whitney must equal a direct pure-Python
+    AUC (average-rank formulation) on the real fixture scores —
+    an independent reconstruction, not the same fold."""
+    from grpc_map_reduce_spark.operators.data_quality import quality_auc
+    from grpc_map_reduce_spark.operators.text_analysis import quality_scores
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    rows = quality_scores(docs, keep=("source",)).select(
+        "source", "quality_bp", "lang"
+    ).collect()
+
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.quality_bp, r.lang == "en"))
+
+    expected = {}
+    for src, pairs in by_src.items():
+        n_pos = sum(1 for _, p in pairs if p)
+        n_neg = len(pairs) - n_pos
+        if not n_pos or not n_neg:
+            continue
+        # U via average ranks: rank all scores ascending, ties share
+        # the mean rank; U = R_pos - n_pos(n_pos+1)/2.
+        ranked = sorted(pairs)
+        r2_pos = 0  # doubled ranks keep tie halves integral
+        i = 0
+        while i < len(ranked):
+            j = i
+            while j < len(ranked) and ranked[j][0] == ranked[i][0]:
+                j += 1
+            dbl_avg_rank = (i + 1) + j  # 2 * (i+1 + j) / 2
+            r2_pos += dbl_avg_rank * sum(1 for k in range(i, j) if ranked[k][1])
+            i = j
+        u2 = r2_pos - n_pos * (n_pos + 1)
+        expected[src] = (n_pos, n_neg, (u2 * 10000) // (2 * n_pos * n_neg))
+
+    got = {
+        r.source: (r.n_pos, r.n_neg, r.auc_bp)
+        for r in quality_auc(docs).collect()
+    }
+    assert got == expected and expected  # non-vacuous
