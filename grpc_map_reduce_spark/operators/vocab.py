@@ -351,7 +351,55 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, bpe_merges(docs))
 
 
+# --------------------------------------------------------------------------
+# Word-frequency spectrum (count-of-counts): how many word types
+# occur exactly f times, and how much token mass each frequency class
+# carries.  The corpus-statistics profile behind Good-Turing
+# smoothing, Heaps'-law vocabulary-growth checks, and the "how much
+# is hapax noise?" question every tokenizer/vocab decision starts
+# from.  Scale shape: one tokenize explode → word counts (map-side
+# partial agg) → a SECOND tiny aggregate keyed on the count value,
+# whose domain is ~log(corpus)-sized; no sorts, no joins.
+def freq_spectrum(docs: DataFrame) -> DataFrame:
+    """(freq, n_types, n_tokens): for each occurrence count, the
+    number of distinct words with that count and their total mass."""
+    wc = (
+        spread(docs)
+        .select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return wc.groupBy("freq").agg(
+        F.count("*").alias("n_types"),
+        (F.col("freq") * F.count("*")).alias("n_tokens"),
+    )
+
+
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return freq_spectrum(table(spark, sf_dir, "documents"))
+
+
+ORACLE_FREQ_SPECTRUM = """
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              w -> w <> '')) AS word
+    FROM documents
+),
+cnt AS (
+    SELECT word, count(*) AS freq FROM toks GROUP BY word
+)
+SELECT freq,
+       CAST(count(*) AS BIGINT)        AS n_types,
+       CAST(freq * count(*) AS BIGINT) AS n_tokens
+FROM cnt GROUP BY freq
+"""
+
+
 QUERIES = [
+    ("vocab_freq_spectrum", q_freq_spectrum, ORACLE_FREQ_SPECTRUM,
+     "Word-frequency spectrum (count-of-counts): types and token mass "
+     "per occurrence frequency — the Good-Turing / Heaps-law profile "
+     "(two chained aggregates, second one log-domain-sized)."),
     ("vocab_oov", q_vocab_oov, ORACLE_VOCAB_OOV,
      "Top-K corpus vocabulary (partial top-K, no global sort) + "
      "per-doc OOV rate via broadcast membership probe."),
