@@ -50,7 +50,13 @@ def market_basket(li: DataFrame,
                   min_pair: int = MIN_PAIR_SUPPORT) -> DataFrame:
     """(part_a, part_b, pair_n, n_a, n_b, conf_a2b_bp, conf_b2a_bp,
     lift_bp) for every frequent unordered part pair."""
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # pinned: the basket set feeds THREE consumers (item counts, the
+    # gated stream, the order total) — without the checkpoint its
+    # distinct shuffle re-executes per consumer.
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=False)
+    )
     item_n = items.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
     freq = item_n.filter(F.col("item_n") >= min_item)
     gated = (
