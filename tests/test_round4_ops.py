@@ -193,3 +193,17 @@ def test_quality_auc_matches_pure_python_rank_walk(spark):
         for r in quality_auc(docs).collect()
     }
     assert got == expected and expected  # non-vacuous
+
+
+def test_freq_spectrum_planted_counts(spark):
+    """'a a b' + 'b c' -> counts a=2,b=2,c=1 -> spectrum
+    freq=1:(1 type,1 token), freq=2:(2 types,4 tokens); token mass
+    must be conserved."""
+    from grpc_map_reduce_spark.operators.vocab import freq_spectrum
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r.freq: (r.n_types, r.n_tokens) for r in freq_spectrum(docs).collect()}
+    assert got == {1: (1, 1), 2: (2, 4)}
+    assert sum(t for _, t in got.values()) == 5
