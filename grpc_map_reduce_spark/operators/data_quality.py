@@ -412,6 +412,64 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_auc(table(spark, sf_dir, "documents"))
 
 
+# The AUC's companion: the calibration (reliability) table.  AUC says
+# the score RANKS well; calibration says whether the score's magnitude
+# means anything — per equal-width score bin, predicted-ish mass vs
+# the observed positive rate.  Map-only bin assignment + one
+# ``bins``-row aggregate; every rate in integer basis points.
+CALIBRATION_BINS = 10
+
+
+def quality_calibration(docs: DataFrame,
+                        bins: int = CALIBRATION_BINS) -> DataFrame:
+    """(bin, n, n_pos, pos_rate_bp, mean_score_bp) over equal-width
+    stop_bp bins — stopword share is exactly the en-ness signal the
+    `looks_en` heuristic thresholds, so this table is its reliability
+    diagram against the true lang=='en' label."""
+    from grpc_map_reduce_spark.operators.text_analysis import quality_scores
+
+    width = 10000 // bins
+    scored = quality_scores(docs).select(
+        F.least(F.expr(f"stop_bp DIV {width}"), F.lit(bins - 1)).alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        "stop_bp",
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.expr("(sum(pos) * 10000) DIV count(*)").alias("pos_rate_bp"),
+        F.expr("sum(stop_bp) DIV count(*)").alias("mean_score_bp"),
+    )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_calibration(table(spark, sf_dir, "documents"))
+
+
+def _calibration_oracle() -> str:
+    from grpc_map_reduce_spark.operators.text_analysis import ORACLE_QUALITY
+
+    width = 10000 // CALIBRATION_BINS
+    return f"""
+WITH q AS ({ORACLE_QUALITY}),
+binned AS (
+    SELECT least(stop_bp // {width}, {CALIBRATION_BINS - 1}) AS bin,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+           stop_bp
+    FROM q
+)
+SELECT bin,
+       count(*) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST((sum(pos) * 10000) // count(*) AS BIGINT) AS pos_rate_bp,
+       CAST(sum(stop_bp) // count(*) AS BIGINT)       AS mean_score_bp
+FROM binned GROUP BY bin
+"""
+
+
+ORACLE_QUALITY_CALIBRATION = _calibration_oracle()
+
+
 def _auc_oracle() -> str:
     from grpc_map_reduce_spark.operators.text_analysis import ORACLE_QUALITY
 
@@ -455,6 +513,11 @@ ORACLE_QUALITY_AUC = _auc_oracle()
 
 
 QUERIES = [
+    ("quality_calibration", q_quality_calibration,
+     ORACLE_QUALITY_CALIBRATION,
+     "Reliability diagram of the en-ness score: observed lang=='en' "
+     "rate per equal-width score bin (map-only binning, one tiny "
+     "aggregate, integer basis points)."),
     ("quality_auc", q_quality_auc, ORACLE_QUALITY_AUC,
      "Exact per-source Mann-Whitney ROC-AUC of the quality score vs "
      "the lang=='en' label — histogram rank statistics over the "
