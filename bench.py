@@ -4,7 +4,20 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "queries_cold": {...},
+     "repeats": 3, "sf": 0.1}
+
+Measurement discipline (round 5): per query, ONE untimed-in-spirit
+warm-up execution (reported separately as ``queries_cold``) and then
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) timed executions whose
+MEDIAN is the reported number.  Rationale: a single cold measurement
+per query manufactured phantom 2–6× "regressions" in two consecutive
+rounds (BENCH_r03/r04) — first-run Python-worker spawn, JIT, and
+host-contention spikes all land on whichever query runs first/under
+load, and the median of warm runs is immune to all three.  ``value``
+is the sum of warm medians; the cold map preserves the first-run
+cost signal (codegen + Arrow worker spin-up) without letting it
+masquerade as engine cost.
 
 Each query is executed with a `noop` sink write so the full physical
 plan runs (scan → shuffle → agg) without result materialization on
@@ -19,6 +32,7 @@ import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -91,28 +105,35 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     only_set = set(only.split(",")) if only else None
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in sorted(registry.all_queries().items()):
         if only_set is not None and name not in only_set:
             continue
-        t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Untimed housekeeping between queries: drop the Python
-        # references to finished plans so the JVM ContextCleaner can
-        # release their localCheckpoint RDDs and broadcasts — without
-        # this, 80+ queries of accumulated state inflate the later
-        # queries' timings by up to 2× (GC pressure, not plan cost).
-        # The ContextCleaner is ASYNC, so also unpersist the finished
-        # query's pinned RDD blocks synchronously (blocking=True):
-        # ~15 LSH/iterative queries otherwise stack tens of
-        # checkpointed block sets in storage memory, and the later
-        # iterative queries' timings become load-dependent noise.
-        df = None
-        gc.collect()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist(True)
+        runs: list[float] = []
+        for _rep in range(1 + repeats):  # run 0 = warm-up / cold number
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            # Untimed housekeeping between executions: drop the Python
+            # references to finished plans so the JVM ContextCleaner can
+            # release their localCheckpoint RDDs and broadcasts — without
+            # this, 80+ queries of accumulated state inflate the later
+            # queries' timings by up to 2× (GC pressure, not plan cost).
+            # The ContextCleaner is ASYNC, so also unpersist the finished
+            # execution's pinned RDD blocks synchronously (blocking=True):
+            # ~15 LSH/iterative queries otherwise stack tens of
+            # checkpointed block sets in storage memory, and the later
+            # iterative queries' timings become load-dependent noise.
+            df = None
+            gc.collect()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(statistics.median(runs[1:]), 3)
         # Python gc does NOT collect the JVM: broadcasts, shuffle
         # state and RDD metadata pile up until a JVM GC lets the
         # ContextCleaner's weak-reference queue drain (its built-in
@@ -133,10 +154,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "total wall-clock for full query inventory, one reused session",
+        "metric": (
+            "total wall-clock for full query inventory, one reused "
+            f"session; per query: warm-up then median of {repeats} "
+            "(cold first-run times in queries_cold)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "repeats": repeats,
         "sf": sf,
     }))
     spark.stop()

@@ -90,10 +90,18 @@ def market_basket(li: DataFrame,
         pair_n.crossJoin(F.broadcast(totals))
         .select(
             "part_a", "part_b", "pair_n", "n_a", "n_b",
+            # confidence stays int64: pair_n ≤ n_a, so pair_n·10⁴ is
+            # bounded by 10⁴·item support — safe at any corpus size
             F.expr("(pair_n * 10000) DIV n_a").alias("conf_a2b_bp"),
             F.expr("(pair_n * 10000) DIV n_b").alias("conf_b2a_bp"),
-            F.expr("(pair_n * n_orders * 10000) DIV (n_a * n_b)")
-            .alias("lift_bp"),
+            # lift multiplies THREE large counts — int64 wraps silently
+            # (non-ANSI) once pair_n·n_orders·10⁴ passes 9.2e18, which a
+            # hot pair hits around 1e7 support × 1e8 orders; DECIMAL(38,0)
+            # keeps it exact (HUGEINT in the oracle), `div` returns long
+            F.expr(
+                "(CAST(pair_n AS DECIMAL(38,0)) * n_orders * 10000) div "
+                "(CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_bp"),
         )
     )
 
@@ -130,8 +138,8 @@ SELECT part_a, part_b,
        CAST(n_b AS BIGINT)    AS n_b,
        CAST((pair_n * 10000) // n_a AS BIGINT) AS conf_a2b_bp,
        CAST((pair_n * 10000) // n_b AS BIGINT) AS conf_b2a_bp,
-       CAST((pair_n * n_orders * 10000) // (n_a * n_b) AS BIGINT)
-           AS lift_bp
+       CAST((CAST(pair_n AS HUGEINT) * n_orders * 10000)
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_bp
 FROM pair_n, totals
 """
 

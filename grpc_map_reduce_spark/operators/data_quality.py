@@ -365,10 +365,11 @@ WHERE old_price_cents IS NULL OR new_price_cents IS NULL
 # map-only scoring pass, one keyed aggregate corpus-side, then a
 # window over ≤10k histogram rows per source (each positive beats
 # every lower-scored negative + half its score-ties; doubled units
-# keep the halves integral).  All metric math is int64
-# cross-multiplication; magnitudes are 2·NP·NN·10⁴, safe past
-# eval-set scale (~10⁸ rows) — corpus-scale AUC should sample first,
-# as every eval harness does.
+# keep the halves integral).  Overflow discipline: the doubled U sums
+# in int64 (u2 ≤ 2·NP·NN, safe to NP·NN ≤ 4.6e18 ≈ 2e9 docs per
+# class); the final ×10⁴ scale-up would wrap int64 already at
+# NP·NN ≈ 4.6e14 (~2e7 per class), so it runs in DECIMAL(38,0) on
+# Spark and HUGEINT in the oracle — both exact, neither wraps.
 def quality_auc(docs: DataFrame) -> DataFrame:
     """(source, n_pos, n_neg, auc_bp): exact per-source Mann-Whitney
     AUC of quality_bp for the lang=='en' label, in basis points.
@@ -377,9 +378,16 @@ def quality_auc(docs: DataFrame) -> DataFrame:
 
     from grpc_map_reduce_spark.operators.text_analysis import quality_scores
 
-    scored = quality_scores(docs, keep=("source",)).select(
-        "source", "quality_bp",
-        (F.col("lang") == "en").cast("long").alias("pos"),
+    scored = (
+        quality_scores(docs, keep=("source",))
+        # zero-word docs score null — unrankable, and Spark (NULLS
+        # FIRST) and DuckDB (NULLS LAST) would order them differently
+        # in the cumulative window, so exclude them in BOTH engines
+        .filter(F.col("quality_bp").isNotNull())
+        .select(
+            "source", "quality_bp",
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        )
     )
     hist = scored.groupBy("source", "quality_bp").agg(
         F.count("*").alias("n"), F.sum("pos").alias("n_pos")
@@ -403,7 +411,13 @@ def quality_auc(docs: DataFrame) -> DataFrame:
         per_src.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select(
             "source", "n_pos", "n_neg",
-            F.expr("(u2 * 10000) DIV (2 * n_pos * n_neg)").alias("auc_bp"),
+            # DECIMAL(38,0) for the ×10⁴ scale-up: int64 would wrap
+            # once NP·NN exceeds ~4.6e14 (see module comment); `div`
+            # on decimals is exact integral division returning long
+            F.expr(
+                "(CAST(u2 AS DECIMAL(38,0)) * 10000) div "
+                "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            ).alias("auc_bp"),
         )
     )
 
@@ -429,10 +443,17 @@ def quality_calibration(docs: DataFrame,
     from grpc_map_reduce_spark.operators.text_analysis import quality_scores
 
     width = 10000 // bins
-    scored = quality_scores(docs).select(
-        F.least(F.expr(f"stop_bp DIV {width}"), F.lit(bins - 1)).alias("bin"),
-        (F.col("lang") == "en").cast("long").alias("pos"),
-        "stop_bp",
+    # Zero-word docs have NULL stop_bp; least(NULL, bins-1) skips the
+    # null in both engines, which would silently file them under the
+    # TOP bin — exclude them instead (they carry no score signal).
+    scored = (
+        quality_scores(docs)
+        .filter(F.col("stop_bp").isNotNull())
+        .select(
+            F.least(F.expr(f"stop_bp DIV {width}"), F.lit(bins - 1)).alias("bin"),
+            (F.col("lang") == "en").cast("long").alias("pos"),
+            "stop_bp",
+        )
     )
     return scored.groupBy("bin").agg(
         F.count("*").alias("n"),
@@ -457,6 +478,7 @@ binned AS (
            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
            stop_bp
     FROM q
+    WHERE stop_bp IS NOT NULL
 )
 SELECT bin,
        count(*) AS n,
@@ -481,6 +503,7 @@ scored AS (
     SELECT d.source, q.quality_bp,
            CASE WHEN q.lang = 'en' THEN 1 ELSE 0 END AS pos
     FROM q JOIN documents d USING (doc_id)
+    WHERE q.quality_bp IS NOT NULL
 ),
 hist AS (
     SELECT source, quality_bp, count(*) AS n,
@@ -499,7 +522,9 @@ per_src AS (
     SELECT source,
            CAST(sum(n_pos) AS BIGINT)          AS n_pos,
            CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
-           CAST(sum(n_pos * (2 * cum_neg + (n - n_pos))) AS BIGINT) AS u2
+           -- HUGEINT (DuckDB sum's native width) so the *10000 below
+           -- never wraps — mirrors the Spark DECIMAL(38,0) scale-up
+           sum(n_pos * (2 * cum_neg + (n - n_pos))) AS u2
     FROM cum GROUP BY source
 )
 SELECT source, n_pos, n_neg,

@@ -43,42 +43,75 @@ from grpc_map_reduce_spark.sources.tables import spread, table
 VOCAB_K = 16
 
 
-def top_k_vocab(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
-    """The ``k`` most frequent corpus words → (word, n); ties broken
-    by word so the vocabulary is deterministic."""
+def doc_term_freqs(docs: DataFrame) -> DataFrame:
+    """ONE tokenize pass reduced to ``(doc_id, word, tf)`` and lazily
+    checkpointed — the tfidf pattern (retrieval.py): every downstream
+    consumer reads the pinned REDUCED table instead of re-running the
+    explode over the corpus scan, and the checkpoint holds one row
+    per (doc, word) rather than one per token occurrence (the
+    materialized footprint is vocabulary-per-doc-sized, typically
+    3–10× smaller than the raw token stream).  ``spread()`` at the
+    head: the explode is the CPU-heavy map stage, and a
+    row-group-starved input would otherwise serialize it onto one
+    core (SURVEY §8.6).
+
+    Partitioning: the spread hashes on ``doc_id``, and Generate
+    (explode) preserves its child's partitioning, so hash(doc_id)
+    already satisfies ClusteredDistribution for BOTH the
+    (doc_id, word) reduce here and any downstream per-doc aggregate —
+    the tokenize→reduce→per-doc-consumer chain runs on ONE exchange
+    (LogicalRDD checkpoints carry outputPartitioning through)."""
     return (
-        docs.select(F.explode(words("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def top_k_vocab(tf: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """The ``k`` most frequent words of a ``(doc_id, word, tf)``
+    term-frequency table → (word, n); ties broken by word so the
+    vocabulary is deterministic."""
+    return (
+        tf.groupBy("word")
+        .agg(F.sum("tf").alias("n"))
         .orderBy(F.col("n").desc(), "word")
         .limit(k)
     )
 
 
-def oov_stats(docs: DataFrame, vocab: DataFrame) -> DataFrame:
-    """Per-doc coverage of ``vocab``: token total, OOV occurrences,
-    distinct OOV words, and the OOV rate in basis points."""
-    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+def oov_stats(tf: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-doc coverage of ``vocab`` over a ``(doc_id, word, tf)``
+    term-frequency table: token total, OOV occurrences, distinct OOV
+    words, and the OOV rate in basis points.
+
+    ``tf`` holds exactly ONE row per (doc_id, word), so the distinct
+    OOV-word count is a plain conditional SUM — no countDistinct, so
+    no two-phase distinct expand and no second per-doc exchange."""
     probe = F.broadcast(vocab.select("word", F.lit(1).alias("_inv")))
+    oov = F.col("_inv").isNull()
     return (
-        toks.join(probe, "word", "left")
+        tf.join(probe, "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.when(oov, F.col("tf")).otherwise(0))
             .cast("long")
             .alias("n_oov"),
-            F.countDistinct(
-                F.when(F.col("_inv").isNull(), F.col("word"))
-            ).alias("uniq_oov"),
+            F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("uniq_oov"),
         )
         .withColumn("oov_bp", F.expr("(n_oov * 10000) DIV n_tokens"))
     )
 
 
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return oov_stats(docs, top_k_vocab(docs))
+    # tokenize ONCE: the pinned (doc_id, word, tf) table feeds both
+    # the vocab top-K and the membership probe (was: two full corpus
+    # tokenizes — VERDICT r4 "what's wrong" #1)
+    tf = doc_term_freqs(table(spark, sf_dir, "documents"))
+    return oov_stats(tf, top_k_vocab(tf))
 
 
 ORACLE_VOCAB_OOV = f"""
@@ -200,9 +233,25 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES,
     most ``local_max_words`` rows (see module comment), else as K
     driver-synchronized Spark rounds.
     """
+    return bpe_merges_from_counts(
+        spread(docs)
+        .select(F.explode(words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n")),
+        n_merges=n_merges, local_max_words=local_max_words,
+    )
+
+
+def bpe_merges_from_counts(word_counts: DataFrame,
+                           n_merges: int = BPE_MERGES,
+                           local_max_words: int = BPE_LOCAL_MAX_WORDS,
+                           ) -> DataFrame:
+    """The merge loop over an already-reduced ``(word, n)`` frequency
+    table — lets a composed query (``vocab_bpe_encode``) feed the SAME
+    tokenize pass into training and encoding instead of scanning the
+    corpus twice."""
     import pandas as pd
 
-    spark = docs.sparkSession
+    spark = word_counts.sparkSession
     # The corpus-sized work is the word count; the merge loop then
     # operates on the UNIQUE-word table, which is orders of magnitude
     # smaller at any scale (≤ a few 10M rows at 100 TB — one
@@ -212,8 +261,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES,
     # slower); the count() below is then a cheap job over the pinned
     # blocks, not a recompute.
     wc = (
-        docs.select(F.explode(words("text")).alias("word"))
-        .groupBy("word").agg(F.count("*").alias("n"))
+        word_counts
         .select(
             F.split(F.col("word"), "").alias("syms"),
             "n",
@@ -292,6 +340,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(table(spark, sf_dir, "documents"))
 
 
+def _word_counts(tf: DataFrame) -> DataFrame:
+    """(word, n) corpus frequency table off the shared
+    ``(doc_id, word, tf)`` pass."""
+    return tf.groupBy("word").agg(F.sum("tf").alias("n"))
+
+
 # --------------------------------------------------------------------------
 # BPE ENCODE — the application side of bpe_merges: segment every
 # document with the learned merge table and report tokenizer fertility
@@ -319,10 +373,12 @@ def _encode_word(word: str, merge_list: list) -> int:
     return len(syms)
 
 
-def bpe_encode_stats(docs: DataFrame, merges: DataFrame) -> DataFrame:
-    """(doc_id, n_words, n_tokens, fertility_bp): per-doc token counts
-    under the learned BPE merge table; fertility in basis points
-    (10000 = 1 token/word)."""
+def bpe_encode_stats(tf: DataFrame, merges: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility_bp) over a ``(doc_id,
+    word, tf)`` term-frequency table: per-doc token counts under the
+    learned BPE merge table; fertility in basis points (10000 = 1
+    token/word).  Each unique word is encoded ONCE; per-doc totals
+    weight the per-word token count by tf."""
     from pyspark.sql.functions import pandas_udf
 
     merge_list = [
@@ -333,22 +389,24 @@ def bpe_encode_stats(docs: DataFrame, merges: DataFrame) -> DataFrame:
     def n_toks(col: pd.Series) -> pd.Series:
         return col.map(lambda w: _encode_word(w, merge_list))
 
-    toks = spread(docs).select("doc_id", F.explode(words("text")).alias("word"))
-    vocab = toks.select("word").distinct().withColumn("n_t", n_toks("word"))
+    vocab = tf.select("word").distinct().withColumn("n_t", n_toks("word"))
     return (
-        toks.join(F.broadcast(vocab), "word")
+        tf.join(F.broadcast(vocab), "word")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_words"),
-            F.sum("n_t").alias("n_tokens"),
+            F.sum("tf").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_t")).alias("n_tokens"),
         )
         .withColumn("fertility_bp", F.expr("(n_tokens * 10000) DIV n_words"))
     )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return bpe_encode_stats(docs, bpe_merges(docs))
+    # tokenize ONCE: the pinned (doc_id, word, tf) table feeds the
+    # merge trainer's word counts AND the encode-side weighting
+    # (was: two independent corpus tokenizes)
+    tf = doc_term_freqs(table(spark, sf_dir, "documents"))
+    return bpe_encode_stats(tf, bpe_merges_from_counts(_word_counts(tf)))
 
 
 # --------------------------------------------------------------------------

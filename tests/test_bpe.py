@@ -100,10 +100,14 @@ def test_bpe_encode_matches_pure_python(spark, sf_dir):
         n_tokens = sum(encode(w) for w in ws)
         want[d] = (len(ws), n_tokens, n_tokens * 10000 // len(ws))
 
-    from grpc_map_reduce_spark.operators.vocab import bpe_encode_stats, bpe_merges
+    from grpc_map_reduce_spark.operators.vocab import (
+        bpe_encode_stats,
+        bpe_merges,
+        doc_term_freqs,
+    )
 
     got = {
         r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility_bp"])
-        for r in bpe_encode_stats(docs, bpe_merges(docs)).collect()
+        for r in bpe_encode_stats(doc_term_freqs(docs), bpe_merges(docs)).collect()
     }
     assert got == want

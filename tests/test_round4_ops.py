@@ -135,13 +135,13 @@ def test_market_basket_planted_rules(spark):
     assert r.lift_bp == 8888
 
 
-def test_market_basket_one_shuffle_feeds_both_join_sides(spark):
+def test_market_basket_one_shuffle_feeds_both_join_sides(spark, sf_dir):
     """The gated basket stream must be shared — the a x b self-join
     reads the single checkpointed exchange twice, never re-scans."""
     from grpc_map_reduce_spark.operators.basket import market_basket
     from grpc_map_reduce_spark.sources.tables import table
 
-    df = market_basket(table(spark, "/root/testdata/sf0.001", "lineitem"))
+    df = market_basket(table(spark, sf_dir, "lineitem"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") >= 2
     assert "rangepartitioning" not in plan  # no global sort
@@ -150,7 +150,7 @@ def test_market_basket_one_shuffle_feeds_both_join_sides(spark):
 # --------------------------------------------------------------------------
 # Exact ROC-AUC (operators/data_quality.py::quality_auc)
 
-def test_quality_auc_matches_pure_python_rank_walk(spark):
+def test_quality_auc_matches_pure_python_rank_walk(spark, sf_dir):
     """The histogram Mann-Whitney must equal a direct pure-Python
     AUC (average-rank formulation) on the real fixture scores —
     an independent reconstruction, not the same fold."""
@@ -158,7 +158,7 @@ def test_quality_auc_matches_pure_python_rank_walk(spark):
     from grpc_map_reduce_spark.operators.text_analysis import quality_scores
     from grpc_map_reduce_spark.sources.tables import table
 
-    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    docs = table(spark, sf_dir, "documents")
     rows = quality_scores(docs, keep=("source",)).select(
         "source", "quality_bp", "lang"
     ).collect()
