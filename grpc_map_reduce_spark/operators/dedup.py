@@ -65,13 +65,24 @@ GROUP BY text
 
 # --------------------------------------------------------------------------
 # E2 (exact-arithmetic near-dup): word-3-gram Jaccard similarity join.
+
+#: Stop-shingle document-frequency guard, ON by default: a shingle in
+#: more than this many documents is boilerplate, and its self-join
+#: term alone is df² rows — one hot shingle at df=10⁶ is a 10¹²-row
+#: partition.  The oracle-twin configuration passes ``max_df=None``
+#: EXPLICITLY (exact all-pairs semantics, quadratic by intent).
+NGRAM_MAX_DF_DEFAULT = 1000
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = NGRAM_MAX_DF_DEFAULT) -> DataFrame:
     """Document pairs (doc_a < doc_b) with shingle-Jaccard ≥ threshold.
 
     ``max_df`` drops shingles present in more than that many docs
-    before the self-join (stop-shingle guard for skew at scale); the
-    oracle-checked configuration leaves it off.
+    before the self-join (stop-shingle guard for skew at scale) and is
+    ON by default — a bare call cannot accidentally build a hot-key
+    quadratic join.  Pass ``max_df=None`` for the exact all-pairs
+    semantics (the oracle-checked configuration does, knowingly).
     """
     # Per-doc shingle set size is computed BEFORE the explode and
     # carried on every exploded row, so the pair sizes (na, nb) ride
@@ -126,7 +137,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    # max_df=None EXPLICITLY: this registration is the exact all-pairs
+    # oracle twin (hash-stable vs DuckDB); scale callers get the
+    # default stop-shingle guard instead.
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), max_df=None)
 
 
 # DuckDB twin: same shingling (1-based inclusive list slice ws[i:i+2]

@@ -456,6 +456,84 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Character-entropy signal — the SQL-replayable half of the
+# compression-quality story (VERDICT r4 item 6): order-0 Shannon
+# coding bound per document, i.e. the information-theoretic floor of
+# ``compression_signal``'s DEFLATE size.  Gibberish/binary spam sits
+# near the random ceiling, boilerplate/repetition near the floor, so
+# the keep gate is a BAND.  The zlib kernel stays rows-only (DEFLATE
+# has no SQL twin); this companion hash-checks the whole histogram →
+# entropy plumbing end-to-end.
+#
+# Scale shape: one per-char explode with map-side partial agg — the
+# shuffled volume is the (doc, char) histogram, bounded by docs ×
+# alphabet, NOT the corpus characters (the wordcount shape).
+# Numeric discipline: the only float is log2; both engines mirror the
+# exact expression shape and the result is rounded at 1e0 granularity
+# on a ×10⁴ integer scale, ~1e9 times coarser than a 2-3 ulp libm
+# disagreement can reach — no rounding-boundary risk in the hash.
+ENTROPY_KEEP_LO_E4 = 30000  # < 3.0 bits/char: repetitive/boilerplate
+ENTROPY_KEEP_HI_E4 = 52000  # > 5.2 bits/char: random/binary gibberish
+
+
+def entropy_signal(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, distinct_chars, entropy_bpc_e4, keep):
+    order-0 character entropy in 1e-4 bits/char, band-gated."""
+    ch = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = ch.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("n") * F.log2("n")).alias("_nlog"),
+    )
+    bits = F.col("n_chars") * F.log2("n_chars") - F.col("_nlog")
+    e4 = F.round(bits / F.col("n_chars") * 10000).cast("long")
+    return agg.select(
+        "doc_id", "n_chars", "distinct_chars",
+        e4.alias("entropy_bpc_e4"),
+    ).withColumn(
+        "keep",
+        (F.col("entropy_bpc_e4") >= ENTROPY_KEEP_LO_E4)
+        & (F.col("entropy_bpc_e4") <= ENTROPY_KEEP_HI_E4),
+    )
+
+
+def q_entropy_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entropy_signal(table(spark, sf_dir, "documents"))
+
+
+ORACLE_ENTROPY = f"""
+WITH ch AS (
+    SELECT doc_id, c AS ch, count(*) AS n
+    FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    )
+    WHERE c <> ''
+    GROUP BY doc_id, c
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)   AS n_chars,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           sum(n * log2(n))         AS nlog
+    FROM ch GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars,
+       CAST(round((n_chars * log2(n_chars) - nlog) / n_chars * 10000)
+            AS BIGINT) AS entropy_bpc_e4,
+       CAST(round((n_chars * log2(n_chars) - nlog) / n_chars * 10000)
+            AS BIGINT) BETWEEN {ENTROPY_KEEP_LO_E4} AND {ENTROPY_KEEP_HI_E4}
+           AS keep
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Interpolated bigram-LM perplexity — the next rung up from the
 # unigram CCNet score: P(w|prev) = λ·P_bi + (1−λ)·P_uni with add-one
 # smoothing on both components, trained on the same md5-train split.
@@ -696,6 +774,10 @@ QUERIES = [
     ("docs_compression_signal", q_compression_signal, None,
      "DEFLATE compression-ratio repetition filter (map-only, integer "
      "basis points; rows-only + zlib parity gate)."),
+    ("docs_entropy_signal", q_entropy_signal, ORACLE_ENTROPY,
+     "Order-0 character-entropy band filter (1e-4 bits/char) — the "
+     "hash-checked information-theoretic floor of the DEFLATE "
+     "compression signal (histogram shuffle bounded by alphabet)."),
     ("repetition_stats", q_repetition_stats, ORACLE_REPETITION,
      "Gopher-style repetition quality filter: top-word share + duplicate "
      "2/3-gram fractions (integer basis points) + keep decision."),

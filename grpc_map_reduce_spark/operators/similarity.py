@@ -154,9 +154,22 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+
+#: Executor-side ceiling on rows per packed block, ON by default: a
+#: block pair materializes two (rows × dim) float64 matrices and an
+#: O(rows²) similarity matrix in one Arrow task, so an oversized block
+#: is an executor OOM, not a slow task.  32k rows × 256 dims ≈ 67 MB
+#: per matrix + a 1 GB per-pair score matrix upper bound — the edge of
+#: sane.  The guard raises with sizing guidance instead of letting the
+#: task die; ``None`` disables it (benchmark-only).
+EMBED_MAX_BLOCK_ROWS = 32768
+
+
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       n_blocks: int = 16) -> DataFrame:
+                       n_blocks: int = 16,
+                       max_block_rows: int | None = EMBED_MAX_BLOCK_ROWS,
+                       ) -> DataFrame:
     """All pairs (a < b) with cosine similarity ≥ threshold — the
     embedding-space analog of near-dup detection.
 
@@ -191,6 +204,17 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
             for _, row in pdf.iterrows():
                 ids_a = np.asarray(row["ids_a"], dtype=np.int64)
                 ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                if max_block_rows is not None and (
+                        len(ids_a) > max_block_rows
+                        or len(ids_b) > max_block_rows):
+                    raise ValueError(
+                        f"embedding_near_dup block holds "
+                        f"{max(len(ids_a), len(ids_b))} rows > "
+                        f"max_block_rows={max_block_rows}; raise n_blocks "
+                        "(rows/blocks must fit one executor task) or use "
+                        "the LSH candidate path (embedding_lsh_near_dup) "
+                        "instead of exact all-pairs at this scale"
+                    )
                 A = np.frombuffer(row["mat_a"], dtype=np.float64).reshape(len(ids_a), -1)
                 Bm = np.frombuffer(row["mat_b"], dtype=np.float64).reshape(len(ids_b), -1)
                 sims = np.round(A @ Bm.T, 6)

@@ -173,11 +173,10 @@ def test_webdataset_write_read_round_trip(spark, sf_dir, tmp_path):
 
 
 def test_spectrogram_matches_direct_dft(spark, sf_dir):
-    """Cross-check the rfft-based operator against an independent
-    O(N^2) direct-definition DFT computed entirely outside Spark."""
+    """Cross-check the fixed-point DFT operator against an independent
+    O(N^2) direct-definition recompute built entirely outside Spark
+    (same Q7 quantization rule, re-derived here, EXACT equality)."""
     import math
-
-    import numpy as np
 
     from grpc_map_reduce_spark.operators.multimodal import (
         SPEC_FRAME,
@@ -190,7 +189,7 @@ def test_spectrogram_matches_direct_dft(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(40)
     got = {
         (r.doc_id, r.frame_idx): (r.frame_energy, r.dominant_bin,
-                                  r.dominant_mag_x1000)
+                                  r.dominant_pow)
         for r in audio_spectrogram(attach_wav_media(docs)).collect()
     }
 
@@ -198,29 +197,46 @@ def test_spectrogram_matches_direct_dft(spark, sf_dir):
     n_checked = 0
     for doc_id, text in texts.items():
         pcm = text.encode()[:WAV_N].ljust(WAV_N, b" ")
-        s = [b - 128.0 for b in pcm]
+        s = [b - 128 for b in pcm]
         for fi in range(WAV_N // SPEC_FRAME):
             seg = s[fi * SPEC_FRAME:(fi + 1) * SPEC_FRAME]
-            mags = []
-            for k in range(SPEC_FRAME // 2 + 1):
-                re = sum(x * math.cos(-2 * math.pi * k * i / SPEC_FRAME)
-                         for i, x in enumerate(seg))
-                im = sum(x * math.sin(-2 * math.pi * k * i / SPEC_FRAME)
-                         for i, x in enumerate(seg))
-                mags.append(math.hypot(re, im))
-            k_dom = 1 + max(range(len(mags) - 1), key=lambda j: mags[j + 1])
-            # argmax-first tie-break parity: direct comparison below
-            energy = int(sum(abs(x) for x in seg))
-            g = got[(doc_id, fi)]
-            assert g[0] == energy
-            if mags[k_dom] < 1e-6:
-                # constant frame: spectrum is numerically zero, the
-                # argmax is float noise — only the magnitude matters
-                assert g[2] == 0
-            else:
-                assert g[1] == k_dom or math.isclose(
-                    mags[g[1]], mags[k_dom], rel_tol=1e-9
-                )
-                assert abs(g[2] - int(mags[g[1]] * 1000)) <= 1  # ulp slack
+            pows = []
+            for k in range(1, SPEC_FRAME // 2 + 1):
+                re = sum(x * round(math.cos(2 * math.pi * k * i / SPEC_FRAME)
+                                   * 127) for i, x in enumerate(seg))
+                im = sum(x * round(-math.sin(2 * math.pi * k * i / SPEC_FRAME)
+                                   * 127) for i, x in enumerate(seg))
+                pows.append(re * re + im * im)
+            best = max(pows)
+            k_dom = 1 + pows.index(best)  # ties → lowest bin
+            energy = sum(abs(x) for x in seg)
+            assert got[(doc_id, fi)] == (energy, k_dom, best)
             n_checked += 1
     assert n_checked >= 40 * (WAV_N // SPEC_FRAME)
+
+
+def test_spectrogram_finds_planted_sinusoid(spark):
+    """A pure bin-5 sinusoid (quantized to bytes) must dominate bin 5 —
+    the fixed-point spectrogram is a real spectrogram, not just a
+    deterministic number generator."""
+    import math
+
+    from grpc_map_reduce_spark.operators.multimodal import (
+        SPEC_FRAME,
+        WAV_N,
+        attach_wav_media,
+        audio_spectrogram,
+    )
+
+    # ASCII-range codepoints (single-byte UTF-8) centered at 64: the
+    # PCM view (byte-128) carries a DC offset plus a pure bin-5 tone,
+    # and DC is excluded from the dominant-bin scan.
+    wave = "".join(
+        chr(64 + round(60 * math.sin(2 * math.pi * 5 * n / SPEC_FRAME)))
+        for n in range(WAV_N)
+    )
+    df = spark.createDataFrame([(1, wave)], "doc_id long, text string")
+    out = audio_spectrogram(attach_wav_media(df)).collect()
+    assert len(out) == WAV_N // SPEC_FRAME
+    for r in out:
+        assert r.dominant_bin == 5 and r.dominant_pow > 0

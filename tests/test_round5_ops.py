@@ -1,0 +1,58 @@
+"""Round-5 operator gates: the all-pairs guards must be ON by default
+(VERDICT r4 item 5) — a bare call to an exact-baseline operator cannot
+silently build a hot-key quadratic join / oversized kernel block."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_ngram_jaccard_default_guard_drops_planted_hot_shingle(spark):
+    """1001 boilerplate clones share one shingle (df=1001 > the 1000
+    default); by default that shingle is dropped before the self-join,
+    so the clones pair with NOTHING while a control near-dup pair
+    (unique shingles) still surfaces."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        NGRAM_MAX_DF_DEFAULT,
+        ngram_jaccard_pairs,
+    )
+
+    n_clones = NGRAM_MAX_DF_DEFAULT + 1
+    rows = [(i, "alpha beta gamma delta") for i in range(n_clones)]
+    rows += [
+        (100_000, "unique control text about spark engines"),
+        (100_001, "unique control text about spark engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert got == {(100_000, 100_001)}, (
+        "default guard must drop the df>max_df shingle entirely and "
+        "keep the control pair"
+    )
+
+
+def test_ngram_jaccard_explicit_none_keeps_hot_shingle(spark):
+    """max_df=None (the oracle-twin config) keeps hot shingles — the
+    quadratic semantics remain available, but only by explicit ask."""
+    from grpc_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "alpha beta gamma delta") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # with the tiny corpus the default guard is a no-op too, so force
+    # a max_df the clones exceed, then show None disables it
+    assert ngram_jaccard_pairs(docs, max_df=3).count() == 0
+    assert ngram_jaccard_pairs(docs, max_df=None).count() == 10  # C(5,2)
+
+
+def test_embedding_near_dup_block_guard_trips(spark):
+    """A block bigger than max_block_rows must raise with sizing
+    guidance instead of letting the O(rows²) kernel OOM the task."""
+    from grpc_map_reduce_spark.operators.similarity import embedding_near_dup
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="max_block_rows"):
+        embedding_near_dup(emb, n_blocks=1, max_block_rows=4).collect()
+    # same data under the bound: runs fine
+    assert embedding_near_dup(emb, n_blocks=1, max_block_rows=None).count() >= 0

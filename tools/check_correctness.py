@@ -24,6 +24,10 @@ run as a diagnostic so output distinguishes representation bugs from real
 value bugs.
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...] [--vanilla]
+                                          [--sample N] [--seed S]
+
+``--sample N`` checks a seeded random subset of N queries — a local
+rehearsal of the driver's per-round sampling.
 """
 
 import json
@@ -116,8 +120,20 @@ def _lenient_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    raw = sys.argv[1:]
+    vanilla = "--vanilla" in raw
+    sample_n = seed = None
+    args = []
+    it = iter(raw)
+    for a in it:
+        if a == "--vanilla":
+            continue
+        if a == "--sample":
+            sample_n = int(next(it))
+        elif a == "--seed":
+            seed = int(next(it))
+        else:
+            args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -154,6 +170,18 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if sample_n is not None:
+        # rehearse an arbitrary driver sample: the driver checks ~50
+        # randomly-chosen queries per round, and 75/141 have never been
+        # driver-witnessed (VERDICT r4) — seeded sampling lets any
+        # such draw be reproduced locally before it happens for real.
+        import random
+
+        rng = random.Random(seed if seed is not None else 0)
+        names = sorted(queries)
+        only = set(rng.sample(names, min(sample_n, len(names))))
+        print(f"sampled {len(only)} queries (seed={seed if seed is not None else 0})",
+              flush=True)
     results = {}
     for name, fn in queries.items():
         if only and name not in only:
