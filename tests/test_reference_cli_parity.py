@@ -95,6 +95,29 @@ def test_cli_module_entry_point(spark, tmp_path):
 
     assert main(["client", corpus_dir, "nope", out_dir]) == 2
     assert main(["wrong"]) == 2
+    assert main(["client", corpus_dir, "wc", out_dir, "--partitions", "x"]) == 2
+
+
+def test_cli_partitions_knob(spark, tmp_path):
+    """--partitions N (the reference's nReducers analog,
+    config.json:3-4): N output files, same content."""
+    from grpc_map_reduce_spark.__main__ import main
+
+    corpus_dir = _write_corpus(tmp_path)
+    out_dir = str(tmp_path / "cli_out_p2")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main(["client", corpus_dir, "wc", out_dir,
+                     "--partitions", "2"]) == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    parts = sorted(Path(out_dir).glob("part-*"))
+    # a CAP, not an exact count: AQE may coalesce a tiny shuffle below
+    # N first (the reference would write N files with some empty —
+    # fewer, never more, is the right Spark behavior)
+    assert 1 <= len(parts) <= 2
+    got = {k: int(v) for k, v in _read_output(out_dir).items()}
+    assert got["The"] == 2 and got["quick"] == 3
 
 
 def test_read_text_corpus_granularity(spark, tmp_path):

@@ -16,6 +16,17 @@ Probed claims (each maps to a SURVEY §8 scale assertion):
   * dedup_lsh_neardup    — sub-quadratic LSH: ~linear in docs
                            (the all-pairs formulation would be 25x^2)
   * q1_pricing_summary   — full lineitem agg: ~linear
+  * pagerank_neardup     — fixed-K power iteration over LSH edges:
+                           ~linear in edges (loop-invariant edge table
+                           partitioned once, only ranks move)
+  * dedup_triangles      — canonical wedge join + closure probe:
+                           wedge count is bounded by Σ deg², which
+                           replication grows linearly (cliques don't
+                           span replicas)
+  * orders_market_basket — apriori-gated pair self-join: bounded by
+                           Σ basket², baskets replicate unchanged
+  * phrase_search        — pruned posting-list adjacency join:
+                           ~linear in postings of the probe phrase
 
 Usage: python tools/scaling_probe.py [--mults 1,5,25]
 Writes scratch parquet under .scratch/scaleprobe/ (gitignored) and
@@ -41,7 +52,12 @@ SCRATCH = os.path.join(
     ".scratch", "scaleprobe",
 )
 PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
-          "q1_pricing_summary", "dedup_canonical", "docs_lang_id"]
+          "q1_pricing_summary", "dedup_canonical", "docs_lang_id",
+          # iterative/graph family (VERDICT r4 item 4): the shapes
+          # whose super-linear risk was argued in comments but never
+          # measured
+          "pagerank_neardup", "dedup_triangles", "orders_market_basket",
+          "phrase_search"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
@@ -128,7 +144,13 @@ def main() -> None:
             ).save()
             dt = round(time.perf_counter() - t0, 3)
             results[name][mult] = dt
-            print(json.dumps({"query": name, "mult": mult, "sec": dt}))
+            print(json.dumps({"query": name, "mult": mult, "sec": dt}),
+                  flush=True)
+            # bench-grade housekeeping: the iterative probes pin
+            # checkpointed RDD blocks; release them synchronously so
+            # later probes aren't timed under earlier probes' storage
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
             spark.sparkContext._jvm.System.gc()
 
     base = mults[0]
