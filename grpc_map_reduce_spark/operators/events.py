@@ -814,6 +814,76 @@ QUALIFY rank <= {PATH_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Marketing attribution — per conversion ('purchase'), which earlier
+# touchpoint ('click'/'view') gets the credit: the FIRST touch in the
+# user's history and the LAST touch before the conversion.  The result
+# is the (first_touch, last_touch) attribution matrix with conversion
+# counts and exact-cents revenue — the query every growth dashboard
+# runs.  Plan: ONE shuffle on user_id; both touches come from the same
+# ignoreNulls first/last window over the interleaved event stream
+# (no purchases×touches join, which is the naive quadratic shape);
+# 'none' rows count conversions with no preceding touchpoint.
+TOUCH_TYPES = ("click", "view")
+CONVERSION_TYPE = "purchase"
+
+
+def attribution_matrix(events: DataFrame) -> DataFrame:
+    touch = F.when(
+        F.col("event_type").isin(*TOUCH_TYPES), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = (
+        events.withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == CONVERSION_TYPE)
+    )
+    return (
+        tagged.groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(cents("value")).alias("revenue_cents"),
+        )
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_matrix(table(spark, sf_dir, "events"))
+
+
+ORACLE_ATTRIBUTION = """
+WITH tagged AS (
+    SELECT event_type, value,
+           first_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+    FROM events
+)
+SELECT coalesce(first_touch, 'none') AS first_touch,
+       coalesce(last_touch, 'none')  AS last_touch,
+       count(*) AS n_conversions,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 ORACLE_TRANSITIONS = """
 WITH seq AS (
     SELECT user_id, event_type,
@@ -834,6 +904,10 @@ FROM trans
 
 
 QUERIES = [
+    ("events_attribution", q_attribution, ORACLE_ATTRIBUTION,
+     "First/last-touch conversion attribution matrix with exact-cents "
+     "revenue — one user_id window over the interleaved stream, no "
+     "purchases-by-touches join."),
     ("events_transition_matrix", q_transition_matrix, ORACLE_TRANSITIONS,
      "First-order Markov event-type transition counts per user "
      "sequence (one lag window + 25-row aggregate)."),

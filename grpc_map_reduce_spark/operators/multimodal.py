@@ -297,6 +297,95 @@ FROM pix
 """
 
 
+# --------------------------------------------------------------------------
+# Image augmentation — the training-data op every vision/multimodal
+# pipeline runs between decode and batching: center crop → horizontal
+# flip → brightness shift, all DETERMINISTIC here (a production run
+# seeds per-sample RNG; determinism is what makes the op testable).
+# The pipeline is real end-to-end: PNG decode → numpy pixel ops →
+# PNG re-encode → decode AGAIN (witnessing the encoder too) → md5.
+# The oracle rebuilds the expected augmented pixel string with pure
+# string/char arithmetic — DuckDB never sees a PNG.
+# Darken (not brighten): ASCII sources stay single-byte after -16, so
+# md5(VARCHAR) in DuckDB equals md5(bytes) in Spark.
+AUG_CROP = 12       # center crop 16×16 → 12×12 (offset 2)
+AUG_DARKEN = 16     # brightness shift, clamped at 0
+
+
+def augment_media(media_df: DataFrame) -> DataFrame:
+    """(doc_id, out_w, out_h, aug_md5): crop→hflip→darken over real
+    PNG payloads, re-encoded and re-decoded before hashing."""
+    off = (PNG_W - AUG_CROP) // 2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            outs = []
+            for payload, meta in zip(pdf["media"], pdf["media_meta"]):
+                w0, h0, ch, pix = decode_png(payload)
+                a = np.frombuffer(pix, np.uint8).reshape(h0, w0)
+                a = a[off:off + AUG_CROP, off:off + AUG_CROP]   # center crop
+                a = a[:, ::-1]                                   # hflip
+                a = np.maximum(a.astype(np.int16) - AUG_DARKEN, 0).astype(np.uint8)
+                # re-encode then decode AGAIN: the augmented sample is
+                # written back as a valid PNG, and the witness hashes
+                # the round-tripped pixels, not the in-memory array
+                png = encode_png(AUG_CROP, AUG_CROP, 1, a.tobytes(),
+                                 filter_type=2)
+                _, _, _, back = decode_png(png)
+                outs.append(back)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "aug": outs})
+
+    out = media_df.mapInPandas(batches, schema="doc_id long, aug binary")
+    return out.select(
+        "doc_id",
+        F.lit(AUG_CROP).cast("long").alias("out_w"),
+        F.lit(AUG_CROP).cast("long").alias("out_h"),
+        F.md5("aug").alias("aug_md5"),
+    )
+
+
+def q_multimodal_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return augment_media(attach_png_media(docs.repartition(n_part, "doc_id")))
+
+
+def _augment_oracle() -> str:
+    off = (PNG_W - AUG_CROP) // 2
+    return f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {PNG_W * PNG_H}), {PNG_W * PNG_H}, ' ') AS p
+    FROM documents
+),
+aug AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(0, {AUG_CROP}), y ->
+                   array_to_string(
+                       list_transform(range(0, {AUG_CROP}), x ->
+                           chr(CAST(greatest(
+                               ascii(substr(p,
+                                   (y + {off}) * {PNG_W}
+                                   + ({AUG_CROP} - 1 - x + {off}) + 1, 1))
+                               - {AUG_DARKEN}, 0) AS INTEGER))),
+                       '')),
+               '') AS s
+    FROM pix
+)
+SELECT doc_id,
+       CAST({AUG_CROP} AS BIGINT) AS out_w,
+       CAST({AUG_CROP} AS BIGINT) AS out_h,
+       md5(s) AS aug_md5
+FROM aug
+"""
+
+
+ORACLE_AUGMENT = _augment_oracle()
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling as a registered query: every 4th frame of each
     fake video, identified by md5 (binary payloads hash-compare
@@ -1014,6 +1103,11 @@ QUERIES = [
      "E4 multimodal: real image resize — decode, nearest-neighbor "
      "resample, re-encode, decode again; the oracle rebuilds the "
      "resized pixel string with the same floor mapping."),
+    ("multimodal_augment", q_multimodal_augment, ORACLE_AUGMENT,
+     "E4 multimodal: deterministic image augmentation (center crop → "
+     "hflip → darken) through the REAL PNG codec twice — decode, "
+     "pixel ops, re-encode, re-decode — md5-witnessed against pure "
+     "character arithmetic."),
     ("multimodal_wav_features", q_multimodal_wav_features, ORACLE_WAV_FEATURES,
      "E4 multimodal: real audio — RIFF/PCM WAV encode→parse round "
      "trip with integer signal features (energy, peak, zero "

@@ -1273,7 +1273,154 @@ FROM negexp GROUP BY query_id, vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Int8 scalar-quantized vector search — the production memory path:
+# unit-normalize, quantize each dimension to round(x·127) ∈ [-127,127],
+# rank by the INTEGER dot product.  4× smaller vectors, SIMD-friendly
+# int8 kernels, and (the point here) an EXACT hash oracle: after the
+# one quantization round-trip (pure IEEE +,*,/,sqrt mirrored
+# shape-for-shape in both engines), everything downstream is int64
+# arithmetic with no accumulation-order sensitivity at all — unlike
+# the float cosine queries, the search phase cannot drift by an ulp.
+#
+# Scale: quantization is map-only JVM column math (transform/aggregate,
+# no Python); search reuses the blocked-matmul shape of cosine_topk
+# with an int64 kernel; corpus never shuffled, queries broadcast.
+# Recall vs the float baseline is gated in tests/test_round5_ops.py.
+INT8_SCALE = 127
+INT8_TOPK = 10
+INT8_NQ = 8  # registered query set: vec_id < 8, as the float baseline
+
+
+def int8_quantize(vectors: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, qvec): unit-normalized, Q7-quantized vectors — pure
+    column math, map-only, whole-stage codegen."""
+    x = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(
+        x, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    ))
+    q = F.transform(
+        x, lambda v: F.round(v.cast("double") / norm * INT8_SCALE).cast("long")
+    )
+    return vectors.select(F.col(id_col).cast("long").alias("id"),
+                          q.alias("qvec"))
+
+
+def int8_topk(corpus: DataFrame, queries: DataFrame, k: int = INT8_TOPK,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              n_blocks: int = 16) -> DataFrame:
+    """Top-``k`` neighbors per query under the quantized integer dot
+    product → (query_id, neighbor_id, dot_q, rank); ties break by
+    neighbor id (quantized scores tie often — determinism matters)."""
+    import numpy as np
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+        return pd.DataFrame({
+            "blk": [int(pdf["blk"].iloc[0])],
+            "ids": [pdf["id"].to_numpy(np.int64)],
+            "mat": [mat.tobytes()],
+        })
+
+    def packed(df: DataFrame, nb: int) -> DataFrame:
+        return (
+            int8_quantize(df, id_col, vec_col)
+            .withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(nb)))
+            .groupBy("blk")
+            .applyInPandas(_pack, schema="blk long, ids array<long>, mat binary")
+        )
+
+    qp = packed(queries, 1).select(F.col("ids").alias("q_ids"),
+                                   F.col("mat").alias("q_mat"))
+    cp = packed(corpus, n_blocks)
+
+    def _kernel(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                q_ids = np.asarray(row["q_ids"], dtype=np.int64)
+                c_ids = np.asarray(row["ids"], dtype=np.int64)
+                Q = np.frombuffer(row["q_mat"], dtype=np.int64).reshape(len(q_ids), -1)
+                C = np.frombuffer(row["mat"], dtype=np.int64).reshape(len(c_ids), -1)
+                dots = Q @ C.T  # exact int64: |dot| <= 64 * 127^2
+                self_mask = q_ids[:, None] == c_ids[None, :]
+                dots = np.where(self_mask, np.iinfo(np.int64).min, dots)
+                order = np.lexsort(
+                    (np.broadcast_to(c_ids, dots.shape), -dots), axis=1
+                )
+                take = order[:, :k]
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(q_ids, take.shape[1]),
+                    "neighbor_id": c_ids[take].ravel(),
+                    "dot_q": np.take_along_axis(dots, take, axis=1).ravel(),
+                }))
+            out = pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "dot_q": []})
+            yield out[out["dot_q"] > np.iinfo(np.int64).min]
+
+    cand = cp.join(F.broadcast(qp)).mapInPandas(
+        _kernel, schema="query_id long, neighbor_id long, dot_q long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return int8_topk(emb, emb.filter(F.col("vec_id") < INT8_NQ))
+
+
+# DuckDB twin: the quantization mirrors the Spark fold shape exactly —
+# list_reduce with a prepended 0.0 is the same sequential left fold as
+# F.aggregate's (so both engines feed IDENTICAL doubles into round) —
+# and everything after quantization is exact integer arithmetic.
+ORACLE_INT8_TOPK = f"""
+WITH qz AS (
+    SELECT vec_id,
+           list_transform(embedding, v ->
+               CAST(round(CAST(v AS DOUBLE) /
+                    sqrt(list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        (acc, t) -> acc + t))
+                    * {INT8_SCALE}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           unnest(q.qv) AS qe, unnest(c.qv) AS ce
+    FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {INT8_NQ}
+),
+dots AS (
+    SELECT query_id, neighbor_id, CAST(sum(qe * ce) AS BIGINT) AS dot_q
+    FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id, dot_q,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot_q DESC, neighbor_id) AS rank
+    FROM dots
+)
+SELECT query_id, neighbor_id, dot_q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {INT8_TOPK}
+"""
+
+
 QUERIES = [
+    ("ann_int8_topk", q_int8_topk, ORACLE_INT8_TOPK,
+     "E2 int8 scalar-quantized vector search (the 4x-memory production "
+     "path): unit-normalize -> Q7 quantize (JVM column math) -> exact "
+     "integer-dot blocked top-k; hash-checked end to end."),
     ("semdedup", q_semdedup, ORACLE_SEMDEDUP,
      "SemDeDup: k-means then within-cluster-only cosine dedup with "
      "deterministic keeper election (cluster-bounded quadratic)."),

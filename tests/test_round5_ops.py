@@ -45,6 +45,29 @@ def test_ngram_jaccard_explicit_none_keeps_hot_shingle(spark):
     assert ngram_jaccard_pairs(docs, max_df=None).count() == 10  # C(5,2)
 
 
+def test_int8_topk_recall_vs_float_baseline(spark, sf_dir):
+    """Quantization must cost little retrieval quality: int8 top-10
+    overlaps the float cosine top-10 at >= 0.8 mean recall on the
+    fixture embeddings (the standard SQ sanity bar)."""
+    from pyspark.sql import functions as F
+
+    from grpc_map_reduce_spark.operators.similarity import cosine_topk, int8_topk
+    from grpc_map_reduce_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {}
+    for r in cosine_topk(emb, queries).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in int8_topk(emb, queries).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_embedding_near_dup_block_guard_trips(spark):
     """A block bigger than max_block_rows must raise with sizing
     guidance instead of letting the O(rows²) kernel OOM the task."""
