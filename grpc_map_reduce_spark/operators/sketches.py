@@ -574,7 +574,153 @@ ORACLE_CORR = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# Cross-source overlap estimation — "how much of source A's content is
+# also in source B?" without ever joining the corpora: per source,
+# keep the KMV sketch (k smallest 60-bit hashes) of its distinct text
+# shingles; for a pair, the k smallest of the sketch UNION double as a
+# uniform sample of A∪B, so the fraction of them present in BOTH
+# sketches estimates Jaccard(A, B) (Beyer et al., SIGMOD'07).  This is
+# the pre-dedup budgeting query of a multi-source corpus build: it
+# prices cross-source contamination from two fixed-size summaries
+# instead of an inter-corpus shingle join.
+#
+# Scale: one tokenize/shingle pass (spread + Arrow UDF, the dedup
+# representation) → per-source DISTINCT hash reduce → per-source
+# top-k via TWO-PHASE rank (k per (source, salt) first, then k per
+# source over ≤ 64k survivors — never a full per-source sort).
+# Everything after the sketches is sketch-sized (sources² · k rows).
+# All counts integer; the Jaccard estimate is integer basis points —
+# the whole path hash-checks against a DuckDB replay.
+SRC_KMV_K = 256
+_SRC_KMV_SALTS = 64
+
+
+def source_overlap_kmv(docs: DataFrame, k: int = SRC_KMV_K) -> DataFrame:
+    """(source_a, source_b, k_used, n_common, jaccard_bp) for every
+    unordered source pair."""
+    from pyspark.sql import Window
+
+    from grpc_map_reduce_spark.functions.text import distinct_shingle_hashes_udf
+    from grpc_map_reduce_spark.sources.tables import spread
+
+    sh = (
+        spread(docs)
+        .select("source",
+                F.explode(distinct_shingle_hashes_udf()("text")).alias("h"))
+        .distinct()
+    )
+    # two-phase per-source smallest-k: phase 1 bounds every window to
+    # its salt bucket, phase 2 ranks only the k·salts survivors
+    w1 = Window.partitionBy("source", F.pmod("h", F.lit(_SRC_KMV_SALTS))) \
+        .orderBy("h")
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= k)
+        .withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= k)
+        .select("source", "h")
+        .localCheckpoint(eager=False)  # both sides of the pair probe
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")),
+              F.col("sa") < F.col("sb"))
+    )
+    tagged = (
+        pairs.join(
+            sk,
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("sa"), 1).otherwise(0)
+            ).alias("ia"),
+            F.max(
+                F.when(F.col("source") == F.col("sb"), 1).otherwise(0)
+            ).alias("ib"),
+        )
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        tagged.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= k)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_common"),
+        )
+    )
+    return est.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "k_used",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.expr("(n_common * 10000) DIV k_used").alias("jaccard_bp"),
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_kmv(table(spark, sf_dir, "documents"))
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH toks AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           ))), 1, 15))::BIGINT AS h
+    FROM toks
+),
+rk AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+),
+sk AS (SELECT source, h FROM rk WHERE rn <= {SRC_KMV_K}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+tagged AS (
+    SELECT p.sa, p.sb, s.h,
+           max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+           max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+    FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+    GROUP BY 1, 2, 3
+),
+topk AS (
+    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM tagged
+),
+est AS (
+    SELECT sa, sb, count(*) AS k_used, sum(ia * ib) AS n_common
+    FROM topk WHERE rn <= {SRC_KMV_K}
+    GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(k_used AS BIGINT)   AS k_used,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST((n_common * 10000) // k_used AS BIGINT) AS jaccard_bp
+FROM est
+"""
+
+
 QUERIES = [
+    ("source_overlap_kmv", q_source_overlap, ORACLE_SOURCE_OVERLAP,
+     "Cross-source contamination estimate: per-source KMV shingle "
+     "sketches, pairwise Jaccard from the union's smallest-k "
+     "(Beyer'07) — prices inter-corpus overlap without a corpus "
+     "join; integer basis points, fully hash-checked."),
     ("lineitem_corr_profile", q_corr_profile, ORACLE_CORR,
      "Pairwise Pearson correlation profile over lineitem measures "
      "(one-pass co-moment aggregates, 6-dp rounded)."),

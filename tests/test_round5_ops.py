@@ -68,6 +68,54 @@ def test_int8_topk_recall_vs_float_baseline(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_source_overlap_kmv_exact_when_k_covers_union(spark):
+    """With k >= |A ∪ B| the KMV estimate IS the exact Jaccard of the
+    shingle sets — planted sources with known overlap must come out
+    exactly right (estimator math, not just plumbing)."""
+    import hashlib
+    import re
+
+    from grpc_map_reduce_spark.operators.sketches import source_overlap_kmv
+
+    texts = {
+        "a": ["the quick brown fox jumps over the lazy dog",
+              "pack my box with five dozen liquor jugs"],
+        "b": ["the quick brown fox jumps over the lazy dog",  # clone of a1
+              "how vexingly quick daft zebras jump today"],
+        "c": ["completely disjoint content about spark engines here"],
+    }
+    rows = [
+        (100 * i + j, src, t)
+        for i, (src, ts) in enumerate(sorted(texts.items()))
+        for j, t in enumerate(ts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def shingle_set(ts):
+        out = set()
+        for t in ts:
+            ws = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+            grams = ([" ".join(ws)] if len(ws) <= 3 else
+                     [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)])
+            out |= {int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    for g in grams}
+        return out
+
+    sets = {s: shingle_set(ts) for s, ts in texts.items()}
+    got = {
+        (r.source_a, r.source_b): (r.k_used, r.n_common, r.jaccard_bp)
+        for r in source_overlap_kmv(docs, k=1024).collect()
+    }
+    for sa, sb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        union = sets[sa] | sets[sb]
+        inter = sets[sa] & sets[sb]
+        assert got[(sa, sb)] == (
+            len(union), len(inter), len(inter) * 10000 // len(union)
+        )
+    assert got[("a", "b")][1] > 0          # the planted clone overlaps
+    assert got[("a", "c")][1] == 0         # disjoint stays disjoint
+
+
 def test_embedding_near_dup_block_guard_trips(spark):
     """A block bigger than max_block_rows must raise with sizing
     guidance instead of letting the O(rows²) kernel OOM the task."""

@@ -67,16 +67,22 @@ KEYED = {
 SHIFT = 10**9
 
 
-#: per-replica character rotations applied to documents.text so a
+#: per-replica character rotation applied to documents.text so a
 #: replicated doc is NOT a shingle-level near-dup of its source —
 #: without this, replication builds m-clone cliques whose LSH
 #: candidate pairs grow O(m²) and the probe measures clique blowup,
-#: not corpus growth.  Rotating the vowel set changes ~every word.
-VOWELS = "aeiou"
+#: not corpus growth.  The rotation must be DISTINCT for every
+#: replica: an earlier 5-vowel rotation collided at mult=25 (5 exact
+#: clones per rotation class → 5× cluster inflation → the wedge join
+#: measured 93× at 25× data, a probe artifact the full-alphabet
+#: rotation eliminates).  A bijective char map preserves each
+#: replica's INTERNAL near-dup structure exactly while making
+#: cross-replica shingle collisions vanish.
+ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _rot(k: int) -> str:
-    return VOWELS[k % 5:] + VOWELS[:k % 5]
+    return ALPHABET[k % 26:] + ALPHABET[:k % 26]
 
 
 def synthesize(spark, mult: int) -> str:
@@ -98,7 +104,7 @@ def synthesize(spark, mult: int) -> str:
                 r = src.withColumn(key, F.col(key) + F.lit(k * SHIFT))
                 if tbl == "documents" and k:
                     r = r.withColumn(
-                        "text", F.translate("text", VOWELS, _rot(k))
+                        "text", F.translate("text", ALPHABET, _rot(k))
                     )
                 reps.append(r)
             df = reps[0]
