@@ -252,7 +252,136 @@ FROM assigned
 ORACLE_LENGTH_BUCKETS = _length_buckets_oracle()
 
 
+# --------------------------------------------------------------------------
+# Packing-efficiency sweep — "which sequence budget should training
+# use?": for each candidate budget B, how many sequences the corpus
+# packs into, how much tail padding each source's stream pays, and how
+# many documents get SPLIT across a sequence boundary (split docs lose
+# attention locality; padding loses FLOPs — the knee of this table is
+# the budget decision).  Concat-and-chunk semantics, matching
+# pack_sequences.  All integer math.
+#
+# Scale: ONE window cumsum per source (the pack_sequences shuffle),
+# then a 4-row broadcast budget sweep joined map-side; aggregates are
+# budget-count-sized.
+PACK_SWEEP_BUDGETS = (128, 256, 512, 1024)
+
+
+def packing_efficiency(docs: DataFrame,
+                       budgets: tuple = PACK_SWEEP_BUDGETS) -> DataFrame:
+    """(seq_budget, n_seqs, total_tokens, pad_tokens, pad_bp,
+    n_split_docs) per candidate budget."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(words("text")).cast("long")
+    starts = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .localCheckpoint(eager=False)  # feeds the split scan AND totals
+    )
+    budgets_df = F.broadcast(docs.sparkSession.createDataFrame(
+        [(b,) for b in budgets], "seq_budget long"
+    ))
+    crossing = (
+        (F.col("n_tokens") > 0)
+        & (F.expr("start DIV seq_budget")
+           != F.expr("(start + n_tokens - 1) DIV seq_budget"))
+    ).cast("long")
+    splits = (
+        starts.crossJoin(budgets_df)
+        .groupBy("seq_budget")
+        .agg(F.sum(crossing).alias("n_split_docs"))
+    )
+    per_source = starts.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    sizing = (
+        per_source.crossJoin(budgets_df)
+        .groupBy("seq_budget")
+        .agg(
+            F.sum(F.expr("(src_tokens + seq_budget - 1) DIV seq_budget"))
+            .alias("n_seqs"),
+            F.sum("src_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "pad_tokens",
+            F.col("n_seqs") * F.col("seq_budget") - F.col("total_tokens"),
+        )
+        .withColumn(
+            "pad_bp",
+            F.expr("(pad_tokens * 10000) DIV (n_seqs * seq_budget)"),
+        )
+    )
+    # splits is budget-count-sized (4 rows) but sits behind an agg, so
+    # the planner has no stats — hint the broadcast instead of an SMJ
+    return sizing.join(F.broadcast(splits), "seq_budget").select(
+        "seq_budget", "n_seqs", "total_tokens", "pad_tokens", "pad_bp",
+        F.col("n_split_docs").cast("long").alias("n_split_docs"),
+    )
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing_efficiency(table(spark, sf_dir, "documents"))
+
+
+def _packing_efficiency_oracle() -> str:
+    bs = ", ".join(f"({b})" for b in PACK_SWEEP_BUDGETS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+run AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - n_tokens AS start
+    FROM toks
+),
+budgets(seq_budget) AS (VALUES {bs}),
+splits AS (
+    SELECT seq_budget,
+           CAST(sum(CASE WHEN n_tokens > 0
+                         AND start // seq_budget
+                             <> (start + n_tokens - 1) // seq_budget
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+    FROM run CROSS JOIN budgets
+    GROUP BY seq_budget
+),
+per_source AS (
+    SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source
+),
+sizing AS (
+    SELECT seq_budget,
+           CAST(sum((src_tokens + seq_budget - 1) // seq_budget) AS BIGINT)
+               AS n_seqs,
+           CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+    FROM per_source CROSS JOIN budgets
+    GROUP BY seq_budget
+)
+SELECT CAST(s.seq_budget AS BIGINT) AS seq_budget,
+       n_seqs, total_tokens,
+       CAST(n_seqs * s.seq_budget - total_tokens AS BIGINT) AS pad_tokens,
+       CAST(((n_seqs * s.seq_budget - total_tokens) * 10000)
+            // (n_seqs * s.seq_budget) AS BIGINT) AS pad_bp,
+       sp.n_split_docs
+FROM sizing s JOIN splits sp ON s.seq_budget = sp.seq_budget
+"""
+
+
+ORACLE_PACKING_EFFICIENCY = _packing_efficiency_oracle()
+
+
 QUERIES = [
+    ("packing_efficiency", q_packing_efficiency, ORACLE_PACKING_EFFICIENCY,
+     "Sequence-budget sweep: sequences, tail padding, and boundary-"
+     "split doc counts per candidate budget (one cumsum window + a "
+     "4-row broadcast sweep — the packing-config decision table)."),
     ("docs_length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS,
      "Equal-frequency length-bucketed curriculum (broadcast percentile "
      "boundaries, map-side assignment — no global sort)."),

@@ -453,7 +453,92 @@ FROM cnt GROUP BY freq
 """
 
 
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve — "what fraction of corpus tokens does a
+# size-K vocabulary cover?" for a sweep of K: the sizing table behind
+# every vocab-budget decision (vocab_oov evaluates ONE K; this plots
+# the knee).  Scale shape: one tokenize → word counts (map-side
+# partial agg) → TakeOrdered top-max(K) (never a global sort) → the
+# curve is computed on that max(K)-row table (a post-limit window
+# over ≤64 rows) against a broadcast 1-row corpus total.
+VOCAB_CURVE_KS = (8, 16, 32, 64)
+
+
+def vocab_coverage_curve(docs: DataFrame,
+                         ks: tuple = VOCAB_CURVE_KS) -> DataFrame:
+    """(k, vocab_tokens, total_tokens, coverage_bp) per sweep point."""
+    from pyspark.sql import Window
+
+    wc = (
+        spread(docs)
+        .select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # feeds the top-K AND the total
+    )
+    top = wc.orderBy(F.col("n").desc(), "word").limit(max(ks))
+    # rank over the ≤max(ks)-row post-limit table (documented-tiny
+    # unpartitioned window, same class as the winsorize thresholds)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), "word")
+        )
+    )
+    total = wc.agg(F.sum("n").alias("total_tokens"))
+    ks_df = docs.sparkSession.createDataFrame(
+        [(k,) for k in ks], "k long"
+    )
+    return (
+        F.broadcast(ks_df)
+        .join(ranked, F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("vocab_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k", "vocab_tokens", "total_tokens",
+            F.expr("(vocab_tokens * 10000) DIV total_tokens")
+            .alias("coverage_bp"),
+        )
+    )
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage_curve(table(spark, sf_dir, "documents"))
+
+
+def _coverage_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in VOCAB_CURVE_KS)
+    return f"""
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              w -> w <> '')) AS word
+    FROM documents
+),
+cnt AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+    FROM cnt
+),
+ks(k) AS (VALUES {ks}),
+total AS (SELECT sum(n) AS total_tokens FROM cnt)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(r.n) AS BIGINT) AS vocab_tokens,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST((sum(r.n) * 10000) // total_tokens AS BIGINT) AS coverage_bp
+FROM ks JOIN ranked r ON r.rank <= ks.k
+CROSS JOIN total
+GROUP BY k, total_tokens
+"""
+
+
+ORACLE_COVERAGE_CURVE = _coverage_oracle()
+
+
 QUERIES = [
+    ("vocab_coverage_curve", q_vocab_coverage_curve, ORACLE_COVERAGE_CURVE,
+     "Token-coverage vs vocabulary-size sweep (the vocab-budget knee "
+     "plot): TakeOrdered top-K word table, post-limit rank, broadcast "
+     "total — no global sort at any size."),
     ("vocab_freq_spectrum", q_freq_spectrum, ORACLE_FREQ_SPECTRUM,
      "Word-frequency spectrum (count-of-counts): types and token mass "
      "per occurrence frequency — the Good-Turing / Heaps-law profile "
