@@ -481,7 +481,108 @@ FROM deg d LEFT JOIN per_node p USING (node)
 """
 
 
+# --------------------------------------------------------------------------
+# Label propagation (synchronous LPA, Raghavan et al. 2007) — the
+# cheap community detector: each node adopts the majority label of
+# its neighbors each round.  Where connected components answer "what
+# is transitively linked", LPA finds DENSE regions inside a component
+# — e.g. one boilerplate family inside a loosely-bridged near-dup
+# blob.  Fixed K rounds (deterministic regardless of convergence);
+# ties break (count desc, label asc) via max(struct(cnt, -label)) —
+# an aggregate, never a per-node sort.  Scale shape = the pagerank
+# loop: the symmetrized edge table is hash-partitioned and persisted
+# once, only the label table moves per round; per-round driver
+# traffic is zero (no convergence test — fixed K).
+LPA_ITERS = 3
+
+
+def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
+    """(node, community, community_size) after ``n_iter`` synchronous
+    majority-vote rounds; initial label = node id."""
+    edges = edges.localCheckpoint(eager=False)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    sym = sym.repartition(n_part, "dst").persist()
+    labels = sym.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(F.max(F.struct(
+                F.col("cnt"), (-F.col("label")).alias("neg")
+            )).alias("m"))
+            .select(
+                F.col("src").alias("node"),
+                (-F.col("m.neg")).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = lsh_near_dup(
+        table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return label_propagation(edges).withColumnRenamed("node", "doc_id")
+
+
+def _lpa_oracle() -> str:
+    rounds = "".join(
+        f""",
+v{i} AS (
+    SELECT sym.src, l{i}.label, count(*) AS cnt
+    FROM sym JOIN l{i} ON l{i}.node = sym.dst
+    GROUP BY 1, 2
+),
+l{i + 1} AS MATERIALIZED (
+    SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{i}
+    ) WHERE rn = 1
+)"""
+        for i in range(LPA_ITERS)
+    )
+    return f"""
+WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
+sym AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes){rounds},
+sizes AS (
+    SELECT label, count(*) AS community_size
+    FROM l{LPA_ITERS} GROUP BY label
+)
+SELECT l.node AS doc_id,
+       CAST(l.label AS BIGINT) AS community,
+       CAST(s.community_size AS BIGINT) AS community_size
+FROM l{LPA_ITERS} l JOIN sizes s USING (label)
+"""
+
+
+ORACLE_LPA = _lpa_oracle()
+
+
 QUERIES = [
+    ("dedup_communities_lpa", q_label_propagation, ORACLE_LPA,
+     "Synchronous label-propagation communities over the near-dup "
+     "graph (fixed-K majority rounds, edges partitioned once, only "
+     "labels move; ties by (count desc, label asc) via max(struct))."),
     ("dedup_triangles", q_triangle_counts, ORACLE_TRIANGLES,
      "Per-node triangle count + clustering coefficient over the "
      "near-dup graph (canonical wedge join, two shuffles)."),

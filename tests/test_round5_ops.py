@@ -116,6 +116,82 @@ def test_source_overlap_kmv_exact_when_k_covers_union(spark):
     assert got[("a", "c")][1] == 0         # disjoint stays disjoint
 
 
+def test_label_propagation_matches_pure_python(spark):
+    """Fixed-K synchronous LPA on a planted two-clique graph must
+    equal an independent pure-Python run of the same contract
+    (majority vote, ties (count desc, label asc))."""
+    from collections import Counter, defaultdict
+
+    from grpc_map_reduce_spark.operators.clustering import (
+        LPA_ITERS,
+        label_propagation,
+    )
+
+    cliques = [[1, 2, 3, 4], [11, 12, 13, 14, 15]]
+    edges = [(a, b) for c in cliques for a in c for b in c if a < b]
+    edges.append((4, 11))  # one bridge — communities must still split
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for n, nbrs in adj.items():
+            votes = Counter(labels[v] for v in nbrs)
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    sizes = Counter(labels.values())
+    want = {n: (l, sizes[l]) for n, l in labels.items()}
+
+    got = {
+        r.node: (r.community, r.community_size)
+        for r in label_propagation(df).collect()
+    }
+    assert got == want
+    # the bridge must not merge the cliques into one community
+    assert len({c for c, _ in got.values()}) >= 2
+
+
+def test_peak_concurrency_matches_pure_python_sweep(spark, sf_dir):
+    """The two-phase prefix sum must equal a single-threaded
+    sweep-line over the full sorted delta stream."""
+    from collections import defaultdict
+
+    from grpc_map_reduce_spark.operators.timeseries import (
+        CONC_WINDOW_S,
+        peak_concurrency,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    events = table(spark, sf_dir, "events")
+    got = {
+        r.hour: (r.peak_concurrency, r.n_starts)
+        for r in peak_concurrency(events).collect()
+    }
+
+    import datetime
+
+    ts = [r.ts for r in events.select("ts").collect()]
+    deltas = [(t, 1) for t in ts] + [
+        (t + datetime.timedelta(seconds=CONC_WINDOW_S), -1) for t in ts
+    ]
+    deltas.sort()
+    run = 0
+    peak: dict = {}
+    starts: dict = defaultdict(int)
+    for t, d in deltas:
+        run += d
+        h = t.replace(minute=0, second=0, microsecond=0)
+        peak[h] = max(peak.get(h, run), run)
+        if d == 1:
+            starts[h] += 1
+    want = {h: (peak[h], starts.get(h, 0)) for h in peak}
+    assert got == want
+
+
 def test_embedding_near_dup_block_guard_trips(spark):
     """A block bigger than max_block_rows must raise with sizing
     guidance instead of letting the O(rows²) kernel OOM the task."""
