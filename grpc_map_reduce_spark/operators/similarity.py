@@ -1293,9 +1293,9 @@ INT8_NQ = 8  # registered query set: vec_id < 8, as the float baseline
 
 
 def int8_quantize(vectors: DataFrame, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(id, qvec): unit-normalized, Q7-quantized vectors — pure
-    column math, map-only, whole-stage codegen."""
+                  vec_col: str = "embedding", keep: tuple = ()) -> DataFrame:
+    """(id, qvec, *keep): unit-normalized, Q7-quantized vectors —
+    pure column math, map-only, whole-stage codegen."""
     x = F.col(vec_col)
     norm = F.sqrt(F.aggregate(
         x, F.lit(0.0),
@@ -1305,7 +1305,7 @@ def int8_quantize(vectors: DataFrame, id_col: str = "vec_id",
         x, lambda v: F.round(v.cast("double") / norm * INT8_SCALE).cast("long")
     )
     return vectors.select(F.col(id_col).cast("long").alias("id"),
-                          q.alias("qvec"))
+                          q.alias("qvec"), *keep)
 
 
 def int8_topk(corpus: DataFrame, queries: DataFrame, k: int = INT8_TOPK,

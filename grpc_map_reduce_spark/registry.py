@@ -87,6 +87,7 @@ def _register_more() -> None:
     the reference-parity core above stays readable)."""
     from grpc_map_reduce_spark.operators import (
         basket,
+        classifier,
         clustering,
         data_quality,
         dedup,
@@ -116,6 +117,6 @@ def _register_more() -> None:
                 similarity, text_analysis, multimodal, map_reduce, skew,
                 retrieval, sketches, sampling, pipeline, packing, sql_api,
                 udf_surface, quality_filters, vocab, web, lang_id,
-                data_quality, timeseries, basket):
+                data_quality, timeseries, basket, classifier):
         for name, spark_fn, oracle, doc in getattr(mod, "QUERIES", ()):
             register(name, spark_fn, oracle, doc)

@@ -192,6 +192,57 @@ def test_peak_concurrency_matches_pure_python_sweep(spark, sf_dir):
     assert got == want
 
 
+def test_centroid_classifier_learns_and_matches_pure_python(spark, sf_dir):
+    """The in-engine nearest-centroid classifier must (a) reproduce an
+    independent pure-Python training run exactly (quantize → class
+    sums → cleared-denominator margins) and (b) actually learn —
+    accuracy above the majority-class baseline on the label-0-vs-1
+    problem."""
+    import math
+
+    from grpc_map_reduce_spark.operators.classifier import centroid_classifier
+    from grpc_map_reduce_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.filter("label IN (0, 1)").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    data = []
+    for r in rows:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in r.embedding))
+        q = tuple(round(float(x) / nrm * 127) for x in r.embedding)
+        data.append((r.vec_id, r.label, q))
+    A = [x for _, l, x in data if l == 0]
+    B = [x for _, l, x in data if l == 1]
+    na, nb = len(A), len(B)
+    dims = len(data[0][2])
+    sa = [sum(v[j] for v in A) for j in range(dims)]
+    sb = [sum(v[j] for v in B) for j in range(dims)]
+    saa = sum(a * a for a in sa)
+    sbb = sum(b * b for b in sb)
+    scale = na * na * nb * nb
+
+    want = {}
+    for vid, lab, x in data:
+        xsa = sum(a * b for a, b in zip(x, sa))
+        xsb = sum(a * b for a, b in zip(x, sb))
+        m = (2 * xsa * na * nb * nb - saa * nb * nb
+             - 2 * xsb * nb * na * na + sbb * na * na)
+        ms = -((-m) // scale) if m < 0 else m // scale
+        pred = 0 if m > 0 else 1
+        want[vid] = (ms, pred, lab, pred == lab)
+
+    got = {
+        r.vec_id: (r.margin_scaled, r.pred_label, r.true_label, r.correct)
+        for r in centroid_classifier(emb).collect()
+    }
+    assert got == want
+
+    acc = sum(1 for v in got.values() if v[3]) / len(got)
+    majority = max(na, nb) / (na + nb)
+    assert acc > majority + 0.1, (acc, majority)
+
+
 def test_embedding_near_dup_block_guard_trips(spark):
     """A block bigger than max_block_rows must raise with sizing
     guidance instead of letting the O(rows²) kernel OOM the task."""
