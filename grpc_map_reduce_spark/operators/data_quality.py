@@ -537,7 +537,119 @@ WHERE n_pos > 0 AND n_neg > 0
 ORACLE_QUALITY_AUC = _auc_oracle()
 
 
+# --------------------------------------------------------------------------
+# Population Stability Index — the standard drift monitor: how far
+# each source's quality-score distribution sits from the corpus-wide
+# reference, PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over fixed-width score
+# buckets (rule of thumb: <0.10 stable, 0.10–0.25 shifting, >0.25
+# drifted).  The corpus-ops use: a crawl source whose profile drifts
+# between snapshots gets re-weighted or quarantined before training.
+#
+# Scale: one map-only binned pass → (source, bin) counts (the only
+# corpus-sized aggregate) → the 10-row reference and the per-source
+# PSI fold are bucket-domain-sized; missing cells materialize via a
+# sources×bins cross join (tiny) so smoothing sees every bucket.
+# Numerics: counts exact ints; the only floats are the final 10-term
+# smoothed fold per source, mirrored shape-for-shape (the tfidf log
+# precedent), emitted as round(·×10⁶).
+PSI_BINS = 10
+PSI_SMOOTH = 0.5  # add-half per bucket: keeps empty cells finite
+
+
+def source_quality_psi(docs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """(source, n_docs, psi_e6) — per-source PSI of the stop_bp score
+    distribution against the whole-corpus reference."""
+    from grpc_map_reduce_spark.operators.text_analysis import quality_scores
+
+    width = 10000 // bins
+    binned = (
+        quality_scores(docs, keep=("source",))
+        .filter(F.col("stop_bp").isNotNull())
+        .select(
+            "source",
+            F.least(F.expr(f"stop_bp DIV {width}"), F.lit(bins - 1))
+            .alias("bin"),
+        )
+    )
+    # pin the reduced (source, bin) counts: THREE consumers (source
+    # totals, reference, grid) would otherwise each re-run the corpus
+    # scoring scan
+    cnt = (
+        binned.groupBy("source", "bin").agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
+    ref = cnt.groupBy("bin").agg(F.sum("c").alias("cb"))
+    total = ref.agg(F.sum("cb").alias("n_all"))
+    grid = (
+        srcs.crossJoin(F.broadcast(ref))
+        .join(cnt, ["source", "bin"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_src",
+            (F.coalesce("c", F.lit(0)) + PSI_SMOOTH).alias("pc"),
+            (F.col("cb") + PSI_SMOOTH).alias("qc"),
+            (F.col("n_src") + PSI_SMOOTH * bins).alias("pd"),
+            (F.col("n_all") + PSI_SMOOTH * bins).alias("qd"),
+        )
+    )
+    p = F.col("pc") / F.col("pd")
+    q = F.col("qc") / F.col("qd")
+    term = (p - q) * F.log(p / q)
+    return grid.groupBy("source").agg(
+        F.max("n_src").cast("long").alias("n_docs"),
+        F.round(F.sum(term) * 1000000).cast("long").alias("psi_e6"),
+    )
+
+
+def q_source_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_quality_psi(table(spark, sf_dir, "documents"))
+
+
+def _psi_oracle() -> str:
+    from grpc_map_reduce_spark.operators.text_analysis import ORACLE_QUALITY
+
+    width = 10000 // PSI_BINS
+    s = PSI_SMOOTH
+    return f"""
+WITH q AS ({ORACLE_QUALITY}),
+binned AS (
+    SELECT d.source,
+           least(q.stop_bp // {width}, {PSI_BINS - 1}) AS bin
+    FROM q JOIN documents d USING (doc_id)
+    WHERE q.stop_bp IS NOT NULL
+),
+cnt AS (SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+srcs AS (SELECT source, sum(c) AS n_src FROM cnt GROUP BY source),
+ref AS (SELECT bin, sum(c) AS cb FROM cnt GROUP BY bin),
+total AS (SELECT sum(cb) AS n_all FROM ref),
+grid AS (
+    SELECT s.source, s.n_src,
+           coalesce(c.c, 0) + {s} AS pc,
+           r.cb + {s}             AS qc,
+           s.n_src + {s * PSI_BINS} AS pd,
+           t.n_all + {s * PSI_BINS} AS qd
+    FROM srcs s CROSS JOIN ref r
+    LEFT JOIN cnt c ON c.source = s.source AND c.bin = r.bin
+    CROSS JOIN total t
+)
+SELECT source,
+       CAST(max(n_src) AS BIGINT) AS n_docs,
+       CAST(round(sum((pc / pd - qc / qd) * ln((pc / pd) / (qc / qd)))
+                  * 1000000) AS BIGINT) AS psi_e6
+FROM grid GROUP BY source
+"""
+
+
+ORACLE_SOURCE_PSI = _psi_oracle()
+
+
 QUERIES = [
+    ("source_quality_psi", q_source_quality_psi, ORACLE_SOURCE_PSI,
+     "Per-source Population Stability Index of the quality-score "
+     "distribution vs the corpus reference — the drift monitor that "
+     "decides re-weighting/quarantine (one binned pass; the PSI fold "
+     "is bucket-domain-sized)."),
     ("quality_calibration", q_quality_calibration,
      ORACLE_QUALITY_CALIBRATION,
      "Reliability diagram of the en-ness score: observed lang=='en' "

@@ -255,7 +255,96 @@ FROM h
 ORACLE_TRAINING_PREP = _training_prep_oracle()
 
 
+# --------------------------------------------------------------------------
+# Dedup rule attribution — the ops question after any dedup run:
+# WHICH rule flags each document, and how do the rules overlap?
+# Three independent flag passes over the full corpus (exact-text dup,
+# canonical-URL dup, near-dup non-canonical) joined doc-wise into the
+# 2³ Venn breakdown.  Overlap drives real decisions: a URL-dup that
+# is NOT an exact dup is a re-render (template drift); a near-dup that
+# is neither is paraphrase-level; "all three" is a straight mirror.
+# Rules run on the FULL corpus (attribution semantics — not the
+# sequential waterfall, whose later stages see survivors only), so
+# each rule's oracle fragment composes unchanged.
+#
+# Scale: exact flag = one text-keyed window; URL flag = one
+# canon_url-keyed window; near-dup flag = the LSH→CC→quality chain
+# (sub-quadratic, clustering.canonical_docs); the final joins are all
+# doc-keyed, the output is 8 rows.
+
+
+def dedup_rule_attribution(docs: DataFrame) -> DataFrame:
+    """(exact_dup, url_dup, near_dup, n_docs) — the Venn-cell counts
+    of the three dedup rules over the full corpus."""
+    from grpc_map_reduce_spark.operators.clustering import canonical_docs
+    from grpc_map_reduce_spark.operators.web import url_dedup
+
+    wt = Window.partitionBy("text")
+    exact = docs.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(wt)).alias("exact_dup"),
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Articles/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("?id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_source=feed&utm_campaign=c"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#section-"), (F.col("doc_id") % 4).cast("string"),
+    )
+    urls = url_dedup(docs.select("doc_id", url.alias("url")), "url") \
+        .select("doc_id", F.col("is_dup").alias("url_dup"))
+    near = canonical_docs(docs).select(
+        "doc_id", (~F.col("is_canonical")).alias("near_dup")
+    )
+    return (
+        exact.join(urls, "doc_id").join(near, "doc_id")
+        .groupBy("exact_dup", "url_dup", "near_dup")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_rule_attribution(table(spark, sf_dir, "documents"))
+
+
+def _rule_attribution_oracle() -> str:
+    from grpc_map_reduce_spark.operators.clustering import (
+        ORACLE_DEDUP_CANONICAL,
+    )
+    from grpc_map_reduce_spark.operators.web import ORACLE_URL_DEDUP
+
+    # compose the existing per-rule oracles verbatim as subqueries —
+    # the attribution is checked against the same fragments that
+    # hash-check each rule on its own
+    return f"""
+WITH exact AS (
+    SELECT doc_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY text) AS exact_dup
+    FROM documents
+),
+urls AS (
+    SELECT doc_id, is_dup AS url_dup FROM ({ORACLE_URL_DEDUP})
+),
+near AS (
+    SELECT doc_id, NOT is_canonical AS near_dup
+    FROM ({ORACLE_DEDUP_CANONICAL})
+)
+SELECT e.exact_dup, u.url_dup, n.near_dup, count(*) AS n_docs
+FROM exact e JOIN urls u USING (doc_id) JOIN near n USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_RULE_ATTRIBUTION = _rule_attribution_oracle()
+
+
 QUERIES = [
+    ("dedup_rule_attribution", q_rule_attribution, ORACLE_RULE_ATTRIBUTION,
+     "Dedup Venn breakdown: exact-text x canonical-URL x near-dup "
+     "flags per doc, aggregated to the 8 overlap cells — each rule's "
+     "oracle fragment composes verbatim."),
     ("pipeline_corpus_prep", q_corpus_prep, ORACLE_CORPUS_PREP,
      "Composed corpus-prep pipeline: exact dedup -> quality filter -> "
      "stratified sample, one fused plan."),

@@ -243,6 +243,23 @@ def test_centroid_classifier_learns_and_matches_pure_python(spark, sf_dir):
     assert acc > majority + 0.1, (acc, majority)
 
 
+def test_psi_detects_planted_drift(spark):
+    """A minority source with a shifted score distribution must show a
+    much larger PSI than a majority source that IS the reference."""
+    from grpc_map_reduce_spark.operators.data_quality import source_quality_psi
+
+    rows = []
+    for i in range(90):  # majority: stopword-rich English-ish
+        rows.append((i, "en", "steady", "the cat sat on the mat with a dog"))
+    for i in range(90, 100):  # minority: stopword-free — shifted bins
+        rows.append((i, "xx", "drifted", "zyx wvu tsr qpo nml kji hgf edc"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    psi = {r.source: r.psi_e6 for r in source_quality_psi(docs).collect()}
+    assert psi["drifted"] > 10 * max(psi["steady"], 1), psi
+
+
 def test_embedding_near_dup_block_guard_trips(spark):
     """A block bigger than max_block_rows must raise with sizing
     guidance instead of letting the O(rows²) kernel OOM the task."""
