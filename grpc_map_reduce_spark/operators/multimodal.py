@@ -874,6 +874,87 @@ def audio_spectrogram(media_df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# Audio downsampling — the rate-conversion step every audio pipeline
+# runs before feature extraction (16 kHz mono is the ASR/codec
+# lingua franca).  Integer decimation by 2 with a 2-tap mean
+# anti-aliasing filter: out[i] = (s[2i] + s[2i+1]) DIV 2 on the
+# unsigned byte domain — exact integer math, so the resampled wave,
+# its re-encoded WAV container, and the decoded-again samples all
+# hash-check (the audio analog of the PNG resize round trip).
+AUDIO_DECIM = 2
+
+
+def downsample_audio(media_df: DataFrame,
+                     factor: int = AUDIO_DECIM) -> DataFrame:
+    """(doc_id, n_samples, rate, wave_md5): decimate PCM by ``factor``
+    (block mean), re-encode as a real WAV at rate/factor, decode
+    again, and hash the round-tripped samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "n_samples": [], "rate": [], "wave_md5": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_meta"]
+            ):
+                raw = _decode(payload, meta["format"])
+                s = np.frombuffer(raw, np.uint8).astype(np.int64)
+                n = (len(s) // factor) * factor
+                blocks = s[:n].reshape(-1, factor)
+                out = (blocks.sum(axis=1) // factor).astype(np.uint8)
+                wav = encode_wav(WAV_RATE // factor, 1, 8, out.tobytes())
+                back = decode_wav(wav)[3]
+                import hashlib
+
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(back))
+                rows["rate"].append(WAV_RATE // factor)
+                rows["wave_md5"].append(hashlib.md5(back).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches,
+        schema="doc_id long, n_samples long, rate long, wave_md5 string",
+    )
+
+
+def q_multimodal_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return downsample_audio(
+        attach_wav_media(docs.repartition(n_part, "doc_id"))
+    )
+
+
+# Oracle: block means on character codes; the decimated bytes stay in
+# the source's ASCII range (means of ASCII bytes), so md5 over the
+# chr() string equals md5 over the bytes.
+ORACLE_AUDIO_DOWNSAMPLE = f"""
+WITH pix AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {WAV_N}), {WAV_N}, ' ') AS p
+    FROM documents
+),
+wave AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(0, {WAV_N // AUDIO_DECIM}), i ->
+                   chr(CAST((ascii(substr(p, i * {AUDIO_DECIM} + 1, 1))
+                             + ascii(substr(p, i * {AUDIO_DECIM} + 2, 1)))
+                            // {AUDIO_DECIM} AS INTEGER))),
+               '') AS w
+    FROM pix
+)
+SELECT doc_id,
+       CAST({WAV_N // AUDIO_DECIM} AS BIGINT) AS n_samples,
+       CAST({WAV_RATE // AUDIO_DECIM} AS BIGINT) AS rate,
+       md5(w) AS wave_md5
+FROM wave
+"""
+
+
 def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
@@ -1108,6 +1189,11 @@ QUERIES = [
      "hflip → darken) through the REAL PNG codec twice — decode, "
      "pixel ops, re-encode, re-decode — md5-witnessed against pure "
      "character arithmetic."),
+    ("multimodal_audio_downsample", q_multimodal_downsample,
+     ORACLE_AUDIO_DOWNSAMPLE,
+     "E4 multimodal: integer audio rate conversion — decimate-by-2 "
+     "with block-mean anti-aliasing, re-encode as a real WAV at the "
+     "halved rate, decode again, md5-witness the round trip."),
     ("multimodal_wav_features", q_multimodal_wav_features, ORACLE_WAV_FEATURES,
      "E4 multimodal: real audio — RIFF/PCM WAV encode→parse round "
      "trip with integer signal features (energy, peak, zero "
