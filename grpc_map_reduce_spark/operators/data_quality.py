@@ -556,13 +556,15 @@ PSI_BINS = 10
 PSI_SMOOTH = 0.5  # add-half per bucket: keeps empty cells finite
 
 
-def source_quality_psi(docs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
-    """(source, n_docs, psi_e6) — per-source PSI of the stop_bp score
-    distribution against the whole-corpus reference."""
+def quality_bin_counts(docs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """(source, bin, c): the binned quality-score histogram — the
+    mergeable sufficient statistic of the PSI (plain counts, so
+    per-shard/per-micro-batch histograms sum into the corpus one;
+    streaming/drift.py maintains exactly this table incrementally)."""
     from grpc_map_reduce_spark.operators.text_analysis import quality_scores
 
     width = 10000 // bins
-    binned = (
+    return (
         quality_scores(docs, keep=("source",))
         .filter(F.col("stop_bp").isNotNull())
         .select(
@@ -570,14 +572,25 @@ def source_quality_psi(docs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
             F.least(F.expr(f"stop_bp DIV {width}"), F.lit(bins - 1))
             .alias("bin"),
         )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
     )
+
+
+def source_quality_psi(docs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """(source, n_docs, psi_e6) — per-source PSI of the stop_bp score
+    distribution against the whole-corpus reference."""
     # pin the reduced (source, bin) counts: THREE consumers (source
     # totals, reference, grid) would otherwise each re-run the corpus
     # scoring scan
-    cnt = (
-        binned.groupBy("source", "bin").agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+    return psi_from_counts(
+        quality_bin_counts(docs, bins).localCheckpoint(eager=False), bins
     )
+
+
+def psi_from_counts(cnt: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """The PSI fold over a ``(source, bin, c)`` histogram — shared by
+    the batch operator and the streaming maintainer's serving view."""
     srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
     ref = cnt.groupBy("bin").agg(F.sum("c").alias("cb"))
     total = ref.agg(F.sum("cb").alias("n_all"))

@@ -260,6 +260,76 @@ def test_psi_detects_planted_drift(spark):
     assert psi["drifted"] > 10 * max(psi["steady"], 1), psi
 
 
+# --------------------------------------------------------------------------
+# Plan gates + invariants for the round-5 shapes
+
+
+def test_vocab_oov_single_tokenize_plan(spark, sf_dir):
+    """The registered vocab_oov must read the PINNED (doc_id, word,
+    tf) table in both consumers — no parquet re-scan, no second
+    tokenize, no distinct expand (VERDICT r4 item 2)."""
+    from grpc_map_reduce_spark import registry
+    from grpc_map_reduce_spark.plans.audit import explain_str
+
+    df = registry.all_queries()["vocab_oov"].spark_fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Scan parquet" not in plan, "consumers must read the checkpoint"
+    assert plan.count("Scan ExistingRDD") >= 2  # vocab side + probe side
+    assert "Expand" not in plan, "no two-phase distinct (tf is unique)"
+
+
+def test_peak_concurrency_no_global_sort(spark, sf_dir):
+    """The two-phase prefix sum must never range-partition the delta
+    stream (that would be the single-ordering trap it exists to
+    avoid); the only unpartitioned window is the hour-domain carry."""
+    from grpc_map_reduce_spark import registry
+    from grpc_map_reduce_spark.plans.audit import explain_str
+
+    df = registry.all_queries()["events_peak_concurrency"].spark_fn(
+        spark, sf_dir
+    )
+    assert "rangepartitioning" not in explain_str(df).lower()
+
+
+def test_packing_efficiency_invariants(spark, sf_dir):
+    """Accounting identities: n_seqs·B == total + pad, 0 <= pad_bp <
+    10000, and more/smaller sequences as the budget shrinks."""
+    from grpc_map_reduce_spark import registry
+
+    rows = registry.all_queries()["packing_efficiency"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 4
+    by_budget = {}
+    for r in rows:
+        assert r.n_seqs * r.seq_budget == r.total_tokens + r.pad_tokens
+        assert 0 <= r.pad_bp < 10000
+        assert 0 <= r.n_split_docs
+        by_budget[r.seq_budget] = r.n_seqs
+    budgets = sorted(by_budget)
+    for small, big in zip(budgets, budgets[1:]):
+        assert by_budget[small] >= by_budget[big]
+
+
+def test_vocab_coverage_curve_monotone(spark, sf_dir):
+    """Coverage must be non-decreasing in vocabulary size and bounded
+    by 100%."""
+    from grpc_map_reduce_spark import registry
+
+    rows = sorted(
+        registry.all_queries()["vocab_coverage_curve"].spark_fn(
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.k,
+    )
+    prev = -1
+    for r in rows:
+        assert 0 <= r.coverage_bp <= 10000
+        assert r.coverage_bp >= prev
+        assert r.vocab_tokens <= r.total_tokens
+        prev = r.coverage_bp
+
+
 def test_embedding_near_dup_block_guard_trips(spark):
     """A block bigger than max_block_rows must raise with sizing
     guidance instead of letting the O(rows²) kernel OOM the task."""

@@ -327,6 +327,37 @@ def test_incremental_minute_rollup_matches_batch_and_replays(spark, sf_dir, tmp_
     assert key(serve_minute_rollup(spark, delta)) == key(batch)
 
 
+def test_streaming_psi_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """The continuously-maintained drift monitor must equal the batch
+    PSI of the same documents after a multi-micro-batch replay, and a
+    restart against the same checkpoint must not change it."""
+    from grpc_map_reduce_spark.operators.data_quality import source_quality_psi
+    from grpc_map_reduce_spark.streaming.drift import (
+        incremental_quality_bins,
+        read_docs_stream,
+        serve_source_psi,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "psi_docs")
+    docs.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+    delta = str(tmp_path / "psi_delta")
+    ckpt = str(tmp_path / "psi_ckpt")
+
+    stream = read_docs_stream(spark, src, max_files_per_trigger=1)
+    incremental_quality_bins(stream, delta, ckpt)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    want = key(source_quality_psi(docs))
+    assert key(serve_source_psi(spark, delta)) == want and len(want) > 0
+
+    # restart on the same checkpoint: nothing new, result unchanged
+    incremental_quality_bins(
+        read_docs_stream(spark, src, max_files_per_trigger=1), delta, ckpt
+    )
+    assert key(serve_source_psi(spark, delta)) == want
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     """The incoming split streamed file-by-file against the static
     corpus index must produce exactly the batch cross-side scored
