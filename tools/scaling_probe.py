@@ -57,7 +57,13 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # whose super-linear risk was argued in comments but never
           # measured
           "pagerank_neardup", "dedup_triangles", "orders_market_basket",
-          "phrase_search"]
+          "phrase_search",
+          # round-5 additions with non-obvious scaling: the LPA loop
+          # (label joins per round), the KMV pair probe (sketch-sized
+          # by construction — should be FLAT), and the composed
+          # three-rule attribution (windows + the full LSH chain)
+          "dedup_communities_lpa", "source_overlap_kmv",
+          "dedup_rule_attribution"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
