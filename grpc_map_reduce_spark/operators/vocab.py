@@ -340,6 +340,85 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(table(spark, sf_dir, "documents"))
 
 
+# -- DuckDB replay of the merge loop -----------------------------------
+# Long assumed non-SQL-expressible (registered rows-only in rounds
+# 2–4); it is not: each round is ordinary SQL — a pair-count GROUP BY,
+# an argmax LIMIT 1, and a vocabulary rewrite where the greedy
+# left-to-right merge of one pair is a LIST FOLD (list_reduce over the
+# symbol list: merge the accumulator's tail with the next symbol when
+# they match the round's pair, else append — provably equivalent to
+# the scanning loop, and pinned against it by test_bpe.py's
+# pure-Python gate).  Unrolling BPE_MERGES rounds as CTE stages (the
+# pagerank/LPA oracle pattern) makes the whole trainer replayable.
+# ``g{r}`` wraps each argmax as max() so an exhausted pair table
+# yields a NULL row (merge condition false → vocab unchanged), exactly
+# the Python loop's early break.
+
+
+def _fold_sql(r: int) -> str:
+    """The greedy one-pair merge of round ``r`` as a list fold over a
+    ``syms`` column (g{r} must be cross-joined into scope)."""
+    return f"""
+            list_reduce(
+                list_transform(syms, s -> [s]),
+                (acc, sl) -> CASE
+                    WHEN len(acc) > 0 AND acc[len(acc)] = g{r}.l
+                         AND sl[1] = g{r}.rgt
+                    THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                     g{r}.l || g{r}.rgt)
+                    ELSE list_concat(acc, sl) END
+            )"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    """CTE stages for merge round ``r`` (reads v{r-1}, emits v{r})."""
+    fold = _fold_sql(r)
+    return f"""
+p{r} AS (
+    SELECT l, rgt, sum(n) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS l,
+               unnest(list_transform(range(1, len(syms)), i -> syms[i + 1]))
+                   AS rgt,
+               n
+        FROM v{r - 1}
+    ) GROUP BY 1, 2
+),
+m{r} AS (SELECT l, rgt, cnt FROM p{r} ORDER BY cnt DESC, l, rgt LIMIT 1),
+g{r} AS (SELECT max(l) AS l, max(rgt) AS rgt FROM m{r}),
+v{r} AS MATERIALIZED (
+    SELECT syms, sum(n) AS n FROM (
+        SELECT {fold} AS syms, n
+        FROM v{r - 1} CROSS JOIN g{r}
+    ) GROUP BY syms
+)"""
+
+
+_BPE_V0_SQL = """
+toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              w -> w <> '')) AS word
+    FROM documents
+),
+v0 AS MATERIALIZED (
+    SELECT string_split(word, '') AS syms, count(*) AS n
+    FROM toks GROUP BY word
+)"""
+
+
+def _bpe_merges_oracle(n_merges: int = BPE_MERGES) -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, n_merges + 1))
+    out = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, l AS \"left\", rgt AS \"right\","
+        f" l || rgt AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_BPE_V0_SQL},{rounds}\n{out}"
+
+
+ORACLE_BPE_MERGES = _bpe_merges_oracle()
+
+
 def _word_counts(tf: DataFrame) -> DataFrame:
     """(word, n) corpus frequency table off the shared
     ``(doc_id, word, tf)`` pass."""
@@ -407,6 +486,41 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (was: two independent corpus tokenizes)
     tf = doc_term_freqs(table(spark, sf_dir, "documents"))
     return bpe_encode_stats(tf, bpe_merges_from_counts(_word_counts(tf)))
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Replay training (the merge-round chain) AND encoding: each
+    distinct corpus word runs through the same g1..gK folds the
+    trainer produced; per-doc totals weight by term frequency —
+    upgrading vocab_bpe_encode from rows-only to a full hash check."""
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, n_merges + 1))
+    enc = ",".join(
+        f"""
+e{r} AS MATERIALIZED (
+    SELECT word, {_fold_sql(r)} AS syms
+    FROM e{r - 1} CROSS JOIN g{r}
+)"""
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_BPE_V0_SQL},{rounds},
+e0 AS (
+    SELECT word, string_split(word, '') AS syms
+    FROM (SELECT DISTINCT word FROM toks)
+),{enc},
+nt AS (SELECT word, len(syms) AS n_t FROM e{n_merges}),
+dtf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT d.doc_id,
+       CAST(sum(d.tf) AS BIGINT) AS n_words,
+       CAST(sum(d.tf * nt.n_t) AS BIGINT) AS n_tokens,
+       CAST((sum(d.tf * nt.n_t) * 10000) // sum(d.tf) AS BIGINT)
+           AS fertility_bp
+FROM dtf d JOIN nt USING (word)
+GROUP BY d.doc_id
+"""
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -546,12 +660,14 @@ QUERIES = [
     ("vocab_oov", q_vocab_oov, ORACLE_VOCAB_OOV,
      "Top-K corpus vocabulary (partial top-K, no global sort) + "
      "per-doc OOV rate via broadcast membership probe."),
-    ("vocab_bpe_merges", q_bpe_merges, None,
+    ("vocab_bpe_merges", q_bpe_merges, ORACLE_BPE_MERGES,
      "BPE tokenizer-merge induction: K rounds of weighted pair "
-     "counting over the word-frequency table (rows-only; exact-match "
-     "gate vs pure-Python BPE in test_bpe.py)."),
-    ("vocab_bpe_encode", q_bpe_encode, None,
+     "counting over the word-frequency table — FULLY hash-checked "
+     "(the oracle unrolls the rounds as CTEs; the greedy merge is a "
+     "list_reduce fold) + exact-match gate vs pure-Python BPE."),
+    ("vocab_bpe_encode", q_bpe_encode, ORACLE_BPE_ENCODE,
      "BPE encode + tokenizer fertility: learned merges applied once "
-     "per unique word, broadcast back onto the word stream (rows-only; "
-     "exact-match gate vs an independent pure-Python encoder)."),
+     "per unique word, broadcast back onto the word stream — FULLY "
+     "hash-checked (the oracle replays training AND encoding as "
+     "unrolled folds) + exact-match gate vs a pure-Python encoder."),
 ]
