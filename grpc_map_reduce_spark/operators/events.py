@@ -815,6 +815,71 @@ QUALIFY rank <= {PATH_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Engagement: DAU / trailing-7-day WAU / stickiness — the activity
+# dashboard every product runs.  The rolling DISTINCT count is the
+# interesting shape: a window can sum but not count-distinct, so the
+# WAU comes from the (day, user) DISTINCT pair table joined onto the
+# day grid with a 0..6-day lag — volume is bounded by days × 7 ×
+# active-users/day (the reduced pair table, never raw events), and
+# the join key is the day, so nothing resembles a global sort.
+def engagement_dau_wau(events: DataFrame) -> DataFrame:
+    """(day, dau, wau, stickiness_bp): daily actives, trailing-7-day
+    actives, and DAU/WAU in basis points.
+
+    The WAU side EXPLODES each (day, user) pair into the 7 window-end
+    days it contributes to and distinct-counts on an equi-shuffle — a
+    day-grid range join would plan as a nested loop replicating the
+    pair table once per grid day; the explode is a flat 7× of the
+    reduced pair table instead."""
+    day_user = (
+        events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+        .localCheckpoint(eager=False)  # feeds DAU and the WAU explode
+    )
+    dau = day_user.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        day_user.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day", "user_id",
+        )
+        .select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.expr("(dau * 10000) DIV wau").alias("stickiness_bp"),
+        )
+    )
+
+
+def q_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engagement_dau_wau(table(spark, sf_dir, "events"))
+
+
+ORACLE_ENGAGEMENT = """
+WITH day_user AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, count(DISTINCT user_id) AS dau FROM day_user GROUP BY day
+),
+wau AS (
+    SELECT d.day, count(DISTINCT p.user_id) AS wau
+    FROM (SELECT DISTINCT day FROM day_user) d
+    JOIN day_user p ON p.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+)
+SELECT day,
+       CAST(dau AS BIGINT) AS dau,
+       CAST(wau AS BIGINT) AS wau,
+       CAST((dau * 10000) // wau AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau USING (day)
+"""
+
+
+# --------------------------------------------------------------------------
 # Marketing attribution — per conversion ('purchase'), which earlier
 # touchpoint ('click'/'view') gets the credit: the FIRST touch in the
 # user's history and the LAST touch before the conversion.  The result
@@ -904,6 +969,10 @@ FROM trans
 
 
 QUERIES = [
+    ("events_engagement", q_engagement, ORACLE_ENGAGEMENT,
+     "DAU / trailing-7-day WAU / stickiness dashboard — the rolling "
+     "distinct count via a bounded day-grid lag join over the reduced "
+     "(day, user) pair table."),
     ("events_attribution", q_attribution, ORACLE_ATTRIBUTION,
      "First/last-touch conversion attribution matrix with exact-cents "
      "revenue — one user_id window over the interleaved stream, no "
