@@ -121,19 +121,22 @@ def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CENTROID = f"""
-WITH qz AS (
+WITH nz AS (
+    SELECT vec_id, label, embedding,
+           sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, t) -> acc + t)) AS nrm
+    FROM embeddings
+    WHERE label IN ({CENTROID_POS}, {CENTROID_NEG})
+),
+qz AS (
     SELECT vec_id, label,
            CASE WHEN label = {CENTROID_POS} THEN 1 ELSE 0 END AS cls,
            list_transform(embedding, v ->
-               CAST(round(CAST(v AS DOUBLE) /
-                    sqrt(list_reduce(
-                        list_prepend(CAST(0.0 AS DOUBLE),
-                            list_transform(embedding,
-                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                        (acc, t) -> acc + t))
-                    * 127) AS BIGINT)) AS qv
-    FROM embeddings
-    WHERE label IN ({CENTROID_POS}, {CENTROID_NEG})
+               CAST(round(CAST(v AS DOUBLE) / nrm * 127) AS BIGINT)) AS qv
+    FROM nz WHERE nrm > 0
 ),
 dim_sums AS (
     SELECT cls, dim, sum(v) AS s

@@ -524,6 +524,11 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    # Materialize the final labels (cuts their lineage back to sym),
+    # then release the cached edge table — without this a long-lived
+    # session leaks sym's cached blocks on every invocation.
+    labels = labels.localCheckpoint()
+    sym.unpersist(blocking=False)
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("community"), "community_size"

@@ -1295,7 +1295,13 @@ INT8_NQ = 8  # registered query set: vec_id < 8, as the float baseline
 def int8_quantize(vectors: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", keep: tuple = ()) -> DataFrame:
     """(id, qvec, *keep): unit-normalized, Q7-quantized vectors —
-    pure column math, map-only, whole-stage codegen."""
+    pure column math, map-only, whole-stage codegen.
+
+    Zero-norm vectors have no direction to quantize: they are DROPPED
+    here, and every DuckDB oracle that mirrors this quantization
+    (ORACLE_INT8_TOPK, classifier.ORACLE_CENTROID) carries the same
+    ``WHERE nrm > 0`` filter so the engines cannot diverge on a
+    degenerate embedding (NaN qvec vs division error)."""
     x = F.col(vec_col)
     norm = F.sqrt(F.aggregate(
         x, F.lit(0.0),
@@ -1304,8 +1310,9 @@ def int8_quantize(vectors: DataFrame, id_col: str = "vec_id",
     q = F.transform(
         x, lambda v: F.round(v.cast("double") / norm * INT8_SCALE).cast("long")
     )
-    return vectors.select(F.col(id_col).cast("long").alias("id"),
-                          q.alias("qvec"), *keep)
+    return (vectors.where(norm > 0)
+            .select(F.col(id_col).cast("long").alias("id"),
+                    q.alias("qvec"), *keep))
 
 
 def int8_topk(corpus: DataFrame, queries: DataFrame, k: int = INT8_TOPK,
@@ -1383,17 +1390,21 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F.aggregate's (so both engines feed IDENTICAL doubles into round) —
 # and everything after quantization is exact integer arithmetic.
 ORACLE_INT8_TOPK = f"""
-WITH qz AS (
+WITH nz AS (
+    SELECT vec_id, embedding,
+           sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, t) -> acc + t)) AS nrm
+    FROM embeddings
+),
+qz AS (
     SELECT vec_id,
            list_transform(embedding, v ->
-               CAST(round(CAST(v AS DOUBLE) /
-                    sqrt(list_reduce(
-                        list_prepend(CAST(0.0 AS DOUBLE),
-                            list_transform(embedding,
-                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                        (acc, t) -> acc + t))
+               CAST(round(CAST(v AS DOUBLE) / nrm
                     * {INT8_SCALE}) AS BIGINT)) AS qv
-    FROM embeddings
+    FROM nz WHERE nrm > 0
 ),
 pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
