@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grpc_map_reduce_spark.operators.dedup import lsh_near_dup, lsh_pairs_sql
+from grpc_map_reduce_spark.operators.dedup import (
+    LSH_MAX_BUCKET_DEFAULT, lsh_near_dup, lsh_pairs_sql)
 from grpc_map_reduce_spark.sources.tables import table
 
 CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 27 LSH edges (was 29 exact)
@@ -148,7 +149,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computes (shared fragment: dedup.lsh_pairs_sql).  (Exponential-ish on
 # dense graphs — fine at the 0.05 threshold's sparse edge set.)
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD)},
+WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
 edges AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -256,7 +257,7 @@ r{i + 1} AS MATERIALIZED (
         for i in range(PAGERANK_ITERS)
     )
     return f"""
-WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
+WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
 sym AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -326,7 +327,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term (bit-identical doubles before the floor); clustering mirrors
 # ORACLE_DEDUP_CLUSTERS.
 ORACLE_DEDUP_CANONICAL = f"""
-WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD)},
+WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
 edges AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -451,7 +452,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRIANGLES = f"""
-WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
+WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
 e AS MATERIALIZED (
     SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
     FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2
@@ -561,7 +562,7 @@ l{i + 1} AS MATERIALIZED (
         for i in range(LPA_ITERS)
     )
     return f"""
-WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD)},
+WITH {lsh_pairs_sql(PAGERANK_EDGE_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
 sym AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION

@@ -324,27 +324,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def minhash_candidates(docs: DataFrame, n: int = 3,
-                       rows_per_band: int = MINHASH_ROWS_PER_BAND,
-                       sets: DataFrame | None = None,
-                       max_bucket: int | None = None) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+#: Hot-band-bucket guard, ON by default (round 6): a band bucket
+#: holding k docs emits k·(k−1)/2 candidate pairs, so one planted
+#: mega-bucket (thousands of identical boilerplate docs) re-creates
+#: the quadratic blow-up the LSH path exists to avoid.  1000 is ~50×
+#: the largest bucket the sf0.1 fixtures produce (20), so the guard
+#: is invisible at fixture scale and only bites genuine skew.  The
+#: oracle-twin registrations pass ``max_bucket=None`` EXPLICITLY
+#: (exact band-join semantics, hash-stable vs DuckDB); use
+#: :func:`lsh_hot_buckets` to see what a guarded run would drop.
+LSH_MAX_BUCKET_DEFAULT = 1000
 
-    Output: (doc_a, doc_b, n_bands) — how many band buckets the pair
-    shares.  ``rows_per_band`` is the recall/precision knob: the
-    candidate probability for a pair with Jaccard s is
-    1 − (1 − s^r)^(16/r), so r=1 catches far more low-similarity
-    pairs than r=2 (probed at sf0.01, threshold 0.05: recall 0.93 vs
-    0.86; at 0.008: 0.17 vs 0.008).
 
-    ``max_bucket`` is the scale skew guard: a bucket holding k docs
-    emits k·(k−1)/2 pairs, so one mega-bucket (e.g. thousands of
-    identical boilerplate docs) re-creates the quadratic blow-up this
-    path exists to avoid.  Buckets larger than ``max_bucket`` are
-    dropped — their members are by construction extremely similar and
-    are handled by the exact-dup pass; the hot-bucket list is tiny so
-    it broadcasts into an anti-join.
-    """
+def _band_rows(docs: DataFrame, n: int, rows_per_band: int,
+               sets: DataFrame | None) -> DataFrame:
+    """(doc_id, band_idx, key): one row per doc per LSH band."""
     r = rows_per_band
     assert len(MINHASH_A) % r == 0, "rows_per_band must divide 16"
     sig = minhash_signatures(docs, n, sets=sets)
@@ -360,9 +354,55 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
             for j in range(n_bands)
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key")
     )
+
+
+def lsh_hot_buckets(docs: DataFrame, n: int = 3,
+                    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+                    max_bucket: int = LSH_MAX_BUCKET_DEFAULT,
+                    sets: DataFrame | None = None) -> DataFrame:
+    """(band_idx, key, sz): the band buckets the default guard drops.
+
+    The guard inside :func:`minhash_candidates` anti-joins these away
+    silently (the candidate stream must stay lazily composable); this
+    companion surfaces WHAT was dropped and how big each bucket was,
+    so a pipeline can log/alert on guard activity instead of
+    discovering it from a recall dip.
+    """
+    return (
+        _band_rows(docs, n, rows_per_band, sets)
+        .groupBy("band_idx", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+    )
+
+
+def minhash_candidates(docs: DataFrame, n: int = 3,
+                       rows_per_band: int = MINHASH_ROWS_PER_BAND,
+                       sets: DataFrame | None = None,
+                       max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                       ) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Output: (doc_a, doc_b, n_bands) — how many band buckets the pair
+    shares.  ``rows_per_band`` is the recall/precision knob: the
+    candidate probability for a pair with Jaccard s is
+    1 − (1 − s^r)^(16/r), so r=1 catches far more low-similarity
+    pairs than r=2 (probed at sf0.01, threshold 0.05: recall 0.93 vs
+    0.86; at 0.008: 0.17 vs 0.008).
+
+    ``max_bucket`` is the scale skew guard, ON by default (see
+    :data:`LSH_MAX_BUCKET_DEFAULT`): buckets larger than it are
+    dropped — their members are by construction extremely similar and
+    are handled by the exact-dup pass; the hot-bucket list is tiny so
+    it broadcasts into an anti-join.  Pass ``max_bucket=None`` for
+    exact band-join semantics (the oracle-checked registrations do,
+    knowingly); :func:`lsh_hot_buckets` reports what a guarded run
+    drops.
+    """
+    exploded = _band_rows(docs, n, rows_per_band, sets)
     if max_bucket is not None:
         hot = (
             exploded.groupBy("band_idx", "key")
@@ -387,7 +427,11 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidates(table(spark, sf_dir, "documents"))
+    # max_bucket=None EXPLICITLY: this registration is the exact
+    # band-join oracle twin (hash-stable vs DuckDB); scale callers get
+    # the default hot-bucket guard instead.
+    return minhash_candidates(table(spark, sf_dir, "documents"),
+                              max_bucket=None)
 
 
 def _minhash_oracle() -> str:
@@ -450,7 +494,8 @@ LSH_NEAR_DUP_THRESHOLD = 0.05
 def lsh_near_dup(docs: DataFrame, n: int = 3,
                  threshold: float = LSH_NEAR_DUP_THRESHOLD,
                  rows_per_band: int = LSH_ROWS_PER_BAND,
-                 max_bucket: int | None = None) -> DataFrame:
+                 max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                 ) -> DataFrame:
     """The composed scale path: LSH candidates → exact Jaccard rescore.
 
     Same output contract as :func:`ngram_jaccard_pairs` restricted to
@@ -464,8 +509,9 @@ def lsh_near_dup(docs: DataFrame, n: int = 3,
         the full shingle inverted index is never self-joined.
 
     The shingle sets are computed once and shared between both stages.
-    At 100 TB set ``max_bucket`` (see :func:`minhash_candidates`) to
-    cap hot-bucket pair fan-out.
+    ``max_bucket`` (the hot-bucket pair fan-out cap, see
+    :func:`minhash_candidates`) is ON by default; the oracle-twin
+    registration passes ``None`` explicitly.
     """
     sets = _shingle_sets(docs, n)
     cand = minhash_candidates(
@@ -494,7 +540,9 @@ def lsh_near_dup(docs: DataFrame, n: int = 3,
 
 
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_near_dup(table(spark, sf_dir, "documents"))
+    # max_bucket=None EXPLICITLY — exact oracle-twin semantics.
+    return lsh_near_dup(table(spark, sf_dir, "documents"),
+                        max_bucket=None)
 
 
 # --------------------------------------------------------------------------
@@ -515,7 +563,8 @@ CONTAINMENT_THRESHOLD = 0.5
 def containment_pairs(docs: DataFrame, n: int = 3,
                       threshold: float = CONTAINMENT_THRESHOLD,
                       rows_per_band: int = LSH_ROWS_PER_BAND,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                      ) -> DataFrame:
     """(doc_a, doc_b, n_common, cont_a_in_b, cont_b_in_a) for LSH
     candidate pairs where either direction's containment ≥ threshold."""
     sets = _shingle_sets(docs, n)
@@ -546,7 +595,9 @@ def containment_pairs(docs: DataFrame, n: int = 3,
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return containment_pairs(table(spark, sf_dir, "documents"))
+    # max_bucket=None EXPLICITLY — exact oracle-twin semantics.
+    return containment_pairs(table(spark, sf_dir, "documents"),
+                             max_bucket=None)
 
 
 # --------------------------------------------------------------------------
@@ -733,8 +784,17 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is checked against the SAME DuckDB formulation.  (DuckDB runs the
 # exact quadratic join — fine at oracle scale; the Spark side is the
 # sub-quadratic plan under test.)
-def lsh_pairs_sql(threshold: float, rows_per_band: int = LSH_ROWS_PER_BAND) -> str:
-    """CTE block (no ``WITH``) ending in ``pairs(doc_a, doc_b, jaccard)``."""
+def lsh_pairs_sql(threshold: float, rows_per_band: int = LSH_ROWS_PER_BAND,
+                  max_bucket: int | None = None) -> str:
+    """CTE block (no ``WITH``) ending in ``pairs(doc_a, doc_b, jaccard)``.
+
+    ``max_bucket`` mirrors the Spark-side hot-bucket guard
+    (:data:`LSH_MAX_BUCKET_DEFAULT`): consumers whose Spark twin keeps
+    the guarded default (the clustering family) pass it here so the
+    oracle stays an exact twin under ANY data, not just fixture data
+    where the guard never fires; the direct dedup twins run both
+    sides unguarded (``None``).
+    """
     r = rows_per_band
     n_bands = len(MINHASH_A) // r
     min_cols = ",\n        ".join(
@@ -774,8 +834,17 @@ sig AS (
         {min_cols}
     FROM hashed GROUP BY doc_id
 ),
-bands AS (
+bands_all AS (
     {band_selects}
+),
+bands AS ({'''
+    SELECT * FROM bands_all''' if max_bucket is None else f'''
+    -- hot-bucket guard twin: keep only band buckets of size <=
+    -- max_bucket, exactly like the Spark side's broadcast anti-join
+    SELECT b.* FROM bands_all b
+    JOIN (SELECT band_idx, key FROM bands_all
+          GROUP BY band_idx, key HAVING count(*) <= {max_bucket}) k
+    ON b.band_idx = k.band_idx AND b.key = k.key'''}
 ),
 cand AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -306,11 +306,21 @@ def hyperplanes(seed: int, n_bits: int, dim: int):
     return (2.0 * (u / 2.0**52) - 1.0).reshape(n_bits, dim)
 
 
+#: Hot-bucket guard for the hyperplane-LSH path, ON by default
+#: (round 6) — same skew rationale as dedup.LSH_MAX_BUCKET_DEFAULT:
+#: a k-vector bucket emits k²/2 candidate pairs, and one degenerate
+#: bucket (e.g. a spam cluster of identical embeddings) re-creates
+#: the quadratic join the LSH path exists to avoid.  The oracle-twin
+#: registration passes ``max_bucket=None`` explicitly.
+EMB_LSH_MAX_BUCKET_DEFAULT = 1000
+
+
 def embedding_lsh_candidates(corpus: DataFrame, n_bits: int = EMB_LSH_BITS,
                              rows_per_band: int = EMB_LSH_ROWS_PER_BAND,
                              seed: int = EMB_LSH_SEED,
                              id_col: str = "vec_id", vec_col: str = "embedding",
-                             max_bucket: int | None = None) -> DataFrame:
+                             max_bucket: int | None =
+                             EMB_LSH_MAX_BUCKET_DEFAULT) -> DataFrame:
     """Candidate pairs (id_a < id_b, n_bands) sharing ≥1 hyperplane-LSH
     band bucket.
 
@@ -377,7 +387,8 @@ def embedding_lsh_near_dup(corpus: DataFrame, threshold: float = 0.4,
                            rows_per_band: int = EMB_LSH_ROWS_PER_BAND,
                            seed: int = EMB_LSH_SEED,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None =
+                           EMB_LSH_MAX_BUCKET_DEFAULT) -> DataFrame:
     """Sub-quadratic twin of :func:`embedding_near_dup`: hyperplane-LSH
     candidates rescored with the exact cosine — work is O(candidates),
     and no all-pairs structure exists anywhere in the plan.
@@ -426,7 +437,11 @@ def embedding_lsh_near_dup(corpus: DataFrame, threshold: float = 0.4,
 
 
 def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_lsh_near_dup(table(spark, sf_dir, "embeddings"))
+    # max_bucket=None EXPLICITLY — exact oracle-twin semantics
+    # (ORACLE_EMB_LSH replays the unguarded band join); scale callers
+    # get the default hot-bucket guard instead.
+    return embedding_lsh_near_dup(table(spark, sf_dir, "embeddings"),
+                                  max_bucket=None)
 
 
 # Full SQL replay of the LSH pipeline: the md5-derived hyperplane

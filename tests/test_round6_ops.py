@@ -1,0 +1,134 @@
+"""Round-6 operator gates (VERDICT r5 item 2): the hot-band-bucket
+guard must be ON by default in the LSH scale path — a planted
+mega-bucket (k docs sharing a band bucket emits k·(k−1)/2 candidate
+pairs) is the one default-config quadratic r5 left open.  The
+oracle-twin registrations pass ``max_bucket=None`` explicitly; the
+guarded configuration has its own SQL mirror (``lsh_pairs_sql(...,
+max_bucket=...)``) checked here on planted data.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import duckdb
+import pytest
+
+
+def _planted_docs(spark, n_clones):
+    """n_clones identical docs (every band bucket holds all of them)
+    plus a distinct control near-dup pair with disjoint vocabulary."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(n_clones)]
+    rows += [
+        (100_000, "unique control passage about spark engines at scale"),
+        (100_001, "unique control passage about spark engines at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_default_guard_drops_planted_hot_bucket(spark):
+    """1001 clones share every band bucket (size 1001 > the 1000
+    default); the default guard drops those buckets so the clones pair
+    with NOTHING, while the control pair (buckets of size 2) still
+    surfaces."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        LSH_MAX_BUCKET_DEFAULT,
+        lsh_near_dup,
+    )
+
+    docs = _planted_docs(spark, LSH_MAX_BUCKET_DEFAULT + 1)
+    got = {(r.doc_a, r.doc_b) for r in lsh_near_dup(docs).collect()}
+    assert got == {(100_000, 100_001)}, (
+        "default guard must drop the oversized band buckets entirely "
+        "and keep the control pair"
+    )
+
+
+def test_minhash_explicit_none_keeps_hot_bucket(spark):
+    """max_bucket=None (the oracle-twin config) keeps hot buckets —
+    the exact band-join semantics remain available by explicit ask."""
+    from grpc_map_reduce_spark.operators.dedup import minhash_candidates
+
+    rows = [(i, "alpha beta gamma delta") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # the tiny corpus never trips the 1000 default, so force a cap the
+    # clones exceed, then show None disables it
+    assert minhash_candidates(docs, max_bucket=3).count() == 0
+    assert minhash_candidates(docs, max_bucket=None).count() == 10  # C(5,2)
+
+
+def test_lsh_hot_buckets_surfaces_dropped_buckets(spark):
+    """The companion reporter returns exactly the buckets the guard
+    drops, with their sizes — guard activity is observable, not a
+    silent recall dip."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_ROWS_PER_BAND,
+        lsh_hot_buckets,
+    )
+
+    rows = [(i, "alpha beta gamma delta") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = lsh_hot_buckets(docs, max_bucket=3).collect()
+    # identical docs -> identical signatures -> one hot bucket per band
+    assert len(hot) == len(MINHASH_A) // MINHASH_ROWS_PER_BAND
+    assert all(r.sz == 5 for r in hot)
+    assert lsh_hot_buckets(docs, max_bucket=5).count() == 0
+
+
+def test_guarded_oracle_twin_parity_on_planted_data(spark):
+    """lsh_pairs_sql(max_bucket=...) — the mirror the clustering
+    oracles now use — must agree with the guarded Spark path on data
+    where the guard actually FIRES (fixture data never trips it)."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        LSH_NEAR_DUP_THRESHOLD,
+        lsh_near_dup,
+        lsh_pairs_sql,
+    )
+
+    docs = _planted_docs(spark, 6)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in lsh_near_dup(docs, max_bucket=3).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.register("documents", docs.toPandas())
+        sql = (
+            f"WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD, max_bucket=3)}\n"
+            "SELECT doc_a, doc_b, jaccard FROM pairs"
+        )
+        want = {tuple(r) for r in con.execute(sql).fetchall()}
+    finally:
+        con.close()
+    assert got == want
+    assert got == {(100_000, 100_001, 1.0)}
+
+
+def test_embedding_lsh_guard_default_and_explicit_none(spark):
+    """Hyperplane-LSH path: same guard contract as the MinHash path."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_lsh_candidates,
+    )
+
+    vec = [0.5, -0.25, 0.75, 0.1]
+    rows = [(i, vec) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert embedding_lsh_candidates(vecs, max_bucket=3).count() == 0
+    assert embedding_lsh_candidates(vecs, max_bucket=None).count() == 10
+
+
+def test_guards_are_on_by_default():
+    """Signature-level pin: a silent revert of any default is a test
+    failure, not a code-review catch."""
+    from grpc_map_reduce_spark.operators import dedup, similarity
+
+    for fn in (dedup.minhash_candidates, dedup.lsh_near_dup,
+               dedup.containment_pairs):
+        assert (inspect.signature(fn).parameters["max_bucket"].default
+                == dedup.LSH_MAX_BUCKET_DEFAULT), fn.__name__
+    for fn in (similarity.embedding_lsh_candidates,
+               similarity.embedding_lsh_near_dup):
+        assert (inspect.signature(fn).parameters["max_bucket"].default
+                == similarity.EMB_LSH_MAX_BUCKET_DEFAULT), fn.__name__

@@ -29,8 +29,21 @@ Probed claims (each maps to a SURVEY §8 scale assertion):
                            ~linear in postings of the probe phrase
 
 Usage: python tools/scaling_probe.py [--mults 1,5,25]
+         [--probes name,name,...] [--driver-memory 16g]
 Writes scratch parquet under .scratch/scaleprobe/ (gitignored) and
 prints one JSON line per (query, mult) plus a scaling summary.
+
+Round 6 extends the probe in two directions the 25x run couldn't
+see (VERDICT r5 item 1):
+
+* ``--mults 1,5,25,125`` — one more 5x step separates "fixed
+  overhead still amortizing" from genuinely super-linear growth.
+* ``--driver-memory 8g`` — a DELIBERATELY capped heap so memory
+  cliffs surface as failures/garbage-collection walls instead of
+  being absorbed by the default 16 GiB probe session; each probe
+  row carries ``peak_heap_mb`` (sum of per-pool JMX peak usage,
+  reset before the run) so the record says not just "how long" but
+  "how much heap did this shape actually need at this volume".
 """
 
 from __future__ import annotations
@@ -123,9 +136,33 @@ def synthesize(spark, mult: int) -> str:
     return out
 
 
+def _heap_pools(jvm):
+    mf = jvm.java.lang.management.ManagementFactory
+    return [p for p in mf.getMemoryPoolMXBeans()
+            if p.getType().name() == "HEAP"]
+
+
+def _reset_heap_peaks(jvm) -> None:
+    for p in _heap_pools(jvm):
+        p.resetPeakUsage()
+
+
+def _peak_heap_mb(jvm) -> int:
+    # Sum of per-pool peaks — a (slight) upper bound on true
+    # simultaneous usage, which is the conservative direction for a
+    # "how much heap does this shape need" record.
+    return round(sum(p.getPeakUsage().getUsed() for p in _heap_pools(jvm))
+                 / (1024 * 1024))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,5,25")
+    ap.add_argument("--probes", default=None,
+                    help="comma-separated subset of the probe list")
+    ap.add_argument("--driver-memory", default="16g",
+                    help="JVM heap for the probe session; cap it "
+                         "(e.g. 8g) to surface memory cliffs")
     ap.add_argument("--clean", action="store_true",
                     help="remove scratch data and exit")
     args = ap.parse_args()
@@ -133,37 +170,54 @@ def main() -> None:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     mults = [int(m) for m in args.mults.split(",")]
+    probes = (args.probes.split(",") if args.probes else PROBES)
+    unknown = set(probes) - set(PROBES)
+    if unknown:
+        ap.error(f"unknown probes: {sorted(unknown)}")
 
     # local-mode JVM defaults to a 1 GiB heap — fine for sf0.1, OOM
     # for the 25x union write.  The probe is exactly the situation
-    # where heap should scale with data volume.
+    # where heap should scale with data volume (or, with a capped
+    # --driver-memory, where a shape's memory cliff should SHOW).
     spark = get_spark(
-        "scaling-probe", extra_conf={"spark.driver.memory": "16g"}
+        "scaling-probe",
+        extra_conf={"spark.driver.memory": args.driver_memory},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark.sparkContext._jvm
+    heap_max_mb = round(
+        jvm.java.lang.Runtime.getRuntime().maxMemory() / (1024 * 1024))
+    print(json.dumps({"heap_max_mb": heap_max_mb,
+                      "driver_memory": args.driver_memory}), flush=True)
     qs = registry.all_queries()
     # absorb session/scan warmup outside the x1 timings
-    qs[PROBES[0]].spark_fn(spark, BASE_SF).write.format("noop").mode(
+    qs[probes[0]].spark_fn(spark, BASE_SF).write.format("noop").mode(
         "overwrite"
     ).save()
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probes}
+    peaks: dict[str, dict[int, int]] = {q: {} for q in probes}
     for mult in mults:
         sf_dir = synthesize(spark, mult)
-        for name in PROBES:
+        for name in probes:
+            # settle the heap, then zero the peak counters so the
+            # recorded peak belongs to THIS probe alone
+            jvm.System.gc()
+            _reset_heap_peaks(jvm)
             t0 = time.perf_counter()
             qs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = round(time.perf_counter() - t0, 3)
+            pk = _peak_heap_mb(jvm)
             results[name][mult] = dt
-            print(json.dumps({"query": name, "mult": mult, "sec": dt}),
-                  flush=True)
+            peaks[name][mult] = pk
+            print(json.dumps({"query": name, "mult": mult, "sec": dt,
+                              "peak_heap_mb": pk}), flush=True)
             # bench-grade housekeeping: the iterative probes pin
             # checkpointed RDD blocks; release them synchronously so
             # later probes aren't timed under earlier probes' storage
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist(True)
-            spark.sparkContext._jvm.System.gc()
 
     base = mults[0]
     summary = {
@@ -174,6 +228,9 @@ def main() -> None:
         for name, times in results.items()
     }
     print(json.dumps({"scaling_vs_x1": summary}))
+    print(json.dumps({"peak_heap_mb": {
+        name: {f"x{m}": mb for m, mb in by_mult.items()}
+        for name, by_mult in peaks.items()}}))
     spark.stop()
 
 
