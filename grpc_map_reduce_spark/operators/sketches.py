@@ -185,13 +185,30 @@ FROM orders
 # given dataset regardless of partitioning).  The query reports both
 # alongside the relative error in basis points, the report a data
 # engineer runs before trusting the sketch for a new column family.
-# DuckDB's HLL implementation produces different estimates, so this
-# registers rows-only; the error BOUND is the pytest gate
-# (test_approx.py): |err| ≤ 3·rsd for every row.
+# DuckDB's HLL implementation produces different estimates, so the
+# native-HLL variant (``hll_distinct_profile``) is a pytest-gated
+# twin — |err| ≤ 3·rsd for every row (test_approx.py) — while the
+# REGISTERED ``approx_distinct_profile`` runs the same report on the
+# KMV estimator below, whose every step is engine-portable integer /
+# single-double-ratio arithmetic, so the whole sketch path
+# hash-checks against DuckDB (round 6: was rows-only through r5).
 APPROX_RSD = 0.05
 
+#: (table, column) probes shared by the HLL twin and the registered
+#: KMV-backed profile — one id-ish column per fact table family.
+_PROFILE_COLS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+    ("documents", "doc_id"),
+)
 
-def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def hll_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native approx_count_distinct (HLL++) vs exact — the zero-extra-
+    shuffle production estimator; engine-specific sketch, so gated by
+    error bound in pytest rather than registered for hash-compare."""
     def one(df: DataFrame, tbl: str, col: str) -> DataFrame:
         return df.agg(
             F.lit(tbl).alias("table_name"),
@@ -201,11 +218,7 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     parts = [
-        one(table(spark, sf_dir, "orders"), "orders", "o_custkey"),
-        one(table(spark, sf_dir, "lineitem"), "lineitem", "l_orderkey"),
-        one(table(spark, sf_dir, "lineitem"), "lineitem", "l_partkey"),
-        one(table(spark, sf_dir, "events"), "events", "user_id"),
-        one(table(spark, sf_dir, "documents"), "documents", "doc_id"),
+        one(table(spark, sf_dir, tbl), tbl, col) for tbl, col in _PROFILE_COLS
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -219,20 +232,51 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered distinct-count profile: KMV estimates (see
+    :func:`kmv_estimate` — partial top-k of 60-bit md5 hashes, never a
+    global sort) with exact counts and error in basis points.  Same
+    report shape as the HLL twin, but bit-replayable in DuckDB."""
+    out = None
+    for tbl, col in _PROFILE_COLS:
+        part = kmv_estimate(table(spark, sf_dir, tbl), col).select(
+            F.lit(tbl).alias("table_name"),
+            "column_name",
+            F.col("exact_distinct").alias("n_exact"),
+            F.col("est_distinct").alias("n_approx"),
+            "err_bp",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Approximate quantiles — the t-digest/GK side of the sketch family:
 # exact percentiles need a full sort (or a per-group collect);
 # ``percentile_approx`` folds each partition into a bounded
 # Greenwald-Khanna sketch and merges — one pass, mergeable, the only
-# viable shape at 100 TB.  The report carries exact vs approx with
-# the rank-error knob; rows-only (the sketch is Spark-specific), with
-# the error bound pytest-gated (|approx − exact| within the accuracy
-# contract) in test_approx.py.
+# viable shape for an UNBOUNDED-cardinality column at 100 TB.  The GK
+# sketch is Spark-specific (no DuckDB twin), so the GK variant
+# (``gk_quantiles_profile``) is a pytest-gated twin — rank error
+# within the accuracy contract (test_approx.py) — while the
+# REGISTERED ``approx_quantiles_profile`` computes the same report
+# from a VALUE HISTOGRAM (round 6: was rows-only through r5):
+# group-by price-in-cents → (value, count) pairs → one packed
+# sort_array + fold per probe.  Nearest-rank selection over the
+# histogram is deterministic integer arithmetic, so the whole path
+# hash-checks.  Scale posture: one shuffle of #distinct(value) rows
+# + a single-row array fold — exact and cheap whenever the value
+# cardinality is bounded (prices, durations, scores with fixed
+# precision); for genuinely unbounded columns the GK twin is the
+# documented swap, same report shape.
 QUANTILE_PROBES = (0.25, 0.5, 0.75, 0.95, 0.99)
 QUANTILE_ACCURACY = 1000  # GK accuracy: rank error <= n / accuracy
 
 
-def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gk_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles vs exact percentiles —
+    the unbounded-cardinality scale path; pytest-gated twin of the
+    registered histogram variant."""
     orders = table(spark, sf_dir, "orders")
     probes = list(QUANTILE_PROBES)
     agg = orders.agg(
@@ -255,6 +299,72 @@ def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.approx"), 2).alias("approx_value"),
         F.round(F.col("z.exact"), 2).alias("exact_value"),
         F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered quantile profile: nearest-rank quantiles selected
+    from a price-in-cents value histogram (the approximation of the
+    continuous quantile — compared against the exact interpolated
+    percentile in the same row).
+
+    Plan shape: one group-by shuffle of #distinct(price) rows, packed
+    into a single sorted (value, count) array, then one fold per probe
+    walks the cumulative counts to the target rank — no global sort
+    node, no per-row window.  ceil(q·n) ranks and long cents keep
+    every comparison integer-exact, so the result hash-matches the
+    DuckDB replay bit-for-bit.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    hist = orders.groupBy(cents.alias("c")).agg(F.count("*").alias("cnt"))
+    packed = hist.agg(
+        F.sort_array(F.collect_list(F.struct("c", "cnt"))).alias("h"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    exact = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in QUANTILE_PROBES])
+        ).alias("ex")
+    )
+    row = packed.crossJoin(F.broadcast(exact))
+
+    def rank_value(q: float):
+        # nearest-rank: smallest histogram value whose cumulative
+        # count reaches ceil(q * n)
+        r = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+        acc0 = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("val"),
+        )
+        fold = F.aggregate(
+            F.col("h"),
+            acc0,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(acc["val"].isNotNull(), acc["val"])
+                .when(acc["cum"] + x["cnt"] >= r, x["c"])
+                .alias("val"),
+            ),
+            lambda acc: acc["val"],
+        )
+        return F.round(fold / 100.0, 2)
+
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("q"),
+                rank_value(p).alias("hv"),
+                F.round(F.col("ex")[i], 2).alias("ev"),
+            )
+            for i, p in enumerate(QUANTILE_PROBES)
+        ]
+    )
+    return row.select(F.explode(probes).alias("z"), "n_rows").select(
+        F.col("z.q").alias("quantile"),
+        F.col("z.hv").alias("approx_value"),
+        F.col("z.ev").alias("exact_value"),
+        "n_rows",
     )
 
 
@@ -537,6 +647,73 @@ FROM (
 ORACLE_KMV = _kmv_oracle()
 
 
+def _approx_distinct_oracle() -> str:
+    # Same KMV replay as _kmv_oracle, re-shaped to the profile report
+    # (table_name, column_name, n_exact, n_approx, err_bp) over the
+    # shared _PROFILE_COLS probes.
+    k = KMV_K
+    parts = []
+    for tbl, col in _PROFILE_COLS:
+        est = (
+            f"CAST(CASE WHEN n < {k} THEN n "
+            f"ELSE floor(CAST({k - 1} AS DOUBLE) "
+            f"* (CAST({1 << 60} AS DOUBLE) / hk)) END AS BIGINT)"
+        )
+        exact = f"(SELECT count(DISTINCT {col}) FROM {tbl})"
+        parts.append(f"""
+SELECT '{tbl}' AS table_name,
+       '{col}' AS column_name,
+       {exact} AS n_exact,
+       {est} AS n_approx,
+       (abs({est} - {exact}) * 10000) // {exact} AS err_bp
+FROM (
+    SELECT max(h) AS hk, count(*) AS n FROM (
+        SELECT h FROM (
+            SELECT DISTINCT
+                (('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT)
+                    AS h
+            FROM {tbl} WHERE {col} IS NOT NULL
+        ) ORDER BY h LIMIT {k}
+    )
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_APPROX_DISTINCT = _approx_distinct_oracle()
+
+
+def _approx_quantiles_oracle() -> str:
+    # Histogram nearest-rank replay: cumulative window over the cents
+    # histogram (oracle scale — the Spark side's fold avoids the
+    # window), CAST(... AS DOUBLE) on the probe so ceil() runs the
+    # same IEEE multiply as Spark's double F.lit(q) * n_rows.
+    parts = []
+    for p in QUANTILE_PROBES:
+        parts.append(f"""
+SELECT CAST({p} AS DOUBLE) AS quantile,
+       round((SELECT min(c) FROM cum
+              WHERE cum >= ceil(CAST({p} AS DOUBLE)
+                                * (SELECT n_rows FROM tot))) / 100.0,
+             2) AS approx_value,
+       round((SELECT quantile_cont(o_totalprice, {p}) FROM orders), 2)
+           AS exact_value,
+       (SELECT n_rows FROM tot) AS n_rows""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH hist AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+           count(*) AS cnt
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM hist),
+cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM hist)
+{body}
+"""
+
+
+ORACLE_APPROX_QUANTILES = _approx_quantiles_oracle()
+
+
 # --------------------------------------------------------------------------
 # Numeric correlation profile: pairwise Pearson r over lineitem's
 # measure columns — the profiling report behind feature selection and
@@ -739,10 +916,12 @@ QUERIES = [
     ("kmv_merge_profile", q_kmv_merge, ORACLE_KMV_MERGE,
      "KMV mergeability witness: per-shard k-min sets union-retake-k "
      "to the identical global sketch (merged estimate == direct)."),
-    ("approx_distinct_profile", approx_distinct_profile, None,
-     "HLL approx_count_distinct vs exact with error in basis points "
-     "(rows-only; 3-sigma error bound gated in test_approx.py)."),
-    ("approx_quantiles_profile", approx_quantiles_profile, None,
-     "GK-sketch approximate quantiles vs exact percentiles (rows-only; "
-     "rank-error bound gated in test_approx.py)."),
+    ("approx_distinct_profile", approx_distinct_profile, ORACLE_APPROX_DISTINCT,
+     "Distinct-count profile on the KMV estimator (engine-portable, "
+     "fully hash-checked since round 6); the native-HLL twin "
+     "(hll_distinct_profile) is 3-sigma gated in test_approx.py."),
+    ("approx_quantiles_profile", approx_quantiles_profile, ORACLE_APPROX_QUANTILES,
+     "Nearest-rank quantiles from a value histogram vs exact "
+     "percentiles (hash-checked since round 6); the GK-sketch twin "
+     "(gk_quantiles_profile) is rank-error gated in test_approx.py."),
 ]

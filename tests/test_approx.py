@@ -59,10 +59,10 @@ def test_approx_grouped_matches_exact_groups(spark, sf_dir):
 def test_hll_profile_error_within_3_sigma(spark, sf_dir):
     from grpc_map_reduce_spark.operators.sketches import (
         APPROX_RSD,
-        approx_distinct_profile,
+        hll_distinct_profile,
     )
 
-    rows = approx_distinct_profile(spark, sf_dir).collect()
+    rows = hll_distinct_profile(spark, sf_dir).collect()
     assert len(rows) == 5
     for r in rows:
         assert r["n_exact"] > 0
@@ -80,10 +80,10 @@ def test_gk_quantiles_within_rank_error(spark, sf_dir):
 
     from grpc_map_reduce_spark.operators.sketches import (
         QUANTILE_ACCURACY,
-        approx_quantiles_profile,
+        gk_quantiles_profile,
     )
 
-    rows = approx_quantiles_profile(spark, sf_dir).collect()
+    rows = gk_quantiles_profile(spark, sf_dir).collect()
     assert len(rows) == 5
     values = sorted(
         r[0] for r in duckdb.sql(
