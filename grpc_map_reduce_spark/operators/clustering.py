@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.dedup import (
     LSH_MAX_BUCKET_DEFAULT, lsh_near_dup, lsh_pairs_sql)
+from grpc_map_reduce_spark.plans.checkpoint import iter_checkpoint
 from grpc_map_reduce_spark.sources.tables import table
 
 CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 27 LSH edges (was 29 exact)
@@ -74,21 +75,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     ``component`` is the minimum node id of the connected component.
     Root nodes map to themselves.
     """
-    e = (
+    e = iter_checkpoint(
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
     )
     prev = None
     for _ in range(max_iter):
         # lazy checkpoint: the convergence aggregate below is the
         # action that materializes it, so each round runs ONE job
         # (eager=True would run a materialization job AND the agg job)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = iter_checkpoint(_small_star(_large_star(e)), eager=False)
         # bit_xor, not sum: order-insensitive like sum but cannot
         # overflow (ANSI mode makes a sum of 2^63-scale hashes throw)
         sig = e.agg(
@@ -192,10 +192,10 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     # branches and (via sym) by the degree aggregate — without the
     # checkpoint an expensive edge-gen lineage (the LSH pipeline)
     # re-executes once per consumer branch inside the one action.
-    edges = edges.localCheckpoint(eager=False)
-    sym = edges.union(
+    edges = iter_checkpoint(edges, eager=False)
+    sym = iter_checkpoint(edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct(), eager=False)
     deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
     # Fold the out-degree onto each edge ONCE: every iteration then
     # does one join (ranks) + one groupBy instead of re-deriving the
@@ -208,7 +208,7 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     # GraphX pattern: edges stay put, ranks move).
     n_part = edges.sparkSession.sparkContext.defaultParallelism
     sym_deg = sym.join(deg, "src").repartition(n_part, "src").persist()
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
+    nodes = iter_checkpoint(deg.select(F.col("src").alias("node")), eager=False)
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
@@ -217,14 +217,14 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
         )
-        ranks = (
+        ranks = iter_checkpoint(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (F.lit((1 - damping) / n)
                  + damping * F.coalesce("c", F.lit(0.0))).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -500,7 +500,7 @@ LPA_ITERS = 3
 def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
     """(node, community, community_size) after ``n_iter`` synchronous
     majority-vote rounds; initial label = node id."""
-    edges = edges.localCheckpoint(eager=False)
+    edges = iter_checkpoint(edges, eager=False)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -514,7 +514,7 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
             .groupBy("src", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        labels = (
+        labels = iter_checkpoint(
             votes.groupBy("src")
             .agg(F.max(F.struct(
                 F.col("cnt"), (-F.col("label")).alias("neg")
@@ -522,13 +522,13 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
             .select(
                 F.col("src").alias("node"),
                 (-F.col("m.neg")).cast("long").alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     # Materialize the final labels (cuts their lineage back to sym),
     # then release the cached edge table — without this a long-lived
     # session leaks sym's cached blocks on every invocation.
-    labels = labels.localCheckpoint()
+    labels = iter_checkpoint(labels)
     sym.unpersist(blocking=False)
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     return labels.join(sizes, "label").select(

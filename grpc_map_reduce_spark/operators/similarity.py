@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.plans.checkpoint import iter_checkpoint
 
 
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str,
@@ -563,12 +564,12 @@ def _lloyd_refine(base: DataFrame, cent: DataFrame, n_iter: int) -> DataFrame:
                 "cent_mat": [C.tobytes()],
             })
 
-        cent = (
+        cent = iter_checkpoint(
             partials.join(F.broadcast(cent))
             .withColumn("g", F.lit(0))
             .groupBy("g")
-            .applyInPandas(_combine, schema="cent_ids array<long>, cent_mat binary")
-            .localCheckpoint(eager=False)
+            .applyInPandas(_combine, schema="cent_ids array<long>, cent_mat binary"),
+            eager=False,
         )
     return cent
 

@@ -1,0 +1,66 @@
+"""Checkpoint strategy for iterative operators.
+
+The iterative family (connected components, LPA, pagerank, Lloyd
+refinement) truncates lineage every round — without it the plan
+doubles per iteration and the optimizer chokes.  ``localCheckpoint``
+is the right default: it pins blocks on the executors with zero
+external storage.  But local checkpoint blocks DIE WITH THEIR
+EXECUTOR, and a localCheckpoint-ed frame has no lineage to recompute
+from — on a real cluster, losing one executor mid-iteration kills
+the whole job.  That is acceptable in local[32] (one JVM — if it
+dies, everything dies) and NOT acceptable on 1000 executors, where
+the probability of at least one loss during a long job approaches 1.
+
+``iter_checkpoint`` is the swap point: set the session conf
+
+    spark.graft.reliableCheckpointDir = hdfs://.../checkpoints
+
+(or call :func:`set_reliable_checkpoint_dir`) and every iterative
+operator switches to reliable ``Dataset.checkpoint()`` — each round's
+state is written to fault-tolerant storage, so an executor loss costs
+one re-read instead of the job.  Default (conf unset) stays
+``localCheckpoint``: no behavior change locally, identical results
+either way (checkpointing is a materialization strategy, not a
+semantics change — fixture hashes are invariant, tested in
+test_round6_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Session conf key: when set to a storage path, iterative operators
+#: use reliable checkpoint()-to-storage instead of localCheckpoint.
+RELIABLE_DIR_CONF = "spark.graft.reliableCheckpointDir"
+
+
+def set_reliable_checkpoint_dir(spark: SparkSession, path: str | None) -> None:
+    """Enable (path) or disable (None) reliable iterative checkpoints
+    for this session."""
+    if path is None:
+        spark.conf.unset(RELIABLE_DIR_CONF)
+    else:
+        spark.conf.set(RELIABLE_DIR_CONF, path)
+        spark.sparkContext.setCheckpointDir(path)
+
+
+def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage-truncating checkpoint for loop-carried state.
+
+    localCheckpoint (fast, executor-local) unless the session's
+    ``spark.graft.reliableCheckpointDir`` is set, in which case a
+    reliable ``checkpoint()`` to that directory (survives executor
+    loss).  ``eager=False`` preserves the one-job-per-round pattern
+    in both modes.
+    """
+    spark = df.sparkSession
+    path = spark.conf.get(RELIABLE_DIR_CONF, None)
+    if path:
+        sc = spark.sparkContext
+        # setCheckpointDir appends a per-call subdirectory, so the
+        # stored dir never string-equals the conf value; set it only
+        # when nothing is set yet.
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(path)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

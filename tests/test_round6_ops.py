@@ -119,6 +119,42 @@ def test_embedding_lsh_guard_default_and_explicit_none(spark):
     assert embedding_lsh_candidates(vecs, max_bucket=None).count() == 10
 
 
+def test_reliable_checkpoint_dir_knob(spark, tmp_path):
+    """VERDICT r5 item 4: with spark.graft.reliableCheckpointDir set,
+    the iterative operators checkpoint to storage (survives executor
+    loss on a real cluster) — same results, and the directory actually
+    receives checkpoint data."""
+    import os
+
+    from grpc_map_reduce_spark.operators.clustering import (
+        connected_components,
+    )
+    from grpc_map_reduce_spark.plans.checkpoint import (
+        RELIABLE_DIR_CONF,
+        set_reliable_checkpoint_dir,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long"
+    )
+    want = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    set_reliable_checkpoint_dir(spark, ckpt)
+    try:
+        got = {(r.node, r.component)
+               for r in connected_components(edges).collect()}
+        # checkpoint RDD directories were materialized under the knob dir
+        wrote = any(files for _, _, files in os.walk(ckpt))
+    finally:
+        set_reliable_checkpoint_dir(spark, None)
+
+    assert got == want
+    assert wrote, "reliable mode must write checkpoint data to the dir"
+    assert spark.conf.get(RELIABLE_DIR_CONF, None) is None
+
+
 def test_guards_are_on_by_default():
     """Signature-level pin: a silent revert of any default is a test
     failure, not a code-review catch."""
