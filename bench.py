@@ -153,6 +153,7 @@ def main() -> None:
             spark = recycle_jvm(spark, fresh_session)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     print(json.dumps({
         "metric": (
             "total wall-clock for full query inventory, one reused "
@@ -163,6 +164,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        # First-run premium per query (round 6): codegen + plan
+        # compilation + Arrow-worker spin-up.  Gated in
+        # test_bench_contract.py — inventory cold total must stay
+        # < 1.5x warm total, so a per-query cold-cost regression
+        # (e.g. a codegen explosion like quality_auc's r5 HUGEINT
+        # spike) can't hide behind the warm medians.
+        "cold_minus_warm": {
+            n: round(cold[n] - timings[n], 3) for n in timings
+        },
+        "cold_over_warm": (
+            round(cold_total / total, 3) if total else None
+        ),
         "repeats": repeats,
         "sf": sf,
     }))

@@ -15,14 +15,25 @@ The reference engine has no analysis beyond word counting; this is
 pure extension surface over its document corpus, same tokenization
 spirit as the wc job (mapper.go:170-190).
 
-Scale design:
+Scale design (reworked in round 6 — the 125× probe crashed the
+previous shape):
   * The profile table is ``n_langs × K`` rows — broadcast, so the
     corpus-side trigram stream never shuffles for the probe.
-  * Corpus passes: ONE explode of trigrams → groupBy(doc_id, tg)
-    with map-side partial aggregation (trigrams of a doc are
-    co-located), then docs×langs-sized aggregates.  The profile
-    LEARNING pass aggregates (lang, tg) — bounded by
-    langs × |trigram vocabulary|, not by corpus size.
+  * TWO independent map-only trigram explodes, one per pass, sharing
+    NOTHING materialized.  Through round 5 the passes shared one
+    ``groupBy(doc_id, lang, tg)`` shuffle via a pinned
+    localCheckpoint — but that table is O(corpus) and the pin is what
+    the capped-heap scale probe crashed on at 125× data
+    (UNABLE_TO_ACQUIRE_MEMORY at 8 GiB: linear-in-corpus storage
+    blocks squeezing execution memory; peak heap measured 1.4 / 3.8 /
+    7.3 GiB at 1× / 5× / 25×).  Recomputing the explode is map-only
+    CPU; the rework also DELETES the corpus-sized (doc_id, tg)
+    shuffle entirely:
+      - profile pass: trigrams → partial-agg groupBy(lang, tg) —
+        shuffle bounded by partitions × trigram vocabulary;
+      - classify pass: trigrams → broadcast profile join (inner) →
+        groupBy(doc_id, cand_lang) — map-side combine bounds the
+        shuffle by docs × langs, never docs × trigrams.
   * The final argmax is ``max(struct(score, lang))`` — an aggregate,
     not a window, so no extra sort; the tie-break (max ⇒ lang DESC
     among equal scores) is mirrored in the oracle's
@@ -56,32 +67,18 @@ def _trigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_tg_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, tg, cnt) — per-doc trigram occurrence counts.
-
-    Each doc carries exactly one ``lang``, so this ONE aggregate
-    serves both consumers: profile learning re-aggregates it by
-    (lang, tg) over the far smaller doc×distinct-trigram table, and
-    classification drops ``lang`` — the corpus-sized trigram explode
-    and its shuffle run once instead of twice (was 2 full passes,
-    measured ~2× the query's wall time at sf0.1)."""
-    return (
-        _trigrams(docs)
-        .groupBy("doc_id", "lang", "tg")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-
-
-def lang_profiles(docs: DataFrame, k: int = LANG_PROFILE_K,
-                  base: DataFrame | None = None) -> DataFrame:
+def lang_profiles(docs: DataFrame, k: int = LANG_PROFILE_K) -> DataFrame:
     """(lang, tg) — each language's top-``k`` trigrams by corpus
-    count, ties broken by trigram so the profile is deterministic."""
+    count, ties broken by trigram so the profile is deterministic.
+
+    One partial-aggregated shuffle bounded by partitions × trigram
+    vocabulary (the corpus-sized occurrence stream combines map-side);
+    the top-K window runs on the langs × vocabulary reduced table."""
     from pyspark.sql import Window
 
-    if base is None:
-        base = _doc_tg_counts(docs)
-    counts = base.groupBy("lang", "tg").agg(F.sum("cnt").alias("n"))
+    counts = _trigrams(docs).groupBy("lang", "tg").agg(
+        F.count("*").alias("n")
+    )
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tg")
     return (
         counts.withColumn("r", F.row_number().over(w))
@@ -90,17 +87,21 @@ def lang_profiles(docs: DataFrame, k: int = LANG_PROFILE_K,
     )
 
 
-def classify_langs(docs: DataFrame, profiles: DataFrame,
-                   base: DataFrame | None = None) -> DataFrame:
-    """(doc_id, lang, pred_lang, score, is_correct) for every doc."""
-    if base is None:
-        base = _doc_tg_counts(docs)
-    doc_tg = base.select("doc_id", "tg", "cnt")
+def classify_langs(docs: DataFrame, profiles: DataFrame) -> DataFrame:
+    """(doc_id, lang, pred_lang, score, is_correct) for every doc.
+
+    The broadcast profile join runs directly on the trigram
+    OCCURRENCE stream (map-only), so counting occurrences after the
+    inner join equals the old sum-of-per-doc-counts — and the only
+    shuffle is groupBy(doc_id, cand_lang), bounded by docs × langs
+    after map-side combine.  Nothing corpus-sized is ever pinned or
+    shuffled."""
     probe = F.broadcast(profiles.withColumnRenamed("lang", "cand_lang"))
     scores = (
-        doc_tg.join(probe, "tg")  # inner: non-profile trigrams score 0 anyway
+        _trigrams(docs).select("doc_id", "tg")
+        .join(probe, "tg")  # inner: non-profile trigrams score 0 anyway
         .groupBy("doc_id", "cand_lang")
-        .agg(F.sum("cnt").alias("score"))
+        .agg(F.count("*").alias("score"))
     )
     best = (
         scores.groupBy("doc_id")
@@ -127,8 +128,7 @@ def classify_langs(docs: DataFrame, profiles: DataFrame,
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    base = _doc_tg_counts(docs)
-    return classify_langs(docs, lang_profiles(docs, base=base), base=base)
+    return classify_langs(docs, lang_profiles(docs))
 
 
 ORACLE_LANG_ID = f"""

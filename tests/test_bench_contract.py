@@ -32,14 +32,49 @@ def test_bench_emits_one_valid_json_line_with_warm_medians():
     line = proc.stdout.strip().splitlines()[-1]
     out = json.loads(line)
     assert set(out) == {
-        "metric", "value", "unit", "queries", "queries_cold", "repeats", "sf"
+        "metric", "value", "unit", "queries", "queries_cold",
+        "cold_minus_warm", "cold_over_warm", "repeats", "sf"
     }
     assert out["unit"] == "sec" and out["sf"] == 0.001
     assert set(out["queries"]) == {"wordcount", "inverted_index"}
     # warm-up + median discipline: every query has BOTH a cold number
     # and a warm median, and the total is the sum of warm medians
     assert set(out["queries_cold"]) == set(out["queries"])
+    assert set(out["cold_minus_warm"]) == set(out["queries"])
     assert out["repeats"] == 2
     assert out["value"] == round(sum(out["queries"].values()), 3) > 0
     for name, warm in out["queries"].items():
         assert warm > 0 and out["queries_cold"][name] > 0
+        assert out["cold_minus_warm"][name] == round(
+            out["queries_cold"][name] - warm, 3
+        )
+    assert out["cold_over_warm"] == round(
+        sum(out["queries_cold"].values()) / out["value"], 3
+    )
+
+
+def test_inventory_cold_total_within_budget():
+    """VERDICT r5 item 5: nothing gated the cold signal — a per-query
+    cold-cost regression (codegen explosion, plan-compile blowup)
+    could hide behind the warm medians.  Run the FULL inventory once
+    (repeats=1, sf0.001) and gate cold total < 1.5x warm total."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_REPEATS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    cold_total = sum(out["queries_cold"].values())
+    assert out["cold_over_warm"] == round(cold_total / out["value"], 3)
+    assert out["cold_over_warm"] < 1.5, (
+        "inventory cold total exceeds 1.5x warm total; worst offenders: "
+        + str(sorted(out["cold_minus_warm"].items(),
+                     key=lambda kv: -kv[1])[:5])
+    )
