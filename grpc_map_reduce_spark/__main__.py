@@ -56,9 +56,21 @@ def main(argv: list[str] | None = None) -> int:
     if partitions is not None:
         # session-level so the job's one shuffle (the groupBy) uses it;
         # getOrCreate may have reused a live session, so set at runtime
+        # and RESTORE after the job — a reused session must not keep
+        # the override for unrelated later jobs (ADVICE r5).
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    run_reference_job(spark, input_dir, fn, output_dir,
-                      num_files=partitions)
+        try:
+            run_reference_job(spark, input_dir, fn, output_dir,
+                              num_files=partitions)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    else:
+        run_reference_job(spark, input_dir, fn, output_dir,
+                          num_files=partitions)
     print(f"{fn} output written to {output_dir}")
     return 0
 

@@ -43,11 +43,51 @@ def read_docs_stream(spark: SparkSession, input_dir: str,
     return reader.load(input_dir)
 
 
+def _bind_delta_to_checkpoint(delta_dir: str, checkpoint_dir: str) -> None:
+    """Guard the exactly-once contract's blind spot (ADVICE r5):
+    delta paths are keyed by batch_id, and batch ids RESTART AT ZERO
+    under a fresh checkpoint — so re-pointing a new stream at an old
+    ``delta_dir`` would silently overwrite earlier deltas and
+    undercount the served PSI.  A ``_STREAM_BINDING.json`` marker
+    (underscore-prefixed: invisible to parquet readers) pins the
+    delta dir to its checkpoint; a mismatch raises with the retire-
+    them-together instruction instead of corrupting the history.
+    Only enforceable for local paths — on scheme-qualified storage
+    (s3://, hdfs://) the contract is documentation: delta_dir and
+    checkpoint_dir live and die together.
+    """
+    import json
+    import os
+
+    if "://" in delta_dir:
+        return
+    marker = os.path.join(delta_dir, "_STREAM_BINDING.json")
+    binding = os.path.abspath(checkpoint_dir)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = json.load(f)["checkpoint_dir"]
+        if prev != binding:
+            raise ValueError(
+                f"delta_dir {delta_dir!r} is bound to checkpoint "
+                f"{prev!r} but this stream uses {binding!r}: batch ids "
+                "would restart at 0 and overwrite earlier deltas. "
+                "Retire delta_dir and checkpoint_dir together (or point "
+                "the new stream at a fresh delta_dir)."
+            )
+    else:
+        os.makedirs(delta_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"checkpoint_dir": binding}, f)
+
+
 def incremental_quality_bins(docs: DataFrame, delta_dir: str,
                              checkpoint_dir: str, bins: int = PSI_BINS,
                              available_now: bool = True) -> None:
     """Maintain the (source, bin, c) histogram under ``delta_dir``,
-    one idempotent hive partition per micro-batch."""
+    one idempotent hive partition per micro-batch.  ``delta_dir`` is
+    bound to ``checkpoint_dir`` on first use — see
+    :func:`_bind_delta_to_checkpoint`."""
+    _bind_delta_to_checkpoint(delta_dir, checkpoint_dir)
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         (

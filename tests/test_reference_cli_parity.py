@@ -106,11 +106,11 @@ def test_cli_partitions_knob(spark, tmp_path):
     corpus_dir = _write_corpus(tmp_path)
     out_dir = str(tmp_path / "cli_out_p2")
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        assert main(["client", corpus_dir, "wc", out_dir,
-                     "--partitions", "2"]) == 0
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert main(["client", corpus_dir, "wc", out_dir,
+                 "--partitions", "2"]) == 0
+    # the CLI must restore the session conf itself (ADVICE r5): a
+    # reused getOrCreate session must not keep the override
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
     parts = sorted(Path(out_dir).glob("part-*"))
     # a CAP, not an exact count: AQE may coalesce a tiny shuffle below
     # N first (the reference would write N files with some empty —

@@ -136,6 +136,14 @@ def main() -> int:
             args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if sample_n is not None and only:
+        # --sample used to silently overwrite the explicit list
+        # (ADVICE r5): refuse the ambiguous combination instead.
+        sys.stderr.write(
+            "error: --sample and explicit query names are mutually "
+            "exclusive (the sample is drawn from the full registry)\n"
+        )
+        return 2
 
     import __spark_entry__ as entry
 
