@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 #: Apriori pass-1 gate: parts in fewer baskets can never reach
 #: MIN_PAIR_SUPPORT, and the cut keeps the self-join input dense.
@@ -55,14 +56,14 @@ def market_basket(li: DataFrame,
     # distinct shuffle re-executes per consumer.
     items = (
         li.select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
     item_n = items.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
     freq = item_n.filter(F.col("item_n") >= min_item)
     gated = (
         items.join(F.broadcast(freq), "l_partkey")
         .repartition("l_orderkey")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
     a = gated.select(
         "l_orderkey",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.dedup import (
     LSH_MAX_BUCKET_DEFAULT, lsh_near_dup, lsh_pairs_sql)
-from grpc_map_reduce_spark.plans.checkpoint import iter_checkpoint
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL, iter_checkpoint
 from grpc_map_reduce_spark.sources.tables import table
 
 CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 27 LSH edges (was 29 exact)
@@ -296,7 +296,7 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
     # Pinned: both the per-cluster argmax and the final flag join read
     # this — without the checkpoint the cluster-assignment join (and
     # the quality scan) re-execute once per consumer.
-    scored = clusters.join(qual, "doc_id").localCheckpoint(eager=False)
+    scored = clusters.join(qual, "doc_id").localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     per_cluster = scored.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"),
         F.max(F.struct(F.col("quality_bp"), (-F.col("doc_id")).alias("nid")))
@@ -377,15 +377,17 @@ FROM clusters c JOIN qual q USING (doc_id)
 # for dedup quality: triangles are triples of mutually-similar docs
 # (template families, mirror farms); a node's local clustering
 # coefficient separates "hub of one template" from "bridge between
-# unrelated dups".  Algorithm: canonical wedge join (Suri & Vassilvitskii,
-# WWW'11 "Counting Triangles and the Curse of the Last Reducer"
-# without the degree re-orientation): edges are held src<dst, wedges
-# (v,w) are enumerated at their common lower endpoint, then closed by
-# one join back onto the edge set.  Two shuffles; wedge count is
-# Σ deg(u)² over canonical degrees — at 100 TB, re-orient edges by
-# (degree, id) before the wedge join to bound the per-node fan-out at
-# the median degree (the standard skew fix; the SQL oracle mirrors
-# the canonical-id orientation used here).
+# unrelated dups".  Algorithm: degree-oriented wedge join (Suri &
+# Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+# Reducer" / Schank–Wagner forward counting): every edge is directed
+# from its (degree, id)-smaller endpoint, wedges (v,w) are enumerated
+# at their common source, then closed by one join back onto the
+# canonical edge set.  Three shuffles; wedge fan-out per node is
+# bounded at O(√m), so the wedge exchange is O(m^1.5) worst-case
+# instead of Σ deg² concentrated on template hubs — the min-id
+# variant measured that concentration the hard way at the 125x probe
+# (>78 GB of spill before failing; the oriented join survives the
+# same volume in the same capped heap).
 #
 # clustering_coeff_bp = floor(2·T·10⁴ / (deg·(deg−1))) — exact-int
 # numerator and denominator, one IEEE division + floor: hash-stable
@@ -398,27 +400,69 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # checkpoint each consumer re-evaluates the whole upstream
     # edge-generation pipeline (the LSH chain in the registered
     # query), multiplying its shuffles by four.
+    # EAGER pin, unlike every other consumer-sharing pin in the tree:
+    # the edge set is tiny (O(near-dup pairs)) but its producer — the
+    # full LSH chain — is the most shuffle-intensive lineage in the
+    # engine, and the wedge machinery below is the most
+    # shuffle-intensive consumer.  A lazy pin folds both into ONE job,
+    # so every chain shuffle file stays on disk until the last wedge
+    # stage finishes — at the 125x probe the SUM of the two footprints
+    # ran the box out of disk.  Materializing the edges first ends the
+    # chain's job, drops the lineage references, and lets the shuffle
+    # cleaner reclaim the chain's files while the wedge phase runs:
+    # peak disk = max(chain, wedges) instead of chain + wedges.
     e = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True, storageLevel=PIN_LEVEL)
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("degree")
     )
-    e1, e2 = e.alias("e1"), e.alias("e2")
-    wedges = e1.join(e2, on=F.col("e1.a") == F.col("e2.a")).where(
-        F.col("e1.b") < F.col("e2.b")
-    ).select(
-        F.col("e1.a").alias("u"), F.col("e1.b").alias("v"),
-        F.col("e2.b").alias("w"),
+    # Degree re-orientation (Schank–Wagner "forward" / Suri &
+    # Vassilvitskii's last-reducer fix), promoted from comment to code
+    # by the 125x probe: wedges enumerated at the canonical MIN-ID
+    # endpoint fan out as Σ C(deg_id(a), 2), and the near-dup graph's
+    # template hubs put that quadratic on single nodes — at 125x the
+    # wedge exchange spilled the disk dry (>78 GB) before failing.
+    # Directing every edge from its (degree, id)-SMALLER endpoint
+    # bounds out-degree at O(√m), so Σ out-deg² ≤ O(m^1.5) with the
+    # quadratic term capped per node instead of concentrated.  Each
+    # triangle still materializes exactly once (at its unique
+    # (degree, id)-minimal corner), and all three corners are credited
+    # below, so per-node counts — and the DuckDB oracle, which
+    # enumerates the same triangle set at the min-id corner — are
+    # bit-identical under re-orientation.
+    dega = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    degb = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    d = (
+        e.join(dega, "a").join(degb, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
+    )
+    e1, e2 = d.alias("e1"), d.alias("e2")
+    wedges = e1.join(e2, on=F.col("e1.lo") == F.col("e2.lo")).where(
+        F.col("e1.hi") < F.col("e2.hi")
+    ).select(
+        F.col("e1.lo").alias("u"), F.col("e1.hi").alias("v"),
+        F.col("e2.hi").alias("w"),
+    )
+    # closure probe on the CANONICAL (min-id) edge table: the wedge's
+    # open pair (v, w) is undirected, so normalize before the join.
     tri = wedges.join(
-        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+        e,
+        (F.least("v", "w") == F.col("a"))
+        & (F.greatest("v", "w") == F.col("b")),
     ).select("u", "v", "w")
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))

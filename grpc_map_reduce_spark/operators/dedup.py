@@ -31,6 +31,7 @@ from grpc_map_reduce_spark.functions.text import (
     words,
 )
 from grpc_map_reduce_spark.sources.tables import spread, table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 
 # --------------------------------------------------------------------------
@@ -108,7 +109,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
             F.size("sh_set").alias("n_shingles"),
             F.explode("sh_set").alias("sh_h"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
     if max_df is not None:
         hot = (
@@ -305,7 +306,7 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     return (
         spread(docs, "doc_id")
         .select("doc_id", distinct_shingle_hashes_udf(n)("text").alias("sh_set"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
 
 
@@ -613,7 +614,7 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     sh = (
         _shingle_sets(docs, n)
         .select("doc_id", F.explode("sh_set").alias("h"))
-        .localCheckpoint(eager=False)  # feeds df agg AND the join back
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)  # feeds df agg AND the join back
     )
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     return (
@@ -1013,7 +1014,7 @@ def repeated_spans(docs: DataFrame, w: int = SPAN_WINDOW) -> DataFrame:
     wh = (
         docs.repartition(n_part, "doc_id")
         .select("doc_id", F.explode(window_hashes_udf(w)("text")).alias("wh"))
-        .localCheckpoint(eager=False)  # consumed by both branches below
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)  # consumed by both branches below
     )
     # windows per hash are already DISTINCT per doc (the UDF dedupes),
     # so count(*) per hash == distinct docs containing the window

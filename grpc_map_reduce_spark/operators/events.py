@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.money import cents
 from grpc_map_reduce_spark.sources.tables import spread, table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 
 # --------------------------------------------------------------------------
@@ -427,7 +428,7 @@ def cascading_rollup(events: DataFrame) -> DataFrame:
         F.sum("total_value_cents").alias("total_value_cents"),
         F.max("max_value_cents").alias("max_value_cents"),
     )
-    hour = remerge(minute, "hour").localCheckpoint(eager=False)
+    hour = remerge(minute, "hour").localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     day = remerge(hour, "day")
     out_cols = lambda df, grain: df.select(
         F.lit(grain).alias("grain"),
@@ -833,7 +834,7 @@ def engagement_dau_wau(events: DataFrame) -> DataFrame:
     reduced pair table instead."""
     day_user = (
         events.select(F.to_date("ts").alias("day"), "user_id").distinct()
-        .localCheckpoint(eager=False)  # feeds DAU and the WAU explode
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)  # feeds DAU and the WAU explode
     )
     dau = day_user.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     wau = (

@@ -28,6 +28,7 @@ from grpc_map_reduce_spark.functions.gif import decode_gif, encode_gif
 from grpc_map_reduce_spark.functions.png import decode_png, encode_png
 from grpc_map_reduce_spark.functions.wav import decode_wav, encode_wav
 from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 #: Metadata carried next to every media payload.
 MEDIA_META_DDL = "struct<format:string,width:int,height:int,n_frames:int>"
@@ -1061,7 +1062,7 @@ def dhash_images(media_df: DataFrame) -> DataFrame:
 def phash_near_dup_pairs(media_df: DataFrame,
                          max_hamming: int = DHASH_HAMMING_MAX) -> DataFrame:
     """(doc_a, doc_b, hamming) for banded-candidate image pairs."""
-    sigs = dhash_images(media_df).localCheckpoint(eager=False)
+    sigs = dhash_images(media_df).localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     bands = F.array(*[
         F.struct(
             F.lit(j).alias("band_idx"),

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
 from grpc_map_reduce_spark.sources.tables import spread, table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -51,7 +52,7 @@ def bm25_scores(docs: DataFrame, terms: list[str], k1: float = BM25_K1,
     # ``checkpoint()`` to HDFS gives the fault-tolerant equivalent.)
     tf = (
         tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -143,7 +144,7 @@ def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
         spread(docs).select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)  # feeds df AND scoring
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)  # feeds df AND scoring
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))

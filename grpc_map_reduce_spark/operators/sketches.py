@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
 from grpc_map_reduce_spark.sources.tables import table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 CMS_DEPTH = 4   # number of hash rows (error probability ~ exp(-depth))
 CMS_WIDTH = 64  # counters per row (overestimate ~ n_tokens / width)
@@ -60,7 +61,7 @@ def cms_frequency_estimates(docs: DataFrame) -> DataFrame:
     wc = (
         docs.select(F.explode(words("text")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("n_exact"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
     rows = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
     hashed = wc.select("word", "n_exact", rows).withColumn(
@@ -796,7 +797,7 @@ def source_overlap_kmv(docs: DataFrame, k: int = SRC_KMV_K) -> DataFrame:
         sh.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= k)
         .withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= k)
         .select("source", "h")
-        .localCheckpoint(eager=False)  # both sides of the pair probe
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)  # both sides of the pair probe
     )
     srcs = sk.select("source").distinct()
     pairs = (

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.text import words
 from grpc_map_reduce_spark.sources.tables import spread, table
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 #: Vocabulary size for the registered query — small enough that the
 #: 31-word fixture corpus produces real OOV tokens (a K ≥ corpus
@@ -66,7 +67,7 @@ def doc_term_freqs(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
 
 
@@ -266,7 +267,7 @@ def bpe_merges_from_counts(word_counts: DataFrame,
             F.split(F.col("word"), "").alias("syms"),
             "n",
         )
-        .localCheckpoint()  # the loop re-reads this table every round
+        .localCheckpoint(storageLevel=PIN_LEVEL)  # the loop re-reads this table every round
     )
 
     if wc.count() <= local_max_words:
@@ -328,7 +329,7 @@ def bpe_merges_from_counts(word_counts: DataFrame,
         # each round runs ONE job instead of two
         wc = wc.mapInPandas(
             _apply, schema="syms array<string>, n long"
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
 
     return spark.createDataFrame(
         merges, schema="rank long, left string, right string, "
@@ -588,7 +589,7 @@ def vocab_coverage_curve(docs: DataFrame,
         .select(F.explode(words("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)  # feeds the top-K AND the total
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)  # feeds the top-K AND the total
     )
     top = wc.orderBy(F.col("n").desc(), "word").limit(max(ks))
     # rank over the ≤max(ks)-row post-limit table (documented-tiny

@@ -27,6 +27,7 @@ test_round6_ops.py).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 #: Session conf key: when set to a storage path, iterative operators
@@ -63,4 +64,31 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         if sc._jsc.sc().getCheckpointDir().isEmpty():
             sc.setCheckpointDir(path)
         return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    # SERIALIZED memory+disk for the pinned blocks (PySpark's
+    # MEMORY_AND_DISK; the JVM default is the DESERIALIZED variant).
+    # Deserialized unroll of a large checkpoint block is exactly where
+    # the capped-heap 125x probe OOM'd (MemoryStore putIteratorAsValues
+    # → SizeEstimator while 32 tasks unroll at once); the serialized
+    # path reserves unroll memory incrementally in byte-buffer units
+    # and degrades to disk instead of dying.  Cost: one serialize per
+    # round on state that is read exactly once next round — noise at
+    # fixture scale (bench-gated), and the difference between "needs
+    # 2x heap headroom" and "runs in the heap it's given" at 125x.
+    return df.localCheckpoint(eager=eager,
+                              storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
+#: Storage level for every operator-level ``localCheckpoint`` pin —
+#: pass as ``df.localCheckpoint(eager=..., storageLevel=PIN_LEVEL)``.
+#: SERIALIZED memory+disk, for the same reason as the local path
+#: above: the pins are the engine's only O(corpus) materializations
+#: (shingle explodes, posting lists, token tables), and the
+#: deserialized JVM default unrolls them as object arrays whose
+#: memory is reserved in whole-block units.  Under a capped heap with
+#: 32 tasks unrolling simultaneously that is exactly where the 125x
+#: probe OOM'd; the serialized path reserves incrementally and spills
+#: the tail of a block to disk instead of failing the job.  Pins stay
+#: local even in reliable-checkpoint mode: a pin lives within one
+#: query, so recompute-on-executor-loss is the plan's normal
+#: (re)execution, not a correctness risk.
+PIN_LEVEL = StorageLevel.MEMORY_AND_DISK

@@ -168,3 +168,46 @@ def test_guards_are_on_by_default():
                similarity.embedding_lsh_near_dup):
         assert (inspect.signature(fn).parameters["max_bucket"].default
                 == similarity.EMB_LSH_MAX_BUCKET_DEFAULT), fn.__name__
+
+
+def test_pin_storage_level_is_serialized(spark):
+    """VERDICT r5 item 1 follow-through: the 125x capped-heap probe
+    OOM'd unrolling DESERIALIZED localCheckpoint blocks (MemoryStore
+    putIteratorAsValues under 32 concurrent tasks).  Every pin in the
+    engine — iter_checkpoint's local path and the operator-level
+    PIN_LEVEL sites — must therefore store SERIALIZED memory+disk,
+    which reserves unroll memory incrementally and spills instead of
+    failing.  Assert the level on a live checkpointed frame, not just
+    the constant."""
+    from pyspark import StorageLevel
+
+    from grpc_map_reduce_spark.plans.checkpoint import (
+        PIN_LEVEL,
+        iter_checkpoint,
+    )
+
+    assert PIN_LEVEL == StorageLevel.MEMORY_AND_DISK
+    assert not PIN_LEVEL.deserialized
+    assert PIN_LEVEL.useDisk and PIN_LEVEL.useMemory
+
+    # DataFrame.storageLevel consults the CACHE manager, which does
+    # not track localCheckpoint blocks — diff the live persisted-RDD
+    # registry around the checkpoint and read the level off the NEW
+    # entry (the shared test session may hold other tests' caches,
+    # including deserialized DataFrame .persist() ones).
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    df = iter_checkpoint(spark.range(10).toDF("n"), eager=True)
+    assert df.count() == 10
+    new_levels = {
+        str(rdd.getStorageLevel())
+        for rid, rdd in jsc.getPersistentRDDs().items()
+        if rid not in before
+    }
+    assert new_levels, "eager localCheckpoint must register a persisted RDD"
+    # JVM toString: "StorageLevel(disk, memory, 1 replicas)" when
+    # serialized; a "deserialized" token appears for the JVM default.
+    for lvl in new_levels:
+        assert "disk, memory" in lvl and "deserialized" not in lvl, (
+            f"pinned blocks must be SERIALIZED memory+disk; got {new_levels}"
+        )
