@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,18 +185,31 @@ PAGERANK_EDGE_THRESHOLD = 0.008  # dense graph: ~6k edges at sf0.01
 
 
 def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
-             n_iter: int = PAGERANK_ITERS) -> DataFrame:
+             n_iter: int = PAGERANK_ITERS,
+             edges_unique: bool = False) -> DataFrame:
     """(node, rank) after ``n_iter`` power iterations on the
     symmetrized ``edges`` (src/dst).  Nodes = every id in the edge
-    set; the symmetric closure means no dangling nodes."""
+    set; the symmetric closure means no dangling nodes.
+
+    ``edges_unique=True`` asserts the input holds each undirected
+    edge exactly once as a canonical (lo, hi) pair — true of every
+    ``lsh_near_dup`` output — and skips the symmetric closure's
+    ``distinct()``: at 125x fixture volume that dedup re-shuffles the
+    widest table in the prologue (2x the edge count) for zero effect.
+    Leave False for arbitrary edge lists; a duplicated or
+    both-orientations input would otherwise double-count degree and
+    contributions."""
     # Pin the incoming edge set FIRST: it is read by both union
     # branches and (via sym) by the degree aggregate — without the
     # checkpoint an expensive edge-gen lineage (the LSH pipeline)
     # re-executes once per consumer branch inside the one action.
     edges = iter_checkpoint(edges, eager=False)
-    sym = iter_checkpoint(edges.union(
+    sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct(), eager=False)
+    )
+    if not edges_unique:
+        sym = sym.distinct()
+    sym = iter_checkpoint(sym, eager=False)
     deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
     # Fold the out-degree onto each edge ONCE: every iteration then
     # does one join (ranks) + one groupBy instead of re-deriving the
@@ -207,7 +221,14 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     # and each iteration ships only the small rank table to it (the
     # GraphX pattern: edges stay put, ranks move).
     n_part = edges.sparkSession.sparkContext.defaultParallelism
-    sym_deg = sym.join(deg, "src").repartition(n_part, "src").persist()
+    # Serialized cache level for the loop-invariant edge table, same
+    # policy as PIN_LEVEL: the dense diagnostic graph holds this cache
+    # resident across all K iterations, and the deserialized columnar
+    # default was a third of the 125x probe's 13 GB pool-sum peak.
+    sym_deg = (
+        sym.join(deg, "src").repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = iter_checkpoint(deg.select(F.col("src").alias("node")), eager=False)
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -237,7 +258,10 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_near_dup(
         table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return pagerank(edges).withColumnRenamed("node", "doc_id")
+    # lsh_near_dup emits each undirected pair once (doc_a < doc_b) —
+    # skip the symmetric closure's redundant distinct.
+    return pagerank(edges, edges_unique=True).withColumnRenamed(
+        "node", "doc_id")
 
 
 def _pagerank_oracle() -> str:
@@ -392,9 +416,14 @@ FROM clusters c JOIN qual q USING (doc_id)
 # clustering_coeff_bp = floor(2·T·10⁴ / (deg·(deg−1))) — exact-int
 # numerator and denominator, one IEEE division + floor: hash-stable
 # (functions.money rationale).
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, edges_unique: bool = False) -> DataFrame:
     """Per-node triangle count + degree + clustering coefficient (bp)
-    for every node of the undirected simple graph ``edges``."""
+    for every node of the undirected simple graph ``edges``.
+
+    ``edges_unique=True`` (the :func:`pagerank` contract: one
+    canonical (lo, hi) row per undirected edge, no self-loops) skips
+    the prologue's canonicalize-and-``distinct()`` exchange — one
+    fewer full shuffle of the pair table before the eager pin."""
     # Pin the canonical edge set: it feeds FOUR consumers (two wedge
     # legs, the closure probe, the degree count) — without the
     # checkpoint each consumer re-evaluates the whole upstream
@@ -411,14 +440,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # chain's job, drops the lineage references, and lets the shuffle
     # cleaner reclaim the chain's files while the wedge phase runs:
     # peak disk = max(chain, wedges) instead of chain + wedges.
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=PIN_LEVEL)
-    )
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    if not edges_unique:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True, storageLevel=PIN_LEVEL)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("degree")
@@ -492,7 +519,9 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return triangle_counts(edges).withColumnRenamed("node", "doc_id")
+    # lsh_near_dup emits each undirected pair once (doc_a < doc_b).
+    return triangle_counts(edges, edges_unique=True).withColumnRenamed(
+        "node", "doc_id")
 
 
 ORACLE_TRIANGLES = f"""
@@ -541,15 +570,28 @@ FROM deg d LEFT JOIN per_node p USING (node)
 LPA_ITERS = 3
 
 
-def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
+def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS,
+                      edges_unique: bool = False) -> DataFrame:
     """(node, community, community_size) after ``n_iter`` synchronous
-    majority-vote rounds; initial label = node id."""
+    majority-vote rounds; initial label = node id.
+
+    ``edges_unique`` has the same contract as in :func:`pagerank`:
+    True asserts one canonical (lo, hi) row per undirected edge and
+    skips the symmetric closure's ``distinct()`` (a duplicate row
+    would otherwise double-count that neighbor's vote)."""
     edges = iter_checkpoint(edges, eager=False)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    if not edges_unique:
+        sym = sym.distinct()
     n_part = edges.sparkSession.sparkContext.defaultParallelism
-    sym = sym.repartition(n_part, "dst").persist()
+    # Serialized loop-invariant cache, same policy as pagerank's
+    # sym_deg pin (see the 125x probe note there).
+    sym = (
+        sym.repartition(n_part, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = sym.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(n_iter):
@@ -584,7 +626,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_near_dup(
         table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return label_propagation(edges).withColumnRenamed("node", "doc_id")
+    # lsh_near_dup emits each undirected pair once (doc_a < doc_b).
+    return label_propagation(edges, edges_unique=True).withColumnRenamed(
+        "node", "doc_id")
 
 
 def _lpa_oracle() -> str:

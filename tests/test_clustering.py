@@ -93,6 +93,56 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert got == want
 
 
+def test_pagerank_edges_unique_matches_default_on_canonical_edges(spark):
+    # The edges_unique=True fast path (skips the symmetric closure's
+    # distinct) must be rank-identical to the default path whenever
+    # the input really is one canonical (lo, hi) row per undirected
+    # edge — the lsh_near_dup contract.
+    import random
+
+    from grpc_map_reduce_spark.operators.clustering import pagerank
+
+    rng = random.Random(7)
+    seen = set()
+    while len(seen) < 40:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(seen), "src long, dst long")
+    default = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(df, edges_unique=True).collect()}
+    assert fast == default
+
+
+def test_lpa_and_triangles_edges_unique_match_default(spark):
+    # Same parity contract for the other two edges_unique fast paths.
+    import random
+
+    from grpc_map_reduce_spark.operators.clustering import (
+        label_propagation,
+        triangle_counts,
+    )
+
+    rng = random.Random(11)
+    seen = set()
+    while len(seen) < 60:
+        a, b = rng.randrange(20), rng.randrange(20)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(seen), "src long, dst long")
+
+    lpa_default = {tuple(r) for r in label_propagation(df).collect()}
+    lpa_fast = {tuple(r)
+                for r in label_propagation(df, edges_unique=True).collect()}
+    assert lpa_fast == lpa_default
+
+    tri_default = {tuple(r) for r in triangle_counts(df).collect()}
+    tri_fast = {tuple(r)
+                for r in triangle_counts(df, edges_unique=True).collect()}
+    assert tri_fast == tri_default
+
+
 def test_canonical_one_per_cluster_max_quality(spark, sf_dir):
     from grpc_map_reduce_spark.operators.clustering import canonical_docs
     from grpc_map_reduce_spark.sources.tables import table
