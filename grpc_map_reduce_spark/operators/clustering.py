@@ -167,6 +167,90 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe train/test split: hash CLUSTERS into splits, not
+# documents.  The doc-level hash_split (sketches.py) leaks near-dups
+# across the boundary — a test document whose near-copy sits in train
+# inflates eval scores (the standard contamination failure in LM
+# corpus prep; decontamination papers call this split leakage).
+# Hashing the dedup cluster id instead guarantees every near-dup
+# neighborhood lands wholly on one side.  Pure extension surface: the
+# reference engine has no notion of dataset splits at all.
+#
+# Scale: reuses the sub-quadratic LSH→CC assignment (one extra map
+# column on top of dedup_clusters); the doc→cluster join is the same
+# shuffle join dedup_clusters already does and the final aggregate is
+# two rows.  Nothing here is new shuffle surface.
+
+
+def leakage_safe_split(docs: DataFrame,
+                       threshold: float = CLUSTER_JACCARD_THRESHOLD,
+                       n: int = 3,
+                       train_pct: int = 90) -> DataFrame:
+    """Per-doc (doc_id, n_chars, cluster_id, split) with the split
+    decided by ``md5(cluster_id) % 100 < train_pct`` — deterministic,
+    engine-replayable, and constant within each near-dup cluster, so
+    no cluster ever straddles train/test."""
+    assign = dedup_clusters(docs, threshold=threshold, n=n)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(assign, "doc_id")
+        .withColumn(
+            "split",
+            F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test")),
+        )
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split report: doc/cluster/char counts per side — the numbers a
+    pipeline checks before committing a split (ratio near target,
+    clusters never straddling by construction)."""
+    per_doc = leakage_safe_split(table(spark, sf_dir, "documents"))
+    return per_doc.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# Same recursive-CTE cluster assignment as ORACLE_DEDUP_CLUSTERS, then
+# the md5-bucket CASE replayed on cluster_id (hash_split idiom).
+ORACLE_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE {lsh_pairs_sql(CLUSTER_JACCARD_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.src AS id, reach.r AS r
+    FROM edges e JOIN reach ON e.dst = reach.id
+),
+clusters AS (
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+labeled AS (
+    SELECT d.doc_id, d.n_chars, c.cluster_id,
+           CASE WHEN (('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100) < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d JOIN clusters c USING (doc_id)
+)
+SELECT split,
+       count(*)                     AS n_docs,
+       count(DISTINCT cluster_id)   AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM labeled
+GROUP BY split
+"""
+
+
+# --------------------------------------------------------------------------
 # PageRank over the (denser, low-threshold) near-dup graph: which
 # documents sit at the center of duplicate neighborhoods?  High-rank
 # docs are canonical-copy candidates; the iteration pattern is the
@@ -687,4 +771,8 @@ QUERIES = [
     ("dedup_canonical", q_dedup_canonical, ORACLE_DEDUP_CANONICAL,
      "Keep-best-per-cluster canonical selection: quality argmax via "
      "max(struct), no ranking window, total per-doc flags."),
+    ("docs_leakage_safe_split", q_leakage_safe_split, ORACLE_LEAKAGE_SPLIT,
+     "Cluster-hash train/test split: near-dup clusters never straddle "
+     "the boundary (the contamination guard the doc-level hash_split "
+     "lacks)."),
 ]

@@ -143,6 +143,31 @@ def test_lpa_and_triangles_edges_unique_match_default(spark):
     assert tri_fast == tri_default
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark, sf_dir):
+    # The whole point of the cluster-hash split: every near-dup
+    # cluster is wholly train or wholly test, and the assignment is
+    # total (every doc appears exactly once).
+    from pyspark.sql import functions as F
+
+    from grpc_map_reduce_spark.operators.clustering import leakage_safe_split
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = leakage_safe_split(docs)
+    straddlers = (
+        per_doc.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    assert per_doc.count() == docs.count()
+    assert per_doc.select("doc_id").distinct().count() == docs.count()
+    # Both sides non-empty at fixture scale (md5 buckets spread).
+    sides = {r["split"] for r in per_doc.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
+
+
 def test_canonical_one_per_cluster_max_quality(spark, sf_dir):
     from grpc_map_reduce_spark.operators.clustering import canonical_docs
     from grpc_map_reduce_spark.sources.tables import table
