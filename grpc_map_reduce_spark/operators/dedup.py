@@ -312,17 +312,31 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n: int = 3,
                        sets: DataFrame | None = None) -> DataFrame:
-    """Per-doc MinHash signature columns m0..m15."""
+    """Per-doc MinHash signature columns m0..m15.
+
+    Computed map-side: each permutation min is ``array_min`` over a
+    ``transform`` of the doc's shingle-hash array — same arithmetic as
+    the original explode→groupBy(min) formulation (hashes identical),
+    but zero row expansion and zero aggregate: the explode version
+    materialized docs×shingles rows only to re-collapse them, and at
+    125× fixture volume that row stream is the widest intermediate in
+    the whole LSH chain.  The ``size > 0`` filter reproduces explode's
+    drop of empty shingle sets (``array_min([]) = NULL`` would
+    otherwise bucket all empty docs together downstream)."""
     if sets is None:
         sets = _shingle_sets(docs, n)
-    sh = sets.select("doc_id", F.explode("sh_set").alias("sh_h")).withColumn(
-        "h", F.col("sh_h") % MINHASH_P
-    )
+    hs = F.transform("sh_set", lambda x: x % MINHASH_P)
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        F.array_min(
+            F.transform(F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return (
+        sets.filter(F.size("sh_set") > 0)
+        .select("doc_id", hs.alias("_hs"))
+        .select("doc_id", *mins)
+    )
 
 
 #: Hot-band-bucket guard, ON by default (round 6): a band bucket
