@@ -331,6 +331,12 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
             ),
             eager=False,
         )
+    # Materialize the final ranks (cuts their lineage back to
+    # sym_deg), then release the cached edge table — same long-lived
+    # session leak LPA had: without this every invocation strands
+    # sym_deg's cached blocks.
+    ranks = iter_checkpoint(ranks)
+    sym_deg.unpersist(blocking=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -124,3 +124,47 @@ def test_incremental_matches_symmetric_cross_side(spark, sf_dir):
         r = got[d]
         assert not r["is_dup"] and r["n_matches"] == 0
         assert (r["best_match_id"], r["best_jaccard"]) == (-1, 0.0)
+
+
+def test_minhash_signatures_match_explode_formulation(spark):
+    """The map-side array_min∘transform signature (round 6) must be
+    value-identical to the original explode→groupBy(min) formulation,
+    including dropping docs whose shingle set is empty (explode emits
+    no rows for them; the array path must filter, or empty docs would
+    all share NULL-keyed band buckets)."""
+    import random
+
+    from grpc_map_reduce_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _shingle_sets,
+        minhash_signatures,
+    )
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(30):
+        n_words = rng.randrange(0, 12)  # 0 → empty shingle set
+        rows.append((doc_id, " ".join(rng.choice(words) for _ in range(n_words))))
+    rows.append((30, ""))        # definitely empty
+    rows.append((31, "a b c"))   # exactly one 3-shingle
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = _shingle_sets(docs)
+    got = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(16))
+           for r in minhash_signatures(docs, sets=sets).collect()}
+
+    sh = sets.select("doc_id", F.explode("sh_set").alias("sh_h")).withColumn(
+        "h", F.col("sh_h") % MINHASH_P
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    want = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(16))
+            for r in sh.groupBy("doc_id").agg(*mins).collect()}
+
+    assert got == want
+    assert 30 not in got, "empty-text doc must be dropped, not NULL-signed"
