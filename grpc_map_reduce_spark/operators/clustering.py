@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.dedup import (
-    LSH_MAX_BUCKET_DEFAULT, lsh_near_dup, lsh_pairs_sql)
+    LSH_MAX_BUCKET_DEFAULT, LSH_NEAR_DUP_THRESHOLD, lsh_near_dup,
+    lsh_pairs_sql)
 from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL, iter_checkpoint
 from grpc_map_reduce_spark.sources.tables import table
 
@@ -247,6 +248,60 @@ SELECT split,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM labeled
 GROUP BY split
+"""
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report for the DOC-level hash split: near-dup
+    pairs bucketed by the splits their endpoints landed in.  The
+    ``train|test`` cell counts the leaked pairs — eval documents whose
+    near-copy sits in train — i.e. exactly what
+    :func:`leakage_safe_split` drives to zero by hashing clusters
+    instead.  Run this against any externally-produced split before
+    trusting its eval numbers.
+
+    Scale: one LSH pass (guard default-ON on both engines, see
+    ``lsh_pairs_sql``) + two shuffle joins of the tiny (doc_id, split)
+    table onto the pair endpoints + a 3-row aggregate.
+    """
+    from grpc_map_reduce_spark.operators.sketches import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_near_dup(docs).select("doc_a", "doc_b")
+    s = hash_split(docs.select("doc_id")).select("doc_id", "split")
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+ORACLE_SPLIT_CONTAMINATION = f"""
+WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
+splits AS (
+    SELECT doc_id,
+           CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100) < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+),
+cells AS (
+    SELECT least(sa.split, sb.split)    AS split_a,
+           greatest(sa.split, sb.split) AS split_b
+    FROM pairs p
+    JOIN splits sa ON p.doc_a = sa.doc_id
+    JOIN splits sb ON p.doc_b = sb.doc_id
+)
+SELECT split_a, split_b, count(*) AS n_pairs
+FROM cells
+GROUP BY split_a, split_b
 """
 
 
@@ -781,4 +836,9 @@ QUERIES = [
      "Cluster-hash train/test split: near-dup clusters never straddle "
      "the boundary (the contamination guard the doc-level hash_split "
      "lacks)."),
+    ("docs_split_contamination", q_split_contamination,
+     ORACLE_SPLIT_CONTAMINATION,
+     "Near-dup pairs bucketed by their endpoints' doc-level splits: "
+     "the train|test cell is the leaked-pair count a cluster-hash "
+     "split eliminates."),
 ]

@@ -168,3 +168,18 @@ def test_minhash_signatures_match_explode_formulation(spark):
 
     assert got == want
     assert 30 not in got, "empty-text doc must be dropped, not NULL-signed"
+
+
+def test_split_contamination_cells_partition_the_pair_set(spark, sf_dir):
+    """Every near-dup pair lands in exactly one split cell, and the
+    leaked cell (train|test) plus the pure cells sum to the full pair
+    count — the report is a partition, not a sample."""
+    from grpc_map_reduce_spark.operators.clustering import q_split_contamination
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    n_pairs = lsh_near_dup(docs).count()
+    cells = q_split_contamination(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in cells) == n_pairs
+    for r in cells:
+        assert r["split_a"] <= r["split_b"]
