@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from grpc_map_reduce_spark.operators.dedup import (
     LSH_MAX_BUCKET_DEFAULT, LSH_NEAR_DUP_THRESHOLD, lsh_near_dup,
     lsh_pairs_sql)
+from grpc_map_reduce_spark.operators.sketches import SPLIT_TRAIN_PCT
 from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL, iter_checkpoint
 from grpc_map_reduce_spark.sources.tables import table
 
@@ -186,7 +187,7 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 def leakage_safe_split(docs: DataFrame,
                        threshold: float = CLUSTER_JACCARD_THRESHOLD,
                        n: int = 3,
-                       train_pct: int = 90) -> DataFrame:
+                       train_pct: int = SPLIT_TRAIN_PCT) -> DataFrame:
     """Per-doc (doc_id, n_chars, cluster_id, split) with the split
     decided by ``md5(cluster_id) % 100 < train_pct`` — deterministic,
     engine-replayable, and constant within each near-dup cluster, so
@@ -238,7 +239,7 @@ clusters AS (
 labeled AS (
     SELECT d.doc_id, d.n_chars, c.cluster_id,
            CASE WHEN (('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8))::BIGINT
-                      % 100) < 90
+                      % 100) < {SPLIT_TRAIN_PCT}
                 THEN 'train' ELSE 'test' END AS split
     FROM documents d JOIN clusters c USING (doc_id)
 )
@@ -288,7 +289,7 @@ WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
 splits AS (
     SELECT doc_id,
            CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                      % 100) < 90
+                      % 100) < {SPLIT_TRAIN_PCT}
                 THEN 'train' ELSE 'test' END AS split
     FROM documents
 ),
