@@ -76,7 +76,10 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # by construction — should be FLAT), and the composed
           # three-rule attribution (windows + the full LSH chain)
           "dedup_communities_lpa", "source_overlap_kmv",
-          "dedup_rule_attribution"]
+          "dedup_rule_attribution",
+          # round-6 split-integrity queries: CC-backed cluster split
+          # and the LSH-backed contamination report
+          "docs_leakage_safe_split", "docs_split_contamination"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
