@@ -197,3 +197,22 @@ def test_lang_id_short_doc_gets_und(spark):
     assert rows[2]["pred_lang"] == "und" and rows[2]["score"] == 0
     assert not rows[2]["is_correct"]
     assert rows[1]["pred_lang"] == "en" and rows[1]["is_correct"]
+
+
+def test_semdedup_auto_k_rule():
+    """The auto-scaled K must be fixture-invisible (floor at KMEANS_K
+    for every test SF, keeping the unrolled-Lloyd oracle an exact
+    twin) and grow ∝ n past the floor so per-cluster work stays
+    bounded."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        KMEANS_K,
+        SEMDEDUP_TARGET_CLUSTER_ROWS,
+        semdedup_auto_k,
+    )
+
+    assert semdedup_auto_k(200) == KMEANS_K       # sf0.01 fixture
+    assert semdedup_auto_k(2000) == KMEANS_K      # sf0.1 fixture
+    boundary = KMEANS_K * SEMDEDUP_TARGET_CLUSTER_ROWS
+    assert semdedup_auto_k(boundary - 1) == KMEANS_K
+    assert semdedup_auto_k(50_000) == 50_000 // SEMDEDUP_TARGET_CLUSTER_ROWS
+    assert semdedup_auto_k(50_000) > KMEANS_K

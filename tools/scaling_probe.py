@@ -79,13 +79,25 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           "dedup_rule_attribution",
           # round-6 split-integrity queries: CC-backed cluster split
           # and the LSH-backed contamination report
-          "docs_leakage_safe_split", "docs_split_contamination"]
+          "docs_leakage_safe_split", "docs_split_contamination",
+          # embedding family (round 6): brute top-k (fixed anchors —
+          # linear), the IVF scale path, hyperplane-LSH near-dup (the
+          # sub-quadratic candidate path; embedding_near_dup is the
+          # EXACT all-pairs baseline, quadratic BY CONTRACT, so probing
+          # it only re-measures its documented O(n²)), and SemDeDup
+          # with the auto-scaled K — replicated embeddings get
+          # per-replica rolled vectors (see synthesize) so these
+          # measure volume, not clone cliques
+          "ann_cosine_topk", "ann_ivf_topk", "embedding_lsh_neardup",
+          "semdedup"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
+    "embeddings": "vec_id",
 }
+EMB_DIM = 64  # fixture embedding width (len(embedding) is constant)
 SHIFT = 10**9
 
 
@@ -109,15 +121,22 @@ def _rot(k: int) -> str:
 
 def synthesize(spark, mult: int) -> str:
     out = os.path.join(SCRATCH, f"x{mult}")
-    done = os.path.join(out, "_COMPLETE")
+    # v2: embeddings are now replicated (rolled per replica).  A v1
+    # dir (legacy _COMPLETE marker) has every OTHER table already
+    # correct, so only embeddings is rewritten.
+    done = os.path.join(out, "_COMPLETE_v2")
+    legacy = os.path.join(out, "_COMPLETE")
     if os.path.exists(done):
         return out
-    shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
+    if not os.path.exists(legacy):
+        shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
+        if tbl != "embeddings" and os.path.exists(legacy):
+            continue
         src = spark.read.parquet(os.path.join(BASE_SF, f"{tbl}.parquet"))
         if tbl in KEYED and mult > 1:
             key = KEYED[tbl]
@@ -127,6 +146,22 @@ def synthesize(spark, mult: int) -> str:
                 if tbl == "documents" and k:
                     r = r.withColumn(
                         "text", F.translate("text", ALPHABET, _rot(k))
+                    )
+                if tbl == "embeddings" and k:
+                    # Roll each replica's vector by a per-replica
+                    # offset — the vector analog of the text rotation:
+                    # bijective and norm-preserving (each replica's
+                    # INTERNAL neighbor structure is exactly the
+                    # source's), while cross-replica cosine decorrelates
+                    # so replication measures corpus growth, not
+                    # m-clone cliques.
+                    off = (k % (EMB_DIM - 1)) + 1
+                    r = r.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", off + 1, EMB_DIM - off),
+                            F.slice("embedding", 1, off),
+                        ),
                     )
                 reps.append(r)
             df = reps[0]
