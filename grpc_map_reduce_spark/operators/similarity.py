@@ -501,32 +501,51 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.4
 
 
 # --------------------------------------------------------------------------
+def _model_broadcast(cent: DataFrame):
+    """Collect the one-row centroid summary and ship it as a REAL
+    Spark broadcast (torrent, once per executor).
+
+    The previous idiom — ``corpus.join(F.broadcast(cent))`` before
+    ``mapInPandas`` — duplicates the k×d float64 matrix onto EVERY
+    corpus row inside the Arrow batches: O(n·k·d) bytes.  Invisible at
+    the fixture K=8 (4 KB/row), a cliff once K scales with the corpus
+    (the 125× probe measured semdedup at 101 s with K=488 ⇒ 250 KB/row
+    — the model copy dwarfed the math).  The collect here is the
+    MODEL, k×d doubles — the same bounded driver-scalar class as the
+    BPE merge table (vocab.py), not corpus data.
+
+    Returns ``(k, broadcast)`` where ``broadcast.value`` is the raw
+    float64 centroid bytes.
+    """
+    row = cent.first()
+    k = len(row["cent_ids"])
+    bc = cent.sparkSession.sparkContext.broadcast(bytes(row["cent_mat"]))
+    return k, bc
+
+
 def _lloyd_refine(base: DataFrame, cent: DataFrame, n_iter: int) -> DataFrame:
     """``n_iter`` rounds of Lloyd's k-means on the spherical centroids.
 
     Each round is one map pass over the corpus (broadcast-assign +
     per-partition partial sums — the classic map-side combine) and one
     tiny all-to-one aggregation of O(lists × partitions) partial rows;
-    the corpus is never shuffled and nothing reaches the driver.
-    Deterministic: partials carry their partition id and the combiner
-    sums in (list_id, pid) order, so the float accumulation order is
-    fixed across runs.  Empty lists keep their previous centroid.
+    the corpus is never shuffled and only the k×d MODEL reaches the
+    driver (see :func:`_model_broadcast`).  Deterministic: partials
+    carry their partition id and the combiner sums in (list_id, pid)
+    order, so the float accumulation order is fixed across runs.
+    Empty lists keep their previous centroid.
     """
     import numpy as np
     import pandas as pd
     from pyspark import TaskContext
 
-    for _ in range(n_iter):
-
+    def _make_partial(bc, k):
         def _partial(batches):
-            C = None
+            C = np.frombuffer(bc.value, dtype=np.float64).reshape(k, -1)
             sums: dict[int, tuple[int, np.ndarray]] = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
-                if C is None:
-                    C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
-                    C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
                 V = np.array(pdf["v"].tolist(), dtype=np.float64)
                 V /= np.linalg.norm(V, axis=1, keepdims=True)
                 assign = np.argmax(V @ C.T, axis=1)
@@ -543,14 +562,11 @@ def _lloyd_refine(base: DataFrame, cent: DataFrame, n_iter: int) -> DataFrame:
                 "cnt": [c for c, _ in sums.values()],
                 "s": [s.tolist() for _, s in sums.values()],
             })
+        return _partial
 
-        partials = base.join(F.broadcast(cent)).mapInPandas(
-            _partial, schema="pid long, list_id long, cnt long, s array<double>"
-        )
-
+    def _make_combine(bc, k):
         def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
-            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
-            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1).copy()
+            C = np.frombuffer(bc.value, dtype=np.float64).reshape(k, -1).copy()
             pdf = pdf.sort_values(["list_id", "pid"])
             for li, grp in pdf.groupby("list_id"):
                 total = np.zeros(C.shape[1])
@@ -563,12 +579,21 @@ def _lloyd_refine(base: DataFrame, cent: DataFrame, n_iter: int) -> DataFrame:
                 "cent_ids": [np.arange(C.shape[0], dtype=np.int64)],
                 "cent_mat": [C.tobytes()],
             })
+        return _combine
+
+    for _ in range(n_iter):
+        k, bc = _model_broadcast(cent)
+        partials = base.mapInPandas(
+            _make_partial(bc, k),
+            schema="pid long, list_id long, cnt long, s array<double>",
+        )
 
         cent = iter_checkpoint(
-            partials.join(F.broadcast(cent))
+            partials
             .withColumn("g", F.lit(0))
             .groupBy("g")
-            .applyInPandas(_combine, schema="cent_ids array<long>, cent_mat binary"),
+            .applyInPandas(_make_combine(bc, k),
+                           schema="cent_ids array<long>, cent_mat binary"),
             eager=False,
         )
     return cent
@@ -609,13 +634,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if kmeans_iters > 0:
         cent = _lloyd_refine(base, cent, kmeans_iters)
 
+    n_cent, cent_bc = _model_broadcast(cent)
+
     def _assign(batches):
-        # closure state: centroid matrix arrives joined onto each row
+        # closure state: the centroid MODEL arrives via sc.broadcast
+        # (once per executor), never duplicated onto corpus rows
+        C = np.frombuffer(cent_bc.value, dtype=np.float64).reshape(n_cent, -1)
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
-            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             V /= np.linalg.norm(V, axis=1, keepdims=True)
             lists = np.argsort(-(V @ C.T), axis=1, kind="stable")
@@ -625,7 +652,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 "list_id": lists[:, 0].astype(np.int64),
             })
 
-    assigned = base.join(F.broadcast(cent)).mapInPandas(
+    assigned = base.mapInPandas(
         _assign, schema="id long, v array<double>, list_id long"
     )
 
@@ -644,11 +671,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     # Queries → (query row, probed list_id) pairs, then join to lists.
     def _probe(batches):
+        C = np.frombuffer(cent_bc.value, dtype=np.float64).reshape(n_cent, -1)
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
-            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             V /= np.linalg.norm(V, axis=1, keepdims=True)
             order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :n_probe]
@@ -662,7 +688,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
     )
-    probes = qbase.join(F.broadcast(cent)).mapInPandas(
+    probes = qbase.mapInPandas(
         _probe, schema="query_id long, qv array<double>, list_id long"
     )
 
@@ -816,13 +842,13 @@ def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
         F.col(vec_col).alias("v"),  # float32 stays JVM-side; numpy upcasts exactly
     )
     cent = _fit_centroids(base, k, n_iter)
+    n_cent, cent_bc = _model_broadcast(cent)
 
     def _assign(batches):
+        C = np.frombuffer(cent_bc.value, dtype=np.float64).reshape(n_cent, -1)
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
-            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             V /= np.linalg.norm(V, axis=1, keepdims=True)
             yield pd.DataFrame({
@@ -830,7 +856,7 @@ def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
                 "cluster": np.argmax(V @ C.T, axis=1).astype(np.int64),
             })
 
-    assigned = base.join(F.broadcast(cent)).mapInPandas(
+    assigned = base.mapInPandas(
         _assign, schema="vec_id long, cluster long"
     )
     w = Window.partitionBy("cluster")
@@ -1014,13 +1040,13 @@ def semdedup(corpus: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
     if k is None:
         k = semdedup_auto_k(base.count())
     cent = _fit_centroids(base, k, n_iter)
+    n_cent, cent_bc = _model_broadcast(cent)
 
     def _assign_nv(batches):
+        C = np.frombuffer(cent_bc.value, dtype=np.float64).reshape(n_cent, -1)
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.frombuffer(pdf["cent_mat"].iloc[0], dtype=np.float64)
-            C = C.reshape(len(pdf["cent_ids"].iloc[0]), -1)
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             V /= np.linalg.norm(V, axis=1, keepdims=True)
             yield pd.DataFrame({
@@ -1031,7 +1057,7 @@ def semdedup(corpus: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
                 "nv": list(V),
             })
 
-    clustered = base.join(F.broadcast(cent)).mapInPandas(
+    clustered = base.mapInPandas(
         _assign_nv, schema="vec_id long, cluster long, nv array<double>"
     )
 

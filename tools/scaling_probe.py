@@ -89,13 +89,20 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # per-replica rolled vectors (see synthesize) so these
           # measure volume, not clone cliques
           "ann_cosine_topk", "ann_ivf_topk", "embedding_lsh_neardup",
-          "semdedup"]
+          "semdedup",
+          # temporal-join family (round 6): events replicate as new
+          # users in the same time range (see synthesize), so
+          # per-bucket density grows with the multiplier — the stress
+          # case for range/as-of joins and session assembly
+          "events_range_join", "events_asof_join",
+          "events_session_window", "events_top_paths"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
     "embeddings": "vec_id",
+    "events": "event_id",
 }
 EMB_DIM = 64  # fixture embedding width (len(embedding) is constant)
 SHIFT = 10**9
@@ -121,21 +128,25 @@ def _rot(k: int) -> str:
 
 def synthesize(spark, mult: int) -> str:
     out = os.path.join(SCRATCH, f"x{mult}")
-    # v2: embeddings are now replicated (rolled per replica).  A v1
-    # dir (legacy _COMPLETE marker) has every OTHER table already
-    # correct, so only embeddings is rewritten.
-    done = os.path.join(out, "_COMPLETE_v2")
-    legacy = os.path.join(out, "_COMPLETE")
+    # Scratch versioning: v2 added replicated embeddings (rolled per
+    # replica), v3 added replicated events (user-shifted).  A dir at
+    # an older version has every table NOT listed for the newer
+    # versions already correct, so only the delta is rewritten.
+    done = os.path.join(out, "_COMPLETE_v3")
+    v2 = os.path.join(out, "_COMPLETE_v2")
+    v1 = os.path.join(out, "_COMPLETE")
     if os.path.exists(done):
         return out
-    if not os.path.exists(legacy):
+    if not (os.path.exists(v1) or os.path.exists(v2)):
         shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        if tbl != "embeddings" and os.path.exists(legacy):
+        if os.path.exists(v2) and tbl != "events":
+            continue
+        if os.path.exists(v1) and tbl not in ("events", "embeddings"):
             continue
         src = spark.read.parquet(os.path.join(BASE_SF, f"{tbl}.parquet"))
         if tbl in KEYED and mult > 1:
@@ -146,6 +157,16 @@ def synthesize(spark, mult: int) -> str:
                 if tbl == "documents" and k:
                     r = r.withColumn(
                         "text", F.translate("text", ALPHABET, _rot(k))
+                    )
+                if tbl == "events" and k:
+                    # Replicas are NEW users in the SAME time range —
+                    # the realistic growth axis (denser traffic, not a
+                    # longer history).  Per-user session/path shapes
+                    # are preserved; per-time-bucket density grows
+                    # with the multiplier, which is exactly the stress
+                    # the temporal joins must survive.
+                    r = r.withColumn(
+                        "user_id", F.col("user_id") + F.lit(k * SHIFT)
                     )
                 if tbl == "embeddings" and k:
                     # Roll each replica's vector by a per-replica
