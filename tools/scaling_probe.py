@@ -95,7 +95,15 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # per-bucket density grows with the multiplier — the stress
           # case for range/as-of joins and session assembly
           "events_range_join", "events_asof_join",
-          "events_session_window", "events_top_paths"]
+          "events_session_window", "events_top_paths",
+          # composed end-to-end pipelines (the production shape) and
+          # the retrieval representative.  Caveat for retrieval/vocab
+          # shapes: replica text is alphabet-rotated, so each replica
+          # contributes a DISJOINT token space — document-frequency
+          # skew does NOT grow with the multiplier (hot terms stay
+          # fixture-hot); these probes measure volume, not term skew
+          "pipeline_training_prep", "pipeline_corpus_prep",
+          "bm25_retrieval"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
