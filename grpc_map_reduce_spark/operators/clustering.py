@@ -623,6 +623,16 @@ def triangle_counts(edges: DataFrame, edges_unique: bool = False) -> DataFrame:
         )
         .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
+    # Wedge-width experiment, measured and REJECTED (round 6): scaling
+    # the wedge exchanges to ~1M rows/partition (d.repartition(n_wide,
+    # "lo") + closure probe at the same width) removed the 125×/8 GiB
+    # task-level OOM — the run progressed through spill instead of
+    # failing allocation — but this box's DISK is the binding
+    # constraint for the dense diagnostic graph's O(m^1.5) wedge
+    # stream (>80 GB of spill), and the extra width cost 2.2× at the
+    # volumes that DO fit (25×: 17.5 → 38.4 s).  Kept at the session
+    # default; the ≥1 GB-heap-per-task geometry note in SURVEY §8.8
+    # stands as the honest scale boundary.
     e1, e2 = d.alias("e1"), d.alias("e2")
     wedges = e1.join(e2, on=F.col("e1.lo") == F.col("e2.lo")).where(
         F.col("e1.hi") < F.col("e2.hi")

@@ -402,13 +402,15 @@ def test_window_rank_suite_one_shuffle(spark, sf_dir):
 
 
 def test_kmeans_corpus_never_shuffled(spark, sf_dir):
-    """Lloyd assignment is a broadcast of the packed centroid summary
-    onto the corpus (BroadcastNestedLoopJoin of a 1-row build side);
-    the only corpus-sized Exchange is the final cluster_size window."""
+    """Lloyd assignment receives the centroid MODEL via sc.broadcast
+    (round 6: the earlier BroadcastNestedLoopJoin idiom duplicated the
+    k×d matrix onto every corpus row inside the Arrow batches), so the
+    plan has NO join of any kind; the only corpus-sized Exchange is
+    the final cluster_size window."""
     plan = _plan(spark, sf_dir, "embedding_kmeans")
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan, plan
     assert "SortMergeJoin" not in plan
 
 
