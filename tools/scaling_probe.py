@@ -103,7 +103,11 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # skew does NOT grow with the multiplier (hot terms stay
           # fixture-hot); these probes measure volume, not term skew
           "pipeline_training_prep", "pipeline_corpus_prep",
-          "bm25_retrieval"]
+          "bm25_retrieval",
+          # heavy TPC-H representatives over replicated lineitem and
+          # orders: the deepest join tree (q9) and the group-having
+          # semi-join (q18)
+          "q9_nation_year_profit", "q18_large_volume_customers"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
