@@ -515,9 +515,15 @@ def _model_broadcast(cent: DataFrame):
     BPE merge table (vocab.py), not corpus data.
 
     Returns ``(k, broadcast)`` where ``broadcast.value`` is the raw
-    float64 centroid bytes.
+    float64 centroid bytes — or ``(0, None)`` when the corpus (and so
+    the seed pack) is empty, so callers can short-circuit to an empty
+    result instead of crashing (the retired join formulation silently
+    produced an empty result on an empty corpus; a pipeline that
+    filters everything out must keep that behavior).
     """
     row = cent.first()
+    if row is None:
+        return 0, None
     k = len(row["cent_ids"])
     bc = cent.sparkSession.sparkContext.broadcast(bytes(row["cent_mat"]))
     return k, bc
@@ -583,6 +589,8 @@ def _lloyd_refine(base: DataFrame, cent: DataFrame, n_iter: int) -> DataFrame:
 
     for _ in range(n_iter):
         k, bc = _model_broadcast(cent)
+        if k == 0:  # empty corpus → empty seed pack: nothing to refine
+            return cent
         partials = base.mapInPandas(
             _make_partial(bc, k),
             schema="pid long, list_id long, cnt long, s array<double>",
@@ -635,6 +643,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cent = _lloyd_refine(base, cent, kmeans_iters)
 
     n_cent, cent_bc = _model_broadcast(cent)
+    if n_cent == 0:  # empty corpus: no lists, no results
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long")
 
     def _assign(batches):
         # closure state: the centroid MODEL arrives via sc.broadcast
@@ -843,6 +854,9 @@ def embedding_kmeans(corpus: DataFrame, k: int = KMEANS_K,
     )
     cent = _fit_centroids(base, k, n_iter)
     n_cent, cent_bc = _model_broadcast(cent)
+    if n_cent == 0:  # empty corpus: nothing to assign
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, cluster long, cluster_size long")
 
     def _assign(batches):
         C = np.frombuffer(cent_bc.value, dtype=np.float64).reshape(n_cent, -1)
@@ -1041,6 +1055,10 @@ def semdedup(corpus: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
         k = semdedup_auto_k(base.count())
     cent = _fit_centroids(base, k, n_iter)
     n_cent, cent_bc = _model_broadcast(cent)
+    if n_cent == 0:  # empty corpus: nothing to dedup
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, cluster long, n_prior_dups long, "
+                "keep boolean, max_prior_sim double")
 
     def _assign_nv(batches):
         C = np.frombuffer(cent_bc.value, dtype=np.float64).reshape(n_cent, -1)

@@ -216,3 +216,25 @@ def test_semdedup_auto_k_rule():
     assert semdedup_auto_k(boundary - 1) == KMEANS_K
     assert semdedup_auto_k(50_000) == 50_000 // SEMDEDUP_TARGET_CLUSTER_ROWS
     assert semdedup_auto_k(50_000) > KMEANS_K
+
+
+def test_centroid_operators_empty_corpus_returns_empty(spark):
+    """A pipeline that filters everything out must get an empty result
+    with the operator's schema, not a crash — the behavior the retired
+    per-row centroid join provided implicitly."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_kmeans,
+        ivf_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    km = embedding_kmeans(empty)
+    assert km.count() == 0
+    assert km.columns == ["vec_id", "cluster", "cluster_size"]
+    sd = semdedup(empty, k=4)
+    assert sd.count() == 0
+    assert sd.columns == [
+        "vec_id", "cluster", "n_prior_dups", "keep", "max_prior_sim"]
+    iv = ivf_topk(empty, empty, k=3, n_lists=4)
+    assert iv.count() == 0
+    assert iv.columns == ["query_id", "neighbor_id", "sim", "rank"]
