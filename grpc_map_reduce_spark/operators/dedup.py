@@ -419,6 +419,7 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
     """
     exploded = _band_rows(docs, n, rows_per_band, sets)
     if max_bucket is not None:
+        exploded = exploded.localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
         hot = (
             exploded.groupBy("band_idx", "key")
             .agg(F.count("*").alias("sz"))
