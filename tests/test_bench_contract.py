@@ -29,12 +29,24 @@ def test_bench_emits_one_valid_json_line_with_warm_medians():
         env=env, capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    line = proc.stdout.strip().splitlines()[-1]
-    out = json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    # Truncation contract (round 7): the LAST line is the compact
+    # summary that must survive the driver's 2 KB stdout tail; the
+    # full record is the line before it.
+    tail = json.loads(lines[-1])
+    assert set(tail) == {
+        "metric", "value", "unit", "sf", "n_queries", "repeats",
+        "cold_over_warm", "slowest", "regressed",
+    }
+    assert len(lines[-1]) < 2000, "compact summary must fit the 2 KB tail"
+    assert tail["n_queries"] == 2 and tail["sf"] == 0.001
+    out = json.loads(lines[-2])
     assert set(out) == {
         "metric", "value", "unit", "queries", "queries_cold",
         "cold_minus_warm", "cold_over_warm", "repeats", "sf"
     }
+    assert tail["value"] == out["value"]
+    assert set(tail["slowest"]) <= set(out["queries"])
     assert out["unit"] == "sec" and out["sf"] == 0.001
     assert set(out["queries"]) == {"wordcount", "inverted_index"}
     # warm-up + median discipline: every query has BOTH a cold number
@@ -70,7 +82,13 @@ def test_inventory_cold_total_within_budget():
         env=env, capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    lines = proc.stdout.strip().splitlines()
+    tail = json.loads(lines[-1])
+    # Full inventory: the compact tail must stay under the driver's
+    # 2 KB truncation window and carry the top-10 warm medians.
+    assert len(lines[-1]) < 2000
+    assert len(tail["slowest"]) == 10
+    out = json.loads(lines[-2])
     cold_total = sum(out["queries_cold"].values())
     assert out["cold_over_warm"] == round(cold_total / out["value"], 3)
     assert out["cold_over_warm"] < 1.5, (
