@@ -1,6 +1,8 @@
 """Similarity search over the ``embeddings`` table (extension E2 —
 SURVEY.md §2.2): brute-force cosine top-k as the oracle-checkable
-baseline; LSH/IVF variants are the scale path (registered rows-only).
+baseline; LSH/IVF variants are the scale path — themselves fully
+hash-checked (the md5-derived hyperplanes and the unrolled-Lloyd IVF
+oracle replay the approximate pipelines end-to-end in SQL).
 
 Scale design: the query set is broadcast (it is small by definition);
 candidates stream through a narrow projection, so the plan is
@@ -497,6 +499,154 @@ sims AS (
     FROM prods GROUP BY 1, 2
 )
 SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.4
+"""
+
+
+# --- Selective operating point (round 7) ----------------------------------
+#
+# The registration above keeps the ADVERSARIAL calibration (threshold
+# 0.4 / 6-bit bands, tuned to the fixtures' 0.4-vs-0.0 similarity
+# gap) — correct, but ~24% of all pairs become candidates, which is
+# quadratic-in-disguise (measured 151 s at the 25x probe tier).  The
+# PRODUCTION near-dup regime is high-threshold: s >= 0.9 with 16-bit
+# bands keeps the per-pair band-collision probability ~4e-3 for
+# unrelated vectors, so candidates stay O(near-dup pairs) and the
+# probe measures the path sub-linear (13.6 s @25x, 24.9 s @125x).
+#
+# The fixtures deliberately contain NO >= 0.9 pairs (max pairwise
+# cosine 0.60 at sf0.1), so a registered query at this operating
+# point would be vacuous on the raw table.  q_embedding_lsh_selective
+# therefore PLANTS one near-dup twin per vector inside the query:
+# twin = vector + per-coordinate md5-derived noise in [-1/32, 1/32)
+# (cosine ~0.986-0.994 against its original at unit norm).  Every
+# arithmetic step is IEEE-exact-replayable: u/2^52 with u < 2^52 is
+# exact, *2 / -1 / /32 are exact power-of-two ops, and the final
+# float32->double + delta addition is one identically-rounded IEEE
+# add in both engines — verified bitwise Spark-vs-DuckDB on all
+# fixtures.  The hot-bucket guard stays ON (the production default)
+# and is mirrored in the oracle's ANTI JOIN, so the guarded scale
+# path itself is what gets hash-checked.
+EMB_AUG_EPS_DEN = 32          # noise amplitude denominator (power of 2)
+EMB_AUG_ID_OFFSET = 1 << 20   # planted-twin id = vec_id + offset
+EMB_SELECTIVE_THRESHOLD = 0.9
+EMB_SELECTIVE_ROWS_PER_BAND = 16  # 96 bits -> 6 bands of 16
+
+
+def planted_near_dup_corpus(corpus: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            eps_den: int = EMB_AUG_EPS_DEN,
+                            id_offset: int = EMB_AUG_ID_OFFSET) -> DataFrame:
+    """Union the corpus with one deterministic near-dup twin per
+    vector (id + ``id_offset``, per-coordinate md5 noise scaled by
+    1/``eps_den``).  Map-only, JVM-side (``transform`` + ``md5`` +
+    ``conv``) — no shuffle, no Python.  Exists so approximate
+    operators can be exercised at their selective production
+    calibration on fixtures that have no natural near-dups."""
+    base = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(vec_col, lambda x, j: x.cast("double")).alias(vec_col),
+    )
+    # The noise key must be the ORIGINAL id while the output id is
+    # offset — rename first so Spark's lateral-column-alias resolution
+    # can't silently bind the md5 argument to the offset output alias
+    # (it did: every planted vector carried the wrong noise).
+    pert = corpus.select(
+        F.col(id_col).cast("long").alias("_oid"), F.col(vec_col).alias("_v")
+    ).select(
+        (F.col("_oid") + F.lit(id_offset)).alias(id_col),
+        F.transform(
+            "_v",
+            lambda x, j: x.cast("double")
+            + (
+                (F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(
+                            ":", F.lit("aug"),
+                            F.col("_oid").cast("string"),
+                            j.cast("string"),
+                        )), 1, 13,
+                    ), 16, 10,
+                ).cast("double") / F.lit(float(1 << 52))) * F.lit(2.0)
+                - F.lit(1.0)
+            ) / F.lit(float(eps_den)),
+        ).alias(vec_col),
+    )
+    return base.unionByName(pert)
+
+
+def q_embedding_lsh_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s>=0.9 / 16-bit-band production regime, hot-bucket guard
+    ON (the scale path as actually shipped), over the planted-twin
+    corpus.  Hash-checked end to end: ORACLE_EMB_LSH_SELECTIVE
+    replays planting, signatures, banding, the guard, and the exact
+    rescore in SQL."""
+    aug = planted_near_dup_corpus(table(spark, sf_dir, "embeddings"))
+    return embedding_lsh_near_dup(
+        aug,
+        threshold=EMB_SELECTIVE_THRESHOLD,
+        rows_per_band=EMB_SELECTIVE_ROWS_PER_BAND,
+    )
+
+
+ORACLE_EMB_LSH_SELECTIVE = f"""
+WITH aug AS (
+    SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(len(embedding))) AS t(j)
+    UNION ALL
+    SELECT vec_id + {EMB_AUG_ID_OFFSET}, j,
+           CAST(embedding[j + 1] AS DOUBLE) +
+           ((2.0 * ((('0x' || substr(md5('aug:' || CAST(vec_id AS VARCHAR)
+                                     || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT)
+                    / 4503599627370496.0) - 1.0) / {EMB_AUG_EPS_DEN}.0) AS x
+    FROM embeddings, unnest(range(len(embedding))) AS t(j)
+),
+dims AS (
+    SELECT max(len(embedding)) AS d FROM embeddings
+),
+h AS (
+    SELECT i, j,
+           2.0 * ((('0x' || substr(md5('{EMB_LSH_SEED}:' || CAST(i * d + j AS VARCHAR)), 1, 13))::BIGINT)
+                  / 4503599627370496.0) - 1.0 AS w
+    FROM dims, unnest(range({EMB_LSH_BITS})) AS ti(i), unnest(range(d)) AS tj(j)
+),
+bits AS (
+    SELECT a.vec_id, h.i,
+           CASE WHEN sum(a.x * h.w) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM aug a JOIN h ON a.j = h.j
+    GROUP BY a.vec_id, h.i
+),
+keys AS (
+    SELECT vec_id, i // {EMB_SELECTIVE_ROWS_PER_BAND} AS band_idx,
+           CAST(sum(bit * (1 << (i % {EMB_SELECTIVE_ROWS_PER_BAND}))) AS BIGINT) AS key
+    FROM bits GROUP BY vec_id, i // {EMB_SELECTIVE_ROWS_PER_BAND}
+),
+hot AS (
+    SELECT band_idx, key FROM keys
+    GROUP BY band_idx, key HAVING count(*) > {EMB_LSH_MAX_BUCKET_DEFAULT}
+),
+keys_ok AS (
+    SELECT k.vec_id, k.band_idx, k.key
+    FROM keys k ANTI JOIN hot ho
+      ON k.band_idx = ho.band_idx AND k.key = ho.key
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM keys_ok a
+    JOIN keys_ok b ON a.band_idx = b.band_idx AND a.key = b.key
+                   AND a.vec_id < b.vec_id
+),
+prods AS (
+    SELECT c.id_a, c.id_b, a.x AS ae, b.x AS be
+    FROM cand c
+    JOIN aug a ON a.vec_id = c.id_a
+    JOIN aug b ON b.vec_id = c.id_b AND b.j = a.j
+),
+sims AS (
+    SELECT id_a, id_b,
+           round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6) AS sim
+    FROM prods GROUP BY 1, 2
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= {EMB_SELECTIVE_THRESHOLD}
 """
 
 
@@ -1539,6 +1689,12 @@ QUERIES = [
      "E2 hyperplane-LSH near-dup candidates + exact cosine rescore "
      "(sub-quadratic scale path; md5-derived hyperplanes let the "
      "oracle replay the full pipeline in SQL; + recall test)."),
+    ("embedding_lsh_selective", q_embedding_lsh_selective,
+     ORACLE_EMB_LSH_SELECTIVE,
+     "E2 hyperplane-LSH near-dup at the SELECTIVE production regime "
+     "(s>=0.9, 16-bit bands, hot-bucket guard ON and oracle-mirrored) "
+     "over a deterministically planted near-dup corpus — the "
+     "sub-linear scale path, hash-checked end to end."),
     ("ann_filtered_topk", q_filtered_topk, ORACLE_FILTERED_TOPK,
      "E2 filtered vector search: metadata predicate pre-filters the "
      "corpus scan before block packing (exact at any selectivity)."),

@@ -42,3 +42,47 @@ def test_embedding_lsh_candidates_deterministic_and_pruning(spark, sf_dir):
 def test_embedding_lsh_max_bucket_guard(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     assert embedding_lsh_candidates(emb, max_bucket=1).count() == 0
+
+
+def test_selective_regime_finds_planted_twins_and_stays_selective(spark, sf_dir):
+    """Round-7 gate for the registered SELECTIVE operating point
+    (s>=0.9, 16-bit bands): the planted twin pairs must be found with
+    high recall, and the candidate set must stay near-linear — the
+    whole point of the selective calibration is that unrelated pairs
+    almost never collide in a 16-bit band."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        EMB_AUG_ID_OFFSET,
+        EMB_SELECTIVE_ROWS_PER_BAND,
+        EMB_SELECTIVE_THRESHOLD,
+        planted_near_dup_corpus,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    aug = planted_near_dup_corpus(emb)
+    assert aug.count() == 2 * n
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_near_dup(
+            aug,
+            threshold=EMB_SELECTIVE_THRESHOLD,
+            rows_per_band=EMB_SELECTIVE_ROWS_PER_BAND,
+        ).collect()
+    }
+    planted = {
+        (r.vec_id, r.vec_id + EMB_AUG_ID_OFFSET)
+        for r in emb.select("vec_id").collect()
+    }
+    # Every reported pair is a planted twin (nothing else in the
+    # fixtures is >= 0.9-similar) and recall is high: the twin cosine
+    # is ~0.986-0.994, so the 6x16-bit banding detects ~98%.
+    assert found <= planted
+    assert len(found) >= 0.9 * n, f"planted-twin recall {len(found)}/{n}"
+
+    # Selectivity: candidates stay near-linear in corpus size — far
+    # below the quadratic blow-up of the adversarial 6-bit regime.
+    cand = embedding_lsh_candidates(
+        aug, rows_per_band=EMB_SELECTIVE_ROWS_PER_BAND
+    ).count()
+    assert cand <= 4 * n, f"selective candidate set blew up: {cand} for n={n}"

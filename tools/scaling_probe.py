@@ -90,6 +90,10 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # measure volume, not clone cliques
           "ann_cosine_topk", "ann_ivf_topk", "embedding_lsh_neardup",
           "semdedup",
+          # round-7: the registered SELECTIVE operating point (s>=0.9,
+          # 16-bit bands, guard ON, planted twins) — the sub-linear
+          # claim that retires the adversarial regime's quadratic
+          "embedding_lsh_selective",
           # temporal-join family (round 6): events replicate as new
           # users in the same time range (see synthesize), so
           # per-bucket density grows with the multiplier — the stress
@@ -187,15 +191,25 @@ def synthesize(spark, mult: int) -> str:
                     # INTERNAL neighbor structure is exactly the
                     # source's), while cross-replica cosine decorrelates
                     # so replication measures corpus growth, not
-                    # m-clone cliques.
+                    # m-clone cliques.  The roll offset alone repeats
+                    # with period 63, so replicas k and k+63 would be
+                    # exact clones at mult=125; compose a second
+                    # transform keyed on k//63 — negate odd-position
+                    # coordinates when that group index is odd (also
+                    # bijective + norm-preserving, and it drives the
+                    # clone-pair cosine to ~0).  Combined period is
+                    # 126, so no two replicas collide through mult=126.
                     off = (k % (EMB_DIM - 1)) + 1
-                    r = r.withColumn(
-                        "embedding",
-                        F.concat(
-                            F.slice("embedding", off + 1, EMB_DIM - off),
-                            F.slice("embedding", 1, off),
-                        ),
+                    rolled = F.concat(
+                        F.slice("embedding", off + 1, EMB_DIM - off),
+                        F.slice("embedding", 1, off),
                     )
+                    if (k // (EMB_DIM - 1)) % 2 == 1:
+                        rolled = F.transform(
+                            rolled,
+                            lambda x, j: F.when(j % 2 == 1, -x).otherwise(x),
+                        )
+                    r = r.withColumn("embedding", rolled)
                 reps.append(r)
             df = reps[0]
             for r in reps[1:]:
