@@ -1254,7 +1254,13 @@ def semdedup(corpus: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semdedup(table(spark, sf_dir, "embeddings"))
+    # k is PINNED to KMEANS_K so ORACLE_SEMDEDUP (which unrolls Lloyd
+    # at that fixed K) is an exact twin on ARBITRARY data, not just
+    # corpora under KMEANS_K * SEMDEDUP_TARGET_CLUSTER_ROWS rows
+    # (ADVICE r6).  Scale callers keep the k=None auto-scaling
+    # default — the probe exercises that path.  Pinning also removes
+    # the construction-time count() action from the registered entry.
+    return semdedup(table(spark, sf_dir, "embeddings"), k=KMEANS_K)
 
 
 ORACLE_SEMDEDUP = f"""

@@ -89,7 +89,7 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # per-replica rolled vectors (see synthesize) so these
           # measure volume, not clone cliques
           "ann_cosine_topk", "ann_ivf_topk", "embedding_lsh_neardup",
-          "semdedup",
+          "semdedup_auto_k",
           # round-7: the registered SELECTIVE operating point (s>=0.9,
           # 16-bit bands, guard ON, planted twins) — the sub-linear
           # claim that retires the adversarial regime's quadratic
@@ -274,7 +274,20 @@ def main() -> None:
         jvm.java.lang.Runtime.getRuntime().maxMemory() / (1024 * 1024))
     print(json.dumps({"heap_max_mb": heap_max_mb,
                       "driver_memory": args.driver_memory}), flush=True)
-    qs = registry.all_queries()
+    qs = dict(registry.all_queries())
+    # Probe-only entries that deliberately differ from the registry:
+    # the REGISTERED semdedup pins k=KMEANS_K so its unrolled-Lloyd
+    # oracle is an exact twin on arbitrary data (ADVICE r6); the
+    # SCALE path is the k=None auto-K default, so that is what the
+    # probe must measure (fixed K was the 129 s-at-25x quadratic).
+    from types import SimpleNamespace
+
+    from grpc_map_reduce_spark.operators.similarity import semdedup
+    from grpc_map_reduce_spark.sources.tables import table as _table
+
+    qs["semdedup_auto_k"] = SimpleNamespace(
+        spark_fn=lambda spark, sf: semdedup(_table(spark, sf, "embeddings"))
+    )
     # absorb session/scan warmup outside the x1 timings
     qs[probes[0]].spark_fn(spark, BASE_SF).write.format("noop").mode(
         "overwrite"
