@@ -22,7 +22,15 @@ one re-read instead of the job.  Default (conf unset) stays
 ``localCheckpoint``: no behavior change locally, identical results
 either way (checkpointing is a materialization strategy, not a
 semantics change — fixture hashes are invariant, tested in
-test_round6_ops.py).
+test_round6_ops.py; recovery under injected task failure is tested in
+test_checkpoint_recovery.py).
+
+Retention: sessions built by :func:`grpc_map_reduce_spark.get_spark`
+set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+superseded rounds' checkpoint files are deleted as their frames are
+GC'd; on a foreign session without that (static) conf, per-round
+checkpoint data accumulates until the app exits — budget storage
+accordingly or enable the conf at session build.
 """
 
 from __future__ import annotations
@@ -59,11 +67,38 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     if path:
         sc = spark.sparkContext
         # setCheckpointDir appends a per-call subdirectory, so the
-        # stored dir never string-equals the conf value; set it only
-        # when nothing is set yet.
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        # stored dir never string-equals the conf value; set it when
+        # nothing is set yet, and OVERRIDE (with a warning) when a
+        # dir set for some other purpose doesn't contain the conf
+        # path — silently checkpointing into a foreign dir would make
+        # the reliable knob a no-op for operators that rely on it
+        # (ADVICE r6).
+        cur = sc._jsc.sc().getCheckpointDir()
+        if cur.isEmpty():
             sc.setCheckpointDir(path)
-        return df.checkpoint(eager=eager)
+        elif path.rstrip("/") not in cur.get():
+            import warnings
+
+            warnings.warn(
+                f"checkpoint dir {cur.get()!r} differs from "
+                f"{RELIABLE_DIR_CONF}={path!r}; overriding to the conf path",
+                stacklevel=2,
+            )
+            sc.setCheckpointDir(path)
+        # Cache-then-checkpoint, always eager: RDD checkpoint files
+        # are written by a SECOND job after the first action, which
+        # recomputes the full plan unless its blocks are cached — the
+        # classic double-compute trap (ADVICE r6).  Persisting first
+        # makes the write job read blocks; the pin is released as
+        # soon as the checkpointed frame exists.  The caller's
+        # eager=False (one-job-per-round in local mode) is
+        # deliberately ignored here: a LAZY reliable checkpoint would
+        # defer the write into whichever later action fires first and
+        # pay the recompute then, which is strictly worse.
+        df = df.persist(PIN_LEVEL)
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
     # SERIALIZED memory+disk for the pinned blocks (PySpark's
     # MEMORY_AND_DISK; the JVM default is the DESERIALIZED variant).
     # Deserialized unroll of a large checkpoint block is exactly where

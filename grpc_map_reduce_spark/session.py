@@ -52,6 +52,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(
         64 * 1024 * 1024
     ),
+    # Reliable-checkpoint retention: without this, every per-round
+    # checkpoint() under spark.graft.reliableCheckpointDir lives until
+    # the app exits — unbounded storage growth over a long job.  With
+    # it, the ContextCleaner deletes a round's checkpoint files once
+    # the frame is GC'd (i.e. when later rounds no longer reference
+    # it).  Static conf, read at SparkContext construction — it must
+    # live here, not in plans/checkpoint.py (too late to set there).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
