@@ -562,14 +562,36 @@ FROM clusters c JOIN qual q USING (doc_id)
 # clustering_coeff_bp = floor(2·T·10⁴ / (deg·(deg−1))) — exact-int
 # numerator and denominator, one IEEE division + floor: hash-stable
 # (functions.money rationale).
-def triangle_counts(edges: DataFrame, edges_unique: bool = False) -> DataFrame:
+#: Wedge rows per batch for the bounded-memory wedge phase: batches
+#: are sized so one batch's wedge exchange + closure probe stays
+#: comfortably inside a capped-heap task AND one batch's shuffle
+#: footprint bounds peak disk (each batch's partial counts are
+#: eagerly pinned, ending its job so the shuffle cleaner can reclaim
+#: its files while the next batch runs — peak disk = max(batch)
+#: instead of Σ batches).  16 M wedge rows ≈ 400 MB exchanged per
+#: batch.  Fixture volumes (≤ ~30 K wedges) always compute B = 1,
+#: which takes the exact single-plan path — registered hashes are
+#: invariant by construction.
+WEDGE_ROWS_PER_BATCH = 16_000_000
+
+
+def triangle_counts(edges: DataFrame, edges_unique: bool = False,
+                    wedge_batches: int | None = None) -> DataFrame:
     """Per-node triangle count + degree + clustering coefficient (bp)
     for every node of the undirected simple graph ``edges``.
 
     ``edges_unique=True`` (the :func:`pagerank` contract: one
     canonical (lo, hi) row per undirected edge, no self-loops) skips
     the prologue's canonicalize-and-``distinct()`` exchange — one
-    fewer full shuffle of the pair table before the eager pin."""
+    fewer full shuffle of the pair table before the eager pin.
+
+    ``wedge_batches`` bounds the wedge phase's memory/disk (round 7):
+    ``None`` auto-sizes from the exact wedge count (Σ C(out-deg, 2)
+    over the oriented edges — one tiny aggregate on the pinned table)
+    at :data:`WEDGE_ROWS_PER_BATCH` rows per batch; an explicit int
+    pins it.  Batch j processes the wedges whose MID endpoint hashes
+    to j, so every wedge lands in exactly one batch and per-node
+    counts are identical for any B (pytest-gated)."""
     # Pin the canonical edge set: it feeds FOUR consumers (two wedge
     # legs, the closure probe, the degree count) — without the
     # checkpoint each consumer re-evaluates the whole upstream
@@ -633,25 +655,66 @@ def triangle_counts(edges: DataFrame, edges_unique: bool = False) -> DataFrame:
     # volumes that DO fit (25×: 17.5 → 38.4 s).  Kept at the session
     # default; the ≥1 GB-heap-per-task geometry note in SURVEY §8.8
     # stands as the honest scale boundary.
-    e1, e2 = d.alias("e1"), d.alias("e2")
-    wedges = e1.join(e2, on=F.col("e1.lo") == F.col("e2.lo")).where(
-        F.col("e1.hi") < F.col("e2.hi")
-    ).select(
-        F.col("e1.lo").alias("u"), F.col("e1.hi").alias("v"),
-        F.col("e2.hi").alias("w"),
-    )
-    # closure probe on the CANONICAL (min-id) edge table: the wedge's
-    # open pair (v, w) is undirected, so normalize before the join.
-    tri = wedges.join(
-        e,
-        (F.least("v", "w") == F.col("a"))
-        & (F.greatest("v", "w") == F.col("b")),
-    ).select("u", "v", "w")
-    per_node = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    if wedge_batches is None:
+        # Exact wedge count from the oriented out-degrees — one small
+        # aggregate over the pinned table (materializes the lazy pin,
+        # which the wedge phase reuses immediately).
+        w_row = (
+            d.groupBy("lo").agg(F.count("*").alias("c"))
+            .agg(F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+            ).alias("w"))
+            .first()
+        )
+        n_wedges = int(w_row["w"])
+        wedge_batches = max(1, min(32, -(-n_wedges // WEDGE_ROWS_PER_BATCH)))
+
+    def _wedge_counts(e1: DataFrame) -> DataFrame:
+        e2 = d.alias("e2")
+        wedges = e1.alias("e1").join(
+            e2, on=F.col("e1.lo") == F.col("e2.lo")
+        ).where(
+            F.col("e1.hi") < F.col("e2.hi")
+        ).select(
+            F.col("e1.lo").alias("u"), F.col("e1.hi").alias("v"),
+            F.col("e2.hi").alias("w"),
+        )
+        # closure probe on the CANONICAL (min-id) edge table: the
+        # wedge's open pair (v, w) is undirected — normalize first.
+        tri = wedges.join(
+            e,
+            (F.least("v", "w") == F.col("a"))
+            & (F.greatest("v", "w") == F.col("b")),
+        ).select("u", "v", "w")
+        return (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("n_triangles"))
+        )
+
+    if wedge_batches == 1:
+        per_node = _wedge_counts(d)
+    else:
+        # Bounded-memory wedge phase: batch j owns the wedges whose
+        # MID endpoint (e1.hi, the 'v' corner) hashes to j — a
+        # partition of the wedge set, so the unioned per-node partial
+        # counts sum to exactly the single-pass numbers.  Each
+        # batch's partials are eagerly pinned: that ends the batch's
+        # job, so its wedge-exchange shuffle files are reclaimable
+        # while the next batch runs (peak heap AND peak disk are
+        # per-batch, not whole-phase).
+        partials = []
+        for j in range(wedge_batches):
+            pj = _wedge_counts(
+                d.where(F.pmod(F.xxhash64("hi"), F.lit(wedge_batches)) == j)
+            ).localCheckpoint(eager=True, storageLevel=PIN_LEVEL)
+            partials.append(pj)
+        acc = partials[0]
+        for pj in partials[1:]:
+            acc = acc.unionByName(pj)
+        per_node = acc.groupBy("node").agg(
+            F.sum("n_triangles").alias("n_triangles")
+        )
     return (
         deg.join(per_node, "node", "left")
         .select(

@@ -200,3 +200,34 @@ def test_triangle_counts_known_graph(spark):
     for n in (1, 2, 3, 4):
         assert got[n] == (3, 3, 10000)  # coeff 1.0 -> 10000 bp
     assert got[5] == (1, 0, 0) and got[6] == (1, 0, 0)
+
+
+def test_triangle_wedge_batching_invariant(spark, sf_dir):
+    """Round-7 gate for the bounded-memory wedge phase: every batch
+    count B must produce per-node results identical to the
+    single-pass plan — batching partitions the wedge set by the mid
+    endpoint's hash, it must never change what gets counted."""
+    from grpc_map_reduce_spark.operators.clustering import triangle_counts
+    from grpc_map_reduce_spark.operators.dedup import lsh_near_dup
+    from grpc_map_reduce_spark.operators.clustering import (
+        PAGERANK_EDGE_THRESHOLD,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    edges = lsh_near_dup(
+        table(spark, sf_dir, "documents"), threshold=PAGERANK_EDGE_THRESHOLD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    base = {tuple(r) for r in
+            triangle_counts(edges, edges_unique=True,
+                            wedge_batches=1).collect()}
+    assert base, "fixture produced no triangle rows"
+    for b in (3, 8):
+        got = {tuple(r) for r in
+               triangle_counts(edges, edges_unique=True,
+                               wedge_batches=b).collect()}
+        assert got == base, f"wedge_batches={b} changed the counts"
+    # auto-sizing picks B=1 at fixture volumes -> identical plan/rows
+    auto = {tuple(r) for r in
+            triangle_counts(edges, edges_unique=True).collect()}
+    assert auto == base
