@@ -1,0 +1,645 @@
+"""Minimal pure-stdlib baseline-JPEG codec — closing the most-hit
+multimodal boundary (VERDICT r6 item 6): real corpora are mostly
+JPEG, and the container has no PIL/libjpeg.
+
+Everything here is the public ITU-T T.81 spec: marker segments
+(SOI/APPn/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI), canonical Huffman coding
+with the Annex K table layout, zig-zag coefficient order, DC
+prediction, and an 8x8 block DCT.  In the style of the PNG/GIF/WAV
+codecs (functions/png.py rationale), scope is asserted rather than
+silently wrong: baseline sequential, 8-bit precision, 1 or 3
+components WITHOUT chroma subsampling (sampling factors all 1x1).
+Progressive scans, subsampled chroma, 12-bit precision, and
+arithmetic coding raise ``ValueError`` naming the offending field.
+
+EXACTNESS DESIGN (what makes the registered query hash-checkable):
+the DCT and IDCT run in fixed-point INTEGER arithmetic — the 8x8
+basis is pre-scaled to integers (``BASIS_INT``, 2^13) and all sums
+and the quantizer's round-half-away-from-zero division are exact
+int64 ops, so the lossy stage is bit-reproducible in ANY engine that
+can do integer math.  The DuckDB oracle replays pixels -> integer
+DCT -> quantize -> dequantize -> integer IDCT (the SAME integer
+constants are formatted into the SQL from this module); the Huffman
+bitstream layer is lossless, so the oracle never needs to parse a
+JPEG — exactly the PNG-oracle philosophy.  T.81 deliberately does
+NOT mandate a bit-exact IDCT, so a fixed-point implementation is a
+spec-conforming decoder, and the files this encoder writes are
+ordinary baseline JPEGs any decoder can read.
+
+Per-image Python looping is the accepted cost of a dependency-free
+codec, bounded by the Arrow batch size (multimodal.py's mapInPandas).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# --------------------------------------------------------------------------
+# Public-spec constant tables
+# --------------------------------------------------------------------------
+
+#: zig-zag position -> natural (row-major) index, T.81 Figure 5.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.1 luminance quantization table (natural order).
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.2 chrominance quantization table (natural order).
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).  The
+# encoder WRITES these into DHT and the decoder builds its tables
+# from the file, so encoder and decoder are self-consistent by
+# construction; using the standard tables additionally matches what
+# real-world encoders emit.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# --------------------------------------------------------------------------
+# Fixed-point DCT basis — THE exactness contract
+# --------------------------------------------------------------------------
+
+#: log2 of the basis scale; one basis factor carries 2^13, a 2-D
+#: basis product carries 2^26 (``DCT_SCALE``).
+BASIS_SHIFT = 13
+DCT_SCALE = 1 << (2 * BASIS_SHIFT)
+
+#: BASIS_INT[u*8+x] = round(2^13 * alpha(u)/2 * cos((2x+1)u*pi/16)).
+#: Folding alpha/2 into the basis makes BOTH transforms a plain
+#: double sum: F[v][u] = sum BASIS[v][y]*BASIS[u][x]*s[y][x] and
+#: s'[y][x] = sum BASIS[v][y]*BASIS[u][x]*Fq[v][u] / 2^26.  The
+#: integers below are computed once here and string-formatted into
+#: the DuckDB oracle, so no engine ever re-derives a cosine.
+BASIS_INT = [
+    round(
+        (1 << BASIS_SHIFT)
+        * ((1 / math.sqrt(2)) if u == 0 else 1.0) / 2.0
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    )
+    for u in range(8)
+    for x in range(8)
+]
+
+
+def _rdiv(a: int, d: int) -> int:
+    """Round-half-away-from-zero integer division (d > 0) — the one
+    rounding rule both the quantizer and the IDCT descale use, chosen
+    because it is a single CASE expression in SQL."""
+    if a >= 0:
+        return (a + d // 2) // d
+    return -((-a + d // 2) // d)
+
+
+def _fdct_quant(samples: list[int], quant: list[int]) -> list[int]:
+    """Forward fixed-point DCT + quantization of one 8x8 block.
+
+    ``samples``: 64 levels in [0, 255], row-major.  Returns 64
+    quantized coefficients in natural order."""
+    s = [v - 128 for v in samples]
+    # rows then columns, all integer
+    tmp = [0] * 64
+    for v in range(8):
+        bv = BASIS_INT[v * 8:v * 8 + 8]
+        for x in range(8):
+            tmp[v * 8 + x] = sum(bv[y] * s[y * 8 + x] for y in range(8))
+    out = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            bu = BASIS_INT[u * 8:u * 8 + 8]
+            f = sum(bu[x] * tmp[v * 8 + x] for x in range(8))
+            out[v * 8 + u] = _rdiv(f, quant[v * 8 + u] * DCT_SCALE)
+    return out
+
+
+def _dequant_idct(coefs: list[int], quant: list[int]) -> list[int]:
+    """Dequantize + inverse fixed-point DCT -> 64 clamped levels."""
+    dq = [coefs[i] * quant[i] for i in range(64)]
+    tmp = [0] * 64
+    for y in range(8):
+        for u in range(8):
+            tmp[y * 8 + u] = sum(
+                BASIS_INT[v * 8 + y] * dq[v * 8 + u] for v in range(8)
+            )
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            acc = sum(
+                BASIS_INT[u * 8 + x] * tmp[y * 8 + u] for u in range(8)
+            )
+            out[y * 8 + x] = min(255, max(0, _rdiv(acc, DCT_SCALE) + 128))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Huffman machinery
+# --------------------------------------------------------------------------
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per the canonical assignment (T.81
+    Annex C): codes of each length are consecutive, starting from
+    double the previous length's end."""
+    if sum(bits) != len(vals):
+        raise ValueError("Huffman BITS/HUFFVAL length mismatch")
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.buf.append(0x00)
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # fill bits are 1s (B.1.1.5)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (markers are never stuffed)."""
+        assert self.nbits == 0, "raw() requires byte alignment"
+        self.buf += b
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00
+    unstuffing; restart markers are surfaced to the caller."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated entropy-coded segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError("unexpected marker inside scan data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        """Consume a restart marker at the current byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in scan data")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _encode_block(writer: _BitWriter, coefs: list[int], pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one quantized block (natural order).  Returns
+    the block's DC value (the next block's predictor)."""
+    dc = coefs[0]
+    diff = dc - pred
+    t = _category(diff)
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    zz = [coefs[ZIGZAG[k]] for k in range(1, 64)]
+    run = 0
+    for v in zz:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        t = _category(v)
+        code, length = ac_codes[(run << 4) | t]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _block_at(plane: list[int], w: int, h: int, bx: int, by: int) -> list[int]:
+    """Extract the 8x8 block at (bx, by) with edge replication."""
+    out = [0] * 64
+    for y in range(8):
+        sy = min(by * 8 + y, h - 1)
+        row = plane[sy * w:(sy + 1) * w]
+        for x in range(8):
+            out[y * 8 + x] = row[min(bx * 8 + x, w - 1)]
+    return out
+
+
+def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
+                restart_interval: int = 0) -> bytes:
+    """Encode row-major 8-bit pixels as a baseline JFIF JPEG.
+
+    ``channels`` 1 (grayscale) or 3 (RGB, stored 4:4:4 after the
+    fixed-point YCbCr forward transform).  Quant tables are Annex K;
+    Huffman tables are the Annex K typical tables, written to DHT.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs — exists so tests can exercise the decoder's restart path
+    (error-resilience framing real encoders commonly emit).
+    """
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+
+    if channels == 1:
+        planes = [list(pixels)]
+    else:
+        planes = [[0] * (width * height) for _ in range(3)]
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            # JFIF fixed-point forward transform (scale 2^16)
+            y = _rdiv(19595 * r + 38470 * g + 7471 * b, 65536)
+            cb = 128 + _rdiv(-11059 * r - 21709 * g + 32768 * b, 65536)
+            cr = 128 + _rdiv(32768 * r - 27439 * g - 5329 * b, 65536)
+            planes[0][i] = min(255, max(0, y))
+            planes[1][i] = min(255, max(0, cb))
+            planes[2][i] = min(255, max(0, cr))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qts = [QUANT_LUMA] + ([QUANT_CHROMA] if channels == 3 else [])
+    for tq, qt in enumerate(qts):
+        out += _seg(0xDB, bytes([tq]) + bytes(qt[ZIGZAG[k]] for k in range(64)))
+    comps = b""
+    for c in range(channels):
+        comps += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += _seg(0xC0, struct.pack(">BHHB", 8, height, width, channels) + comps)
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+              (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if channels == 3:
+        tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                   (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc_th, bits, vals in tables:
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    writer = _BitWriter()
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    preds = [0] * channels
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.pad_to_byte()
+                writer.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                preds = [0] * channels
+            mcu += 1
+            for c in range(channels):
+                qt = QUANT_LUMA if c == 0 else QUANT_CHROMA
+                dc_t = dc_l if c == 0 else dc_c
+                ac_t = ac_l if c == 0 else ac_c
+                block = _block_at(planes[c], width, height, bx, by)
+                coefs = _fdct_quant(block, qt)
+                preds[c] = _encode_block(writer, coefs, preds[c], dc_t, ac_t)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG -> ``(width, height, channels, pixels)``
+    with ``pixels`` row-major interleaved 8-bit samples (grayscale or
+    RGB via the fixed-point inverse YCbCr transform)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        (length,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated segment body")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = body[p + 1:p + 65]
+                if len(zz) != 64:
+                    raise ValueError("truncated DQT")
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k]
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17:p + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (lng, code): v for v, (code, lng) in codes.items()
+                }
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        f"chroma subsampling 0x{samp:02x} unsupported "
+                        "(4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline frame marker 0xFF{marker:02X} unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("partial-scan (progressive-style) unsupported")
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                td, ta = tdta >> 4, tdta & 0x0F
+                tq = dict((cid, tq) for cid, tq in comps)[cs]
+                scan.append((td, ta, tq))
+            pixels = _decode_scan(
+                data, pos + length, w, h, scan, qtables, htables,
+                restart_interval,
+            )
+            nc = len(comps)
+            return w, h, nc, pixels
+        # APPn / COM / others: skip
+        pos += length
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data: bytes, pos: int, w: int, h: int, scan: list,
+                 qtables: dict, htables: dict, restart: int) -> bytes:
+    nc = len(scan)
+    bw = -(-w // 8)
+    bh = -(-h // 8)
+    planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
+    reader = _BitReader(data, pos)
+    preds = [0] * nc
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu and mcu % restart == 0:
+                reader.align_and_skip_rst()
+                preds = [0] * nc
+            for c, (td, ta, tq) in enumerate(scan):
+                try:
+                    coefs = _decode_block(reader, htables, td, ta, preds, c)
+                except _RestartMarker as exc:
+                    raise ValueError(
+                        "restart marker inside an MCU"
+                    ) from exc
+                if tq not in qtables:
+                    raise ValueError(f"missing quantization table {tq}")
+                levels = _dequant_idct(coefs, qtables[tq])
+                plane = planes[c]
+                for y in range(8):
+                    row = (by * 8 + y) * bw * 8 + bx * 8
+                    plane[row:row + 8] = bytes(levels[y * 8:y * 8 + 8])
+            mcu += 1
+    # crop padding, interleave, color-convert
+    if nc == 1:
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w:(y + 1) * w] = planes[0][y * bw * 8:y * bw * 8 + w]
+        return bytes(out)
+    if nc != 3:
+        raise ValueError(f"unsupported component count {nc}")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        base = y * bw * 8
+        for x in range(w):
+            yy = planes[0][base + x]
+            cb = planes[1][base + x] - 128
+            cr = planes[2][base + x] - 128
+            i = (y * w + x) * 3
+            out[i] = min(255, max(0, yy + _rdiv(91881 * cr, 65536)))
+            out[i + 1] = min(255, max(0, yy - _rdiv(22554 * cb + 46802 * cr, 65536)))
+            out[i + 2] = min(255, max(0, yy + _rdiv(116130 * cb, 65536)))
+    return bytes(out)
+
+
+def _decode_block(reader: _BitReader, htables: dict, td: int, ta: int,
+                  preds: list[int], c: int) -> list[int]:
+    if (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("missing Huffman table for scan component")
+    t = _huff_decode(reader, htables[(0, td)])
+    diff = _extend(reader.receive(t), t)
+    preds[c] += diff
+    coefs = [0] * 64
+    coefs[0] = preds[c]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, htables[(1, ta)])
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        coefs[ZIGZAG[k]] = _extend(reader.receive(size), size)
+        k += 1
+    return coefs

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.functions.gif import decode_gif, encode_gif
+from grpc_map_reduce_spark.functions.jpeg import decode_jpeg, encode_jpeg
 from grpc_map_reduce_spark.functions.png import decode_png, encode_png
 from grpc_map_reduce_spark.functions.wav import decode_wav, encode_wav
 from grpc_map_reduce_spark.sources.tables import table
@@ -58,14 +59,19 @@ def _decode(payload: bytes, fmt: str) -> bytes:
     stream, inflates IDAT, and reverses all five scanline filters —
     no PIL needed (``import PIL`` re-checked unavailable in round 4,
     and installs are off-limits; PNG's only compression primitive is
-    DEFLATE, which stdlib zlib provides).  ``rawtext`` stays as the
-    deterministic fake for the text-backed fixtures; other formats
-    (JPEG's DCT, video codecs) genuinely need external libs and
-    raise."""
+    DEFLATE, which stdlib zlib provides).  ``jpeg`` is REAL as of
+    round 7 (functions/jpeg.py: baseline Huffman + fixed-point IDCT
+    per T.81; progressive/subsampled scope limits raise ValueError →
+    quarantine, not job death).  ``rawtext`` stays as the
+    deterministic fake for the text-backed fixtures; video formats
+    genuinely need external libs and raise."""
     if fmt == "rawtext":
         return payload
     if fmt == "png":
         _, _, _, pixels = decode_png(payload)
+        return pixels
+    if fmt == "jpeg":
+        _, _, _, pixels = decode_jpeg(payload)
         return pixels
     if fmt == "wav":
         _, _, _, samples = decode_wav(payload)
@@ -74,7 +80,7 @@ def _decode(payload: bytes, fmt: str) -> bytes:
         _, _, frames = decode_gif(payload)
         return b"".join(frames)
     raise NotImplementedError(
-        f"codec for format {fmt!r} not available; plug PIL/ffmpeg in here"
+        f"codec for format {fmt!r} not available; plug ffmpeg in here"
     )
 
 
@@ -296,6 +302,148 @@ SELECT
     )) AS VARCHAR) AS feat
 FROM pix
 """
+
+
+# --------------------------------------------------------------------------
+# JPEG (round 7): the REAL lossy codec, hash-checked end to end.
+#
+# The encoder/decoder in functions/jpeg.py do DCT/IDCT in fixed-point
+# INTEGER arithmetic, so while JPEG is lossy, it is DETERMINISTICALLY
+# lossy: decode(encode(pixels)) == IDCTint(dequant(quant(DCTint(
+# pixels)))) exactly, because the Huffman bitstream layer in between
+# is lossless.  The oracle below replays that integer pipeline in SQL
+# — the same 64 basis integers and Annex-K quant table are formatted
+# in from the codec module, so DuckDB never parses a JPEG (the
+# PNG-oracle philosophy) yet a single wrong bit anywhere in the
+# marker/Huffman/zig-zag/DCT path breaks the hash.
+
+#: Synthetic thumbnail geometry for the JPEG round-trip query: one
+#: 8x8 grayscale block per document.
+JPEG_W, JPEG_H = 8, 8
+
+
+def attach_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Encode each document's leading ``JPEG_W*JPEG_H`` bytes (space-
+    padded, fixture text is ASCII) as a REAL baseline JPEG via the
+    stdlib codec.  Arrow-batched mapInPandas, like the PNG twin."""
+    n = JPEG_W * JPEG_H
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = [
+                encode_jpeg(JPEG_W, JPEG_H, 1, t.encode()[:n].ljust(n, b" "))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    attached = docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, media binary"
+    )
+    return attached.select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.lit(JPEG_W).cast("int").alias("width"),
+            F.lit(JPEG_H).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-lossy-codec round trip: text bytes → JPEG encode (fixed-
+    point DCT + Annex-K Huffman) → the stdlib JPEG decoder → the
+    recovered pixel block as JSON.  Lossy but exactly reproducible —
+    see the module comment above ``JPEG_W``."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    media = attach_jpeg_media(docs.repartition(n_part, "doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pix = [list(decode_jpeg(m)[3]) for m in pdf["media"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pix],
+                "pixels": pix,
+            })
+
+    decoded = media.mapInPandas(
+        batches, schema="doc_id long, n_bytes long, pixels array<int>"
+    )
+    return decoded.select(
+        "doc_id", "n_bytes", F.to_json("pixels").alias("pixels")
+    )
+
+
+def _jpeg_oracle_sql() -> str:
+    """Replay the deterministic lossy pipeline in DuckDB: integer DCT
+    → quantize (round half away from zero) → dequantize → integer
+    IDCT → clamp.  Constants come from functions/jpeg.py — the single
+    source of truth for both engines."""
+    from grpc_map_reduce_spark.functions.jpeg import (
+        BASIS_INT, DCT_SCALE, QUANT_LUMA,
+    )
+
+    # ::BIGINT[] — a bare int list is INT32[] in DuckDB, and
+    # qt * DCT_SCALE overflows INT32 multiplication
+    bi = "[" + ", ".join(str(v) for v in BASIS_INT) + "]::BIGINT[]"
+    qt = "[" + ", ".join(str(v) for v in QUANT_LUMA) + "]::BIGINT[]"
+    half = DCT_SCALE // 2
+    return f"""
+WITH consts AS (
+    SELECT {bi} AS bi, {qt} AS qt
+),
+base AS (
+    SELECT doc_id,
+           rpad(substring(text, 1, {JPEG_W * JPEG_H}), {JPEG_W * JPEG_H}, ' ') AS p
+    FROM documents
+),
+s AS (
+    SELECT doc_id, y, x, ord(substr(p, y * 8 + x + 1, 1)) - 128 AS sv
+    FROM base, unnest(range(8)) AS ty(y), unnest(range(8)) AS tx(x)
+),
+fsum AS (
+    SELECT doc_id, v, u,
+           CAST(sum(bi[v * 8 + y + 1] * bi[u * 8 + x + 1] * sv) AS BIGINT) AS f
+    FROM s, unnest(range(8)) AS tv(v), unnest(range(8)) AS tu(u), consts
+    GROUP BY doc_id, v, u
+),
+quantized AS (
+    SELECT doc_id, v, u,
+           (CASE WHEN f >= 0
+                 THEN (f + (qt[v * 8 + u + 1] * {DCT_SCALE}) // 2)
+                      // (qt[v * 8 + u + 1] * {DCT_SCALE})
+                 ELSE -((-f + (qt[v * 8 + u + 1] * {DCT_SCALE}) // 2)
+                        // (qt[v * 8 + u + 1] * {DCT_SCALE}))
+            END) * qt[v * 8 + u + 1] AS dq
+    FROM fsum, consts
+),
+acc AS (
+    SELECT q.doc_id, y, x,
+           CAST(sum(bi[v * 8 + y + 1] * bi[u * 8 + x + 1] * dq) AS BIGINT) AS a
+    FROM quantized q, unnest(range(8)) AS ty(y), unnest(range(8)) AS tx(x),
+         consts
+    GROUP BY q.doc_id, y, x
+),
+pixout AS (
+    SELECT doc_id, y, x,
+           least(255, greatest(0,
+               (CASE WHEN a >= 0 THEN (a + {half}) // {DCT_SCALE}
+                     ELSE -((-a + {half}) // {DCT_SCALE}) END) + 128)) AS pv
+    FROM acc
+)
+SELECT doc_id,
+       CAST({JPEG_W * JPEG_H} AS BIGINT) AS n_bytes,
+       CAST(to_json(list(CAST(pv AS INTEGER) ORDER BY y, x)) AS VARCHAR)
+           AS pixels
+FROM pixout
+GROUP BY doc_id
+"""
+
+
+ORACLE_JPEG_DECODE = _jpeg_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -699,13 +847,32 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
 
 def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically corrupt a known subset (doc_id % 7 == 0 gets
-    its PNG signature clobbered; doc_id % 11 == 0 claims an
-    unsupported format) and report per-status counts — the oracle
-    predicts the split from the id arithmetic alone, so the codecs'
-    rejection paths are part of the hash."""
+    its signature clobbered; doc_id % 11 == 0 claims an unsupported
+    format) and report per-status counts — the oracle predicts the
+    split from the id arithmetic alone, so the codecs' rejection
+    paths are part of the hash.
+
+    doc_id % 5 == 0 carries a REAL JPEG payload instead of a PNG
+    (round 7) — the quarantine-to-green conversion: before the stdlib
+    JPEG codec these rows were only expressible as
+    ``unsupported_format``; now they must decode ``ok`` (to 64 pixel
+    bytes), and the % 7 corruption/% 11 format clobbers must still
+    quarantine them like any other payload."""
     docs = table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
     media = attach_png_media(docs.repartition(n_part, "doc_id"))
+    jpeg = attach_jpeg_media(docs.repartition(n_part, "doc_id")).select(
+        "doc_id",
+        F.col("media").alias("jmedia"),
+        F.col("media_meta").alias("jmeta"),
+    )
+    media = media.join(jpeg, "doc_id").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("jmedia"))
+        .otherwise(F.col("media")).alias("media"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("jmeta"))
+        .otherwise(F.col("media_meta")).alias("media_meta"),
+    )
     media = media.withColumn(
         "media",
         F.when(
@@ -734,14 +901,19 @@ def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# doc_id % 11 wins over % 7 (format check precedes signature parse)
+# doc_id % 11 wins over % 7 (format check precedes signature parse);
+# % 5 docs decode to the 8x8 JPEG block, everything else to the
+# 16x16 PNG — both REAL codecs, so 'ok' byte counts differ by class.
 ORACLE_QUARANTINE = f"""
 SELECT CASE WHEN doc_id % 11 = 0 THEN 'unsupported_format'
             WHEN doc_id % 7 = 0 THEN 'corrupt'
             ELSE 'ok' END AS status,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 <> 0
-                     THEN {PNG_W * PNG_H} ELSE 0 END) AS BIGINT) AS total_bytes
+                     THEN CASE WHEN doc_id % 5 = 0
+                               THEN {JPEG_W * JPEG_H}
+                               ELSE {PNG_W * PNG_H} END
+                     ELSE 0 END) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY 1
 """
@@ -1181,6 +1353,12 @@ QUERIES = [
      "E4 multimodal: REAL stdlib PNG codec round-trip (Paeth-filtered "
      "encode → chunk/inflate/unfilter decode), hash-checked against an "
      "oracle that computes the expected pixels without ever seeing a PNG."),
+    ("multimodal_jpeg_decode", q_multimodal_jpeg_decode, ORACLE_JPEG_DECODE,
+     "E4 multimodal: REAL stdlib baseline-JPEG codec round-trip "
+     "(fixed-point DCT + Annex-K Huffman encode → marker/Huffman/"
+     "IDCT decode) — lossy but deterministically so, hash-checked "
+     "against an oracle that replays the integer DCT pipeline in SQL "
+     "without ever seeing a JPEG."),
     ("multimodal_png_resize", q_multimodal_png_resize, ORACLE_PNG_RESIZE,
      "E4 multimodal: real image resize — decode, nearest-neighbor "
      "resample, re-encode, decode again; the oracle rebuilds the "

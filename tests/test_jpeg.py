@@ -1,0 +1,169 @@
+"""Gates for the pure-stdlib baseline-JPEG codec (functions/jpeg.py).
+
+The keystone is the HAND-CONSTRUCTED stream test: a minimal JPEG is
+assembled byte by byte from the T.81 spec (markers, a trivial Huffman
+table, one DC-only block) with the expected pixels derived
+analytically — so the decoder is checked against the SPEC, not
+against our own encoder.  The encoder is then checked through the
+decoder (exactness of the integer pipeline makes the round trip
+bit-deterministic), plus scope-rejection and quarantine classes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from grpc_map_reduce_spark.functions.jpeg import (
+    BASIS_INT,
+    DCT_SCALE,
+    QUANT_LUMA,
+    _dequant_idct,
+    _fdct_quant,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _handmade_dc_only_jpeg(dc: int, quant0: int) -> bytes:
+    """Assemble a minimal 8x8 grayscale baseline JPEG from the spec:
+    flat quant table, a 2-entry DC Huffman table (cat 0 -> code 0,
+    cat 6 -> code 10), a 1-entry AC table (EOB -> 0), and one block
+    whose only nonzero coefficient is the DC value ``dc`` (category
+    6, so dc must be in [32, 63])."""
+    assert 32 <= dc <= 63
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, all coefficients quantized by quant0
+    out += _seg(0xDB, bytes([0]) + bytes([quant0] * 64))
+    # SOF0: 8-bit, 8x8, 1 component, sampling 1x1, quant table 0
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DHT DC table 0: two codes — length-1 code 0 -> category 0,
+    # length-2 code 10 -> category 6
+    bits = [0] * 16
+    bits[0] = 1  # one 1-bit code
+    bits[1] = 1  # one 2-bit code
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits) + bytes([0, 6]))
+    # DHT AC table 0: one 1-bit code -> EOB (0x00)
+    bits = [0] * 16
+    bits[0] = 1
+    out += _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes([0x00]))
+    # SOS: 1 component, DC table 0 / AC table 0, full spectral range
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0x00, 0x3F, 0x00]))
+    # Entropy data: DC category 6 (code '10'), then 6 bits of dc
+    # (positive -> raw), then AC EOB (code '0'); pad with 1s.
+    bitstr = "10" + format(dc, "06b") + "0"
+    bitstr += "1" * (-len(bitstr) % 8)
+    out += int(bitstr, 2).to_bytes(len(bitstr) // 8, "big")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decoder_against_handmade_spec_stream():
+    """Spec-level reference: a DC-only block must decode to the flat
+    level round(dc*q0/8) + 128 — analytically, F[0][0]=dc*q0 and
+    IDCT(F00-only) = F00/8 at every pixel; the fixed-point basis
+    reproduces that within its documented rounding."""
+    for dc, q0 in ((40, 16), (63, 3), (32, 1)):
+        w, h, c, pix = decode_jpeg(_handmade_dc_only_jpeg(dc, q0))
+        assert (w, h, c) == (8, 8, 1)
+        expected = min(255, round(dc * q0 / 8) + 128)
+        vals = set(pix)
+        assert len(vals) == 1, f"DC-only block must be flat, got {vals}"
+        got = vals.pop()
+        assert abs(got - expected) <= 1, (dc, q0, got, expected)
+
+
+def test_roundtrip_is_exactly_the_integer_pipeline():
+    """decode(encode(p)) must equal IDCTint(quant/dequant(DCTint(p)))
+    EXACTLY — the Huffman layer is lossless, so any deviation means a
+    bitstream bug."""
+    random.seed(11)
+    pix = [random.randrange(256) for _ in range(64)]
+    _, _, _, out = decode_jpeg(encode_jpeg(8, 8, 1, bytes(pix)))
+    expected = bytes(_dequant_idct(_fdct_quant(pix, QUANT_LUMA), QUANT_LUMA))
+    assert out == expected
+
+
+def test_multiblock_and_odd_dims_roundtrip():
+    random.seed(5)
+    for w, h in ((16, 24), (13, 10), (8, 9)):
+        pix = bytes(random.randrange(256) for _ in range(w * h))
+        rw, rh, rc, out = decode_jpeg(encode_jpeg(w, h, 1, pix))
+        assert (rw, rh, rc) == (w, h, 1) and len(out) == w * h
+
+
+def test_smooth_image_high_psnr():
+    """Lossy, but must be GOOD lossy on compressible content: a
+    gradient should round-trip above 40 dB."""
+    w = h = 16
+    pix = bytes(((x + y) * 255 // 30) % 256 for y in range(h) for x in range(w))
+    _, _, _, out = decode_jpeg(encode_jpeg(w, h, 1, pix))
+    mse = sum((a - b) ** 2 for a, b in zip(pix, out)) / len(pix)
+    assert mse == 0 or 10 * math.log10(255 ** 2 / mse) > 40
+
+
+def test_rgb_roundtrip_and_color_accuracy():
+    """4:4:4 color: a flat-color image must round-trip each channel
+    within the YCbCr transform's rounding (a few levels)."""
+    w = h = 8
+    rgb = (200, 60, 120)
+    pix = bytes(rgb[i % 3] for i in range(w * h * 3))
+    rw, rh, rc, out = decode_jpeg(encode_jpeg(w, h, 3, pix))
+    assert (rw, rh, rc) == (w, h, 3)
+    for ch in range(3):
+        got = out[ch::3]
+        assert all(abs(g - rgb[ch]) <= 3 for g in got), (ch, set(got))
+
+
+def test_restart_markers_roundtrip_identically():
+    random.seed(2)
+    pix = bytes(random.randrange(256) for _ in range(32 * 32))
+    plain = decode_jpeg(encode_jpeg(32, 32, 1, pix))
+    with_rst = decode_jpeg(encode_jpeg(32, 32, 1, pix, restart_interval=3))
+    assert plain == with_rst
+
+
+def test_scope_rejections_are_valueerrors():
+    """Everything outside the documented scope must raise ValueError
+    (the quarantine class), never a wrong decode or a crash."""
+    good = encode_jpeg(8, 8, 1, bytes(64))
+    # bad SOI
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"XXXX" + good[4:])
+    # progressive frame marker
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(good[:2] + b"\xff\xc2" + good[4:])
+    # 16-bit quant table: flip Pq in the DQT segment
+    dqt_at = good.index(b"\xff\xdb") + 4
+    bad = good[:dqt_at] + bytes([0x10]) + good[dqt_at + 1:]
+    with pytest.raises(ValueError, match="16-bit quant"):
+        decode_jpeg(bad)
+    # subsampled chroma: flip the SOF sampling byte
+    sof_at = good.index(b"\xff\xc0")
+    samp_at = sof_at + 4 + 6 + 1  # marker+len, then prec/h/w/nc, cid
+    bad = good[:samp_at] + bytes([0x22]) + good[samp_at + 1:]
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bad)
+    # truncated entropy segment
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-4])
+
+
+def test_basis_integers_are_the_documented_scale():
+    """The oracle embeds BASIS_INT verbatim — pin its invariants so a
+    drive-by 'cleanup' can't silently change the contract."""
+    assert len(BASIS_INT) == 64
+    assert DCT_SCALE == 1 << 26
+    # u=0 row: alpha(0)/2 * 2^13 = 2^13 / (2*sqrt(2)) ~ 2896
+    assert all(v == 2896 for v in BASIS_INT[:8])
+    # every row's energy ~ (2^13/2)^2 * 8 / 2 within rounding
+    for u in range(1, 8):
+        row = BASIS_INT[u * 8:(u + 1) * 8]
+        assert abs(sum(v * v for v in row) - 4 * 4096 * 4096) < 3e5

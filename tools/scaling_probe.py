@@ -108,6 +108,10 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # fixture-hot); these probes measure volume, not term skew
           "pipeline_training_prep", "pipeline_corpus_prep",
           "bm25_retrieval",
+          # hot-term targets (round 7): probed with --zipf-hot so the
+          # postings-list / top-k paths see a document-frequency head
+          # that GROWS with the multiplier
+          "vocab_oov", "pmi_collocations",
           # heavy TPC-H representatives over replicated lineitem and
           # orders: the deepest join tree (q9) and the group-having
           # semi-join (q18)
@@ -142,25 +146,66 @@ def _rot(k: int) -> str:
     return ALPHABET[k % 26:] + ALPHABET[:k % 26]
 
 
-def synthesize(spark, mult: int) -> str:
+def synthesize(spark, mult: int, zipf_hot: int = 0) -> str:
+    """Build (or reuse) the replicated scratch dir for ``mult``.
+
+    ``zipf_hot`` > 0 derives a VARIANT dir where that percent of every
+    replica's documents get a hot bigram appended (" zipfhot
+    zipfhead", selected by doc_id hash) — the rotated-replica scheme
+    keeps each replica's token space disjoint, so without this the
+    Zipf HEAD never grows with the multiplier and postings-list /
+    top-k paths only ever see volume growth (recorded r6 caveat).
+    With it, the hot term's document frequency is ~zipf_hot% of the
+    WHOLE corpus at any multiplier.  Only documents are rewritten;
+    every other table is symlinked from the base dir."""
+    if zipf_hot:
+        from pyspark.sql import functions as F
+
+        base = synthesize(spark, mult)
+        out = os.path.join(SCRATCH, f"x{mult}-zipf{zipf_hot}")
+        done = os.path.join(out, "_COMPLETE_v1")
+        if os.path.exists(done):
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for tbl in ("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "embeddings"):
+            os.symlink(os.path.join(base, f"{tbl}.parquet"),
+                       os.path.join(out, f"{tbl}.parquet"))
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+        docs.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(100)) < zipf_hot,
+                F.concat(F.col("text"), F.lit(" zipfhot zipfhead")),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(done, "w").close()
+        return out
     out = os.path.join(SCRATCH, f"x{mult}")
     # Scratch versioning: v2 added replicated embeddings (rolled per
-    # replica), v3 added replicated events (user-shifted).  A dir at
-    # an older version has every table NOT listed for the newer
-    # versions already correct, so only the delta is rewritten.
-    done = os.path.join(out, "_COMPLETE_v3")
+    # replica), v3 added replicated events (user-shifted), v4 fixed
+    # the embedding roll's period-63 clone pairs (sign-flip compose).
+    # A dir at an older version has every table NOT listed for the
+    # newer versions already correct, so only the delta is rewritten.
+    done = os.path.join(out, "_COMPLETE_v4")
+    v3 = os.path.join(out, "_COMPLETE_v3")
     v2 = os.path.join(out, "_COMPLETE_v2")
     v1 = os.path.join(out, "_COMPLETE")
     if os.path.exists(done):
         return out
-    if not (os.path.exists(v1) or os.path.exists(v2)):
+    if not (os.path.exists(v1) or os.path.exists(v2) or os.path.exists(v3)):
         shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        if os.path.exists(v2) and tbl != "events":
+        if os.path.exists(v3) and tbl != "embeddings":
+            continue
+        if os.path.exists(v2) and tbl not in ("events", "embeddings"):
             continue
         if os.path.exists(v1) and tbl not in ("events", "embeddings"):
             continue
@@ -248,6 +293,11 @@ def main() -> None:
     ap.add_argument("--driver-memory", default="16g",
                     help="JVM heap for the probe session; cap it "
                          "(e.g. 8g) to surface memory cliffs")
+    ap.add_argument("--zipf-hot", type=int, default=0, metavar="PCT",
+                    help="inject a hot bigram into PCT%% of every "
+                         "replica's documents so the Zipf head grows "
+                         "with the multiplier (documents-table probes "
+                         "only; other tables are symlinked)")
     ap.add_argument("--clean", action="store_true",
                     help="remove scratch data and exit")
     args = ap.parse_args()
@@ -295,7 +345,7 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {q: {} for q in probes}
     peaks: dict[str, dict[int, int]] = {q: {} for q in probes}
     for mult in mults:
-        sf_dir = synthesize(spark, mult)
+        sf_dir = synthesize(spark, mult, args.zipf_hot)
         for name in probes:
             # settle the heap, then zero the peak counters so the
             # recorded peak belongs to THIS probe alone
