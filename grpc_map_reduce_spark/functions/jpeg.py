@@ -8,9 +8,11 @@ with the Annex K table layout, zig-zag coefficient order, DC
 prediction, and an 8x8 block DCT.  In the style of the PNG/GIF/WAV
 codecs (functions/png.py rationale), scope is asserted rather than
 silently wrong: baseline sequential, 8-bit precision, 1 or 3
-components WITHOUT chroma subsampling (sampling factors all 1x1).
-Progressive scans, subsampled chroma, 12-bit precision, and
-arithmetic coding raise ``ValueError`` naming the offending field.
+components, interleaved scans with integral sampling ratios — which
+covers 4:4:4, 4:2:2, 4:4:0 and the dominant real-world 4:2:0 layout
+(chroma upsampled by replication).  Progressive scans, 12-bit
+precision, and arithmetic coding raise ``ValueError`` naming the
+offending field.
 
 EXACTNESS DESIGN (what makes the registered query hash-checkable):
 the DCT and IDCT run in fixed-point INTEGER arithmetic — the 8x8
@@ -386,15 +388,18 @@ def _block_at(plane: list[int], w: int, h: int, bx: int, by: int) -> list[int]:
 
 
 def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, subsample: bool = False) -> bytes:
     """Encode row-major 8-bit pixels as a baseline JFIF JPEG.
 
-    ``channels`` 1 (grayscale) or 3 (RGB, stored 4:4:4 after the
-    fixed-point YCbCr forward transform).  Quant tables are Annex K;
-    Huffman tables are the Annex K typical tables, written to DHT.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs — exists so tests can exercise the decoder's restart path
-    (error-resilience framing real encoders commonly emit).
+    ``channels`` 1 (grayscale) or 3 (RGB after the fixed-point YCbCr
+    forward transform — 4:4:4 by default, 4:2:0 with
+    ``subsample=True``: chroma box-mean-downsampled 2x2, luma
+    sampling factors 2x2, the dominant real-world layout).  Quant
+    tables are Annex K; Huffman tables are the Annex K typical
+    tables, written to DHT.  ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs — exists so tests can exercise
+    the decoder's restart path (error-resilience framing real
+    encoders commonly emit).
     """
     if channels not in (1, 3):
         raise ValueError(f"unsupported channel count {channels}")
@@ -415,6 +420,33 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
             planes[1][i] = min(255, max(0, cb))
             planes[2][i] = min(255, max(0, cr))
 
+    if channels == 3 and subsample:
+        samps = [(2, 2), (1, 1), (1, 1)]  # 4:2:0
+        # box-mean downsample the chroma planes (edge-clamped)
+        cw, ch = -(-width // 2), -(-height // 2)
+        for c in (1, 2):
+            src = planes[c]
+            ds = [0] * (cw * ch)
+            for y in range(ch):
+                y0, y1 = 2 * y, min(2 * y + 1, height - 1)
+                for x in range(cw):
+                    x0, x1 = 2 * x, min(2 * x + 1, width - 1)
+                    ds[y * cw + x] = _rdiv(
+                        src[y0 * width + x0] + src[y0 * width + x1]
+                        + src[y1 * width + x0] + src[y1 * width + x1], 4,
+                    )
+            planes[c] = ds
+    else:
+        samps = [(1, 1)] * channels
+
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    # per-component plane dimensions (chroma may be downsampled)
+    dims = [
+        (-(-width * hs // hmax), -(-height * vs // vmax))
+        for hs, vs in samps
+    ]
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     qts = [QUANT_LUMA] + ([QUANT_CHROMA] if channels == 3 else [])
@@ -422,7 +454,8 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
         out += _seg(0xDB, bytes([tq]) + bytes(qt[ZIGZAG[k]] for k in range(64)))
     comps = b""
     for c in range(channels):
-        comps += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        hs, vs = samps[c]
+        comps += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
     out += _seg(0xC0, struct.pack(">BHHB", 8, height, width, channels) + comps)
     tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
               (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -444,12 +477,12 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     writer = _BitWriter()
-    bw = -(-width // 8)
-    bh = -(-height // 8)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
     preds = [0] * channels
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.pad_to_byte()
                 writer.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
@@ -459,9 +492,17 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
                 qt = QUANT_LUMA if c == 0 else QUANT_CHROMA
                 dc_t = dc_l if c == 0 else dc_c
                 ac_t = ac_l if c == 0 else ac_c
-                block = _block_at(planes[c], width, height, bx, by)
-                coefs = _fdct_quant(block, qt)
-                preds[c] = _encode_block(writer, coefs, preds[c], dc_t, ac_t)
+                hs, vs = samps[c]
+                cw, chh = dims[c]
+                for v in range(vs):
+                    for u in range(hs):
+                        block = _block_at(
+                            planes[c], cw, chh, mx * hs + u, my * vs + v
+                        )
+                        coefs = _fdct_quant(block, qt)
+                        preds[c] = _encode_block(
+                            writer, coefs, preds[c], dc_t, ac_t
+                        )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -530,12 +571,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise ValueError(
-                        f"chroma subsampling 0x{samp:02x} unsupported "
-                        "(4:4:4 only)"
+                        f"sampling factor 0x{samp:02x} out of range"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            for _, hs, vs, _ in comps:
+                if hmax % hs or vmax % vs:
+                    raise ValueError(
+                        "non-integral chroma subsampling ratio unsupported"
+                    )
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -551,12 +599,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             ns = body[0]
             if ns != len(comps):
                 raise ValueError("partial-scan (progressive-style) unsupported")
+            by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 td, ta = tdta >> 4, tdta & 0x0F
-                tq = dict((cid, tq) for cid, tq in comps)[cs]
-                scan.append((td, ta, tq))
+                hs, vs, tq = by_id[cs]
+                scan.append((td, ta, tq, hs, vs))
             pixels = _decode_scan(
                 data, pos + length, w, h, scan, qtables, htables,
                 restart_interval,
@@ -570,48 +619,72 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_scan(data: bytes, pos: int, w: int, h: int, scan: list,
                  qtables: dict, htables: dict, restart: int) -> bytes:
+    """General interleaved baseline scan (T.81 A.2.3): each MCU
+    carries hs*vs blocks per component in raster order; subsampled
+    chroma (4:2:0 / 4:2:2 / 4:4:0) is stored at component resolution
+    and upsampled by pixel replication at the end."""
     nc = len(scan)
-    bw = -(-w // 8)
-    bh = -(-h // 8)
-    planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
+    hmax = max(hs for _, _, _, hs, _ in scan)
+    vmax = max(vs for _, _, _, _, vs in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component plane geometry (padded to whole MCUs)
+    widths = [mcus_x * hs * 8 for _, _, _, hs, _ in scan]
+    planes = [
+        bytearray(widths[c] * mcus_y * scan[c][4] * 8) for c in range(nc)
+    ]
     reader = _BitReader(data, pos)
     preds = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart and mcu and mcu % restart == 0:
                 reader.align_and_skip_rst()
                 preds = [0] * nc
-            for c, (td, ta, tq) in enumerate(scan):
-                try:
-                    coefs = _decode_block(reader, htables, td, ta, preds, c)
-                except _RestartMarker as exc:
-                    raise ValueError(
-                        "restart marker inside an MCU"
-                    ) from exc
-                if tq not in qtables:
-                    raise ValueError(f"missing quantization table {tq}")
-                levels = _dequant_idct(coefs, qtables[tq])
-                plane = planes[c]
-                for y in range(8):
-                    row = (by * 8 + y) * bw * 8 + bx * 8
-                    plane[row:row + 8] = bytes(levels[y * 8:y * 8 + 8])
+            for c, (td, ta, tq, hs, vs) in enumerate(scan):
+                for v in range(vs):
+                    for u in range(hs):
+                        try:
+                            coefs = _decode_block(
+                                reader, htables, td, ta, preds, c
+                            )
+                        except _RestartMarker as exc:
+                            raise ValueError(
+                                "restart marker inside an MCU"
+                            ) from exc
+                        if tq not in qtables:
+                            raise ValueError(
+                                f"missing quantization table {tq}"
+                            )
+                        levels = _dequant_idct(coefs, qtables[tq])
+                        plane, pw = planes[c], widths[c]
+                        bx0 = (mx * hs + u) * 8
+                        by0 = (my * vs + v) * 8
+                        for y in range(8):
+                            row = (by0 + y) * pw + bx0
+                            plane[row:row + 8] = bytes(
+                                levels[y * 8:y * 8 + 8]
+                            )
             mcu += 1
-    # crop padding, interleave, color-convert
+
+    def sample(c: int, y: int, x: int) -> int:
+        _, _, _, hs, vs = scan[c]
+        return planes[c][(y * vs // vmax) * widths[c] + (x * hs // hmax)]
+
+    # crop padding, upsample, interleave, color-convert
     if nc == 1:
         out = bytearray(w * h)
         for y in range(h):
-            out[y * w:(y + 1) * w] = planes[0][y * bw * 8:y * bw * 8 + w]
+            out[y * w:(y + 1) * w] = planes[0][y * widths[0]:y * widths[0] + w]
         return bytes(out)
     if nc != 3:
         raise ValueError(f"unsupported component count {nc}")
     out = bytearray(w * h * 3)
     for y in range(h):
-        base = y * bw * 8
         for x in range(w):
-            yy = planes[0][base + x]
-            cb = planes[1][base + x] - 128
-            cr = planes[2][base + x] - 128
+            yy = sample(0, y, x)
+            cb = sample(1, y, x) - 128
+            cr = sample(2, y, x) - 128
             i = (y * w + x) * 3
             out[i] = min(255, max(0, yy + _rdiv(91881 * cr, 65536)))
             out[i + 1] = min(255, max(0, yy - _rdiv(22554 * cb + 46802 * cr, 65536)))

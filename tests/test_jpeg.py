@@ -122,6 +122,32 @@ def test_rgb_roundtrip_and_color_accuracy():
         assert all(abs(g - rgb[ch]) <= 3 for g in got), (ch, set(got))
 
 
+def test_420_subsampled_roundtrip():
+    """4:2:0 — the dominant real-world layout: flat color must
+    round-trip within a couple of levels at every MCU-alignment
+    shape, and restart framing must not change the pixels."""
+    for w, h in ((16, 16), (24, 16), (13, 11), (8, 8)):
+        rgb = (180, 90, 40)
+        pix = bytes(rgb[i % 3] for i in range(w * h * 3))
+        rw, rh, rc, out = decode_jpeg(
+            encode_jpeg(w, h, 3, pix, subsample=True)
+        )
+        assert (rw, rh, rc) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(pix, out)) <= 3
+    w, h = 32, 24
+    pix = bytes(
+        v for y in range(h) for x in range(w)
+        for v in (min(255, 8 * x), min(255, 10 * y), min(255, 4 * (x + y)))
+    )
+    plain = decode_jpeg(encode_jpeg(w, h, 3, pix, subsample=True))[3]
+    rst = decode_jpeg(
+        encode_jpeg(w, h, 3, pix, subsample=True, restart_interval=2)
+    )[3]
+    assert plain == rst
+    mse = sum((a - b) ** 2 for a, b in zip(pix, plain)) / len(pix)
+    assert 10 * math.log10(255 ** 2 / mse) > 30
+
+
 def test_restart_markers_roundtrip_identically():
     random.seed(2)
     pix = bytes(random.randrange(256) for _ in range(32 * 32))
@@ -145,11 +171,11 @@ def test_scope_rejections_are_valueerrors():
     bad = good[:dqt_at] + bytes([0x10]) + good[dqt_at + 1:]
     with pytest.raises(ValueError, match="16-bit quant"):
         decode_jpeg(bad)
-    # subsampled chroma: flip the SOF sampling byte
+    # invalid sampling factor (3 is not a power of two per scope)
     sof_at = good.index(b"\xff\xc0")
     samp_at = sof_at + 4 + 6 + 1  # marker+len, then prec/h/w/nc, cid
-    bad = good[:samp_at] + bytes([0x22]) + good[samp_at + 1:]
-    with pytest.raises(ValueError, match="subsampling"):
+    bad = good[:samp_at] + bytes([0x33]) + good[samp_at + 1:]
+    with pytest.raises(ValueError, match="out of range"):
         decode_jpeg(bad)
     # truncated entropy segment
     with pytest.raises(ValueError):
