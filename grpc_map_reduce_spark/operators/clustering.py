@@ -568,11 +568,16 @@ FROM clusters c JOIN qual q USING (doc_id)
 #: footprint bounds peak disk (each batch's partial counts are
 #: eagerly pinned, ending its job so the shuffle cleaner can reclaim
 #: its files while the next batch runs — peak disk = max(batch)
-#: instead of Σ batches).  16 M wedge rows ≈ 400 MB exchanged per
-#: batch.  Fixture volumes (≤ ~30 K wedges) always compute B = 1,
-#: which takes the exact single-plan path — registered hashes are
-#: invariant by construction.
-WEDGE_ROWS_PER_BATCH = 16_000_000
+#: instead of Σ batches).  Calibrated at 32 M wedge rows (~800 MB
+#: exchanged per batch): the 25× probe tier (28.2 M wedges), which
+#: fits the 8 GiB cap single-pass, computes B = 1 and pays ZERO
+#: batching overhead (measured: B=2 there cost 22.2 s vs 17.5 s
+#: single-pass), while the 125× tier (~180 M wedges) — which
+#: previously exhausted the box's disk — splits into ~6 bounded
+#: batches and completes in-cap.  Fixture volumes (≤ ~30 K wedges)
+#: always compute B = 1, the exact single-plan path — registered
+#: hashes are invariant by construction.
+WEDGE_ROWS_PER_BATCH = 32_000_000
 
 
 def triangle_counts(edges: DataFrame, edges_unique: bool = False,
