@@ -74,6 +74,24 @@ def test_decode_png_is_real_and_video_still_raises():
         _decode(b"\x00\x00\x00\x1cftypmp42", "mp4")
 
 
+def test_decode_jpeg_is_real_including_420():
+    """Round 7: jpeg payloads flow through the same _decode boundary
+    as every other codec — grayscale exactly (integer pipeline),
+    4:2:0 color approximately, corrupt ones as the quarantine's
+    ValueError class."""
+    from grpc_map_reduce_spark.functions.jpeg import encode_jpeg
+
+    pix = bytes(range(64))
+    out = _decode(encode_jpeg(8, 8, 1, pix), "jpeg")
+    assert len(out) == 64
+    rgb = bytes((200, 60, 120) * 64)
+    out = _decode(encode_jpeg(8, 8, 3, rgb, subsample=True), "jpeg")
+    assert len(out) == 192
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 3
+    with pytest.raises(ValueError):
+        _decode(b"XXXX" + encode_jpeg(8, 8, 1, pix)[4:], "jpeg")
+
+
 def test_png_resize_real_pixels():
     import numpy as np
 
