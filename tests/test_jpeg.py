@@ -182,6 +182,46 @@ def test_scope_rejections_are_valueerrors():
         decode_jpeg(good[:-4])
 
 
+def test_decodes_real_world_jpegs_from_spark_distro():
+    """Independent-encoder validation: the Spark distribution ships
+    real photographs (mllib sample data) encoded by real-world JPEG
+    encoders — baseline 4:2:0, exactly the files a 100 TB multimodal
+    corpus is made of.  Our decoder must parse every baseline one to
+    a plausible image (correct buffer geometry, non-degenerate pixel
+    distribution, distinct color channels) and reject the progressive
+    grayscale.jpg with the documented scope error."""
+    import glob
+    import statistics
+
+    paths = sorted(glob.glob(
+        "/opt/spark-*/data/mllib/images/origin/kittens/*.jpg"
+    ))
+    if not paths:
+        pytest.skip("Spark distro sample images not present")
+    decoded = 0
+    for p in paths:
+        data = open(p, "rb").read()
+        try:
+            w, h, c, pix = decode_jpeg(data)
+        except ValueError as e:
+            assert "non-baseline" in str(e), (p, e)
+            continue
+        assert c == 3 and len(pix) == w * h * c and w > 50 and h > 50
+        sample = pix[::max(1, len(pix) // 3000)]
+        assert statistics.pstdev(sample) > 10, f"{p}: degenerate decode"
+        # channels must differ on a color photo
+        chans = [pix[off::3][:2000] for off in range(3)]
+        assert len({bytes(ch) for ch in chans}) > 1
+        decoded += 1
+    assert decoded >= 3, "expected several baseline sample photos"
+    prog = glob.glob(
+        "/opt/spark-*/data/mllib/images/origin/multi-channel/grayscale.jpg"
+    )
+    if prog:
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(open(prog[0], "rb").read())
+
+
 def test_basis_integers_are_the_documented_scale():
     """The oracle embeds BASIS_INT verbatim — pin its invariants so a
     drive-by 'cleanup' can't silently change the contract."""
