@@ -197,8 +197,12 @@ def main() -> None:
     # medians, and warm regressions >= 1.3x vs the previous full-run
     # snapshot.  The snapshot is rewritten only on full-inventory runs
     # so a subset smoke (SPARK_GRAFT_BENCH_ONLY) can't poison it.
+    # Snapshot is PER-SF (the contract test's full sf0.001 inventory
+    # run must not become the "previous run" for a driver sf0.1 run —
+    # every query would trivially flag as a cross-sf regression).
     prev_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_prev.json"
+        os.path.dirname(os.path.abspath(__file__)), "tools",
+        f"bench_prev_sf{sf}.json",
     )
     regressed: dict[str, float] = {}
     try:
@@ -208,6 +212,10 @@ def main() -> None:
             p = prev.get(n)
             if p and p > 0.05 and warm / p >= 1.3:
                 regressed[n] = round(warm / p, 2)
+        # keep the compact line compact: worst 10 only
+        regressed = dict(
+            sorted(regressed.items(), key=lambda kv: -kv[1])[:10]
+        )
     except (OSError, ValueError):
         pass
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
