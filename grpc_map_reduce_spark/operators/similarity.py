@@ -318,22 +318,13 @@ def hyperplanes(seed: int, n_bits: int, dim: int):
 EMB_LSH_MAX_BUCKET_DEFAULT = 1000
 
 
-def embedding_lsh_candidates(corpus: DataFrame, n_bits: int = EMB_LSH_BITS,
-                             rows_per_band: int = EMB_LSH_ROWS_PER_BAND,
-                             seed: int = EMB_LSH_SEED,
-                             id_col: str = "vec_id", vec_col: str = "embedding",
-                             max_bucket: int | None =
-                             EMB_LSH_MAX_BUCKET_DEFAULT) -> DataFrame:
-    """Candidate pairs (id_a < id_b, n_bands) sharing ≥1 hyperplane-LSH
-    band bucket.
+def _emb_band_keys(df: DataFrame, n_bits: int, rows_per_band: int,
+                   seed: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, band_idx, key) hyperplane-LSH band rows for every vector.
 
-    Signature computation is one vectorized matmul per Arrow batch
-    against a seed-deterministic hyperplane matrix (regenerated
-    identically in every task — no driver state, no shuffle of the
-    vectors).  The bucket self-join shuffles O(vectors × bands) short
-    rows, never pair rows.  ``max_bucket`` drops oversized buckets
-    (same skew rationale as the MinHash path).
-    """
+    One vectorized matmul per Arrow batch against a seed-deterministic
+    hyperplane matrix (regenerated identically in every task — no
+    driver state, no shuffle of the vectors)."""
     import numpy as np
     import pandas as pd
 
@@ -360,10 +351,29 @@ def embedding_lsh_candidates(corpus: DataFrame, n_bits: int = EMB_LSH_BITS,
                 "key": keys.ravel(),
             })
 
-    base = corpus.select(
+    base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    exploded = base.mapInPandas(_bands, schema="id long, band_idx long, key long")
+    return base.mapInPandas(_bands, schema="id long, band_idx long, key long")
+
+
+def embedding_lsh_candidates(corpus: DataFrame, n_bits: int = EMB_LSH_BITS,
+                             rows_per_band: int = EMB_LSH_ROWS_PER_BAND,
+                             seed: int = EMB_LSH_SEED,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             max_bucket: int | None =
+                             EMB_LSH_MAX_BUCKET_DEFAULT) -> DataFrame:
+    """Candidate pairs (id_a < id_b, n_bands) sharing ≥1 hyperplane-LSH
+    band bucket.
+
+    Signatures via :func:`_emb_band_keys`; the bucket self-join
+    shuffles O(vectors × bands) short rows, never pair rows.
+    ``max_bucket`` drops oversized buckets (same skew rationale as
+    the MinHash path).
+    """
+    exploded = _emb_band_keys(
+        corpus, n_bits, rows_per_band, seed, id_col, vec_col
+    )
     if max_bucket is not None:
         hot = (
             exploded.groupBy("band_idx", "key")
@@ -532,25 +542,19 @@ EMB_SELECTIVE_THRESHOLD = 0.9
 EMB_SELECTIVE_ROWS_PER_BAND = 16  # 96 bits -> 6 bands of 16
 
 
-def planted_near_dup_corpus(corpus: DataFrame, id_col: str = "vec_id",
-                            vec_col: str = "embedding",
-                            eps_den: int = EMB_AUG_EPS_DEN,
-                            id_offset: int = EMB_AUG_ID_OFFSET) -> DataFrame:
-    """Union the corpus with one deterministic near-dup twin per
-    vector (id + ``id_offset``, per-coordinate md5 noise scaled by
-    1/``eps_den``).  Map-only, JVM-side (``transform`` + ``md5`` +
-    ``conv``) — no shuffle, no Python.  Exists so approximate
-    operators can be exercised at their selective production
-    calibration on fixtures that have no natural near-dups."""
-    base = corpus.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.transform(vec_col, lambda x, j: x.cast("double")).alias(vec_col),
-    )
+def planted_twins(corpus: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  eps_den: int = EMB_AUG_EPS_DEN,
+                  id_offset: int = EMB_AUG_ID_OFFSET) -> DataFrame:
+    """One deterministic near-dup twin per corpus vector (id +
+    ``id_offset``, per-coordinate md5 noise scaled by 1/``eps_den``).
+    Map-only, JVM-side (``transform`` + ``md5`` + ``conv``) — no
+    shuffle, no Python."""
     # The noise key must be the ORIGINAL id while the output id is
     # offset — rename first so Spark's lateral-column-alias resolution
     # can't silently bind the md5 argument to the offset output alias
     # (it did: every planted vector carried the wrong noise).
-    pert = corpus.select(
+    return corpus.select(
         F.col(id_col).cast("long").alias("_oid"), F.col(vec_col).alias("_v")
     ).select(
         (F.col("_oid") + F.lit(id_offset)).alias(id_col),
@@ -571,7 +575,23 @@ def planted_near_dup_corpus(corpus: DataFrame, id_col: str = "vec_id",
             ) / F.lit(float(eps_den)),
         ).alias(vec_col),
     )
-    return base.unionByName(pert)
+
+
+def planted_near_dup_corpus(corpus: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            eps_den: int = EMB_AUG_EPS_DEN,
+                            id_offset: int = EMB_AUG_ID_OFFSET) -> DataFrame:
+    """Union the corpus with its :func:`planted_twins`.  Exists so
+    approximate operators can be exercised at their selective
+    production calibration on fixtures that have no natural
+    near-dups."""
+    base = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(vec_col, lambda x, j: x.cast("double")).alias(vec_col),
+    )
+    return base.unionByName(
+        planted_twins(corpus, id_col, vec_col, eps_den, id_offset)
+    )
 
 
 def q_embedding_lsh_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +667,212 @@ sims AS (
     FROM prods GROUP BY 1, 2
 )
 SELECT id_a, id_b, sim FROM sims WHERE sim >= {EMB_SELECTIVE_THRESHOLD}
+"""
+
+
+def embedding_incremental_neardup(
+    corpus: DataFrame, incoming: DataFrame,
+    threshold: float = EMB_SELECTIVE_THRESHOLD,
+    n_bits: int = EMB_LSH_BITS,
+    rows_per_band: int = EMB_SELECTIVE_ROWS_PER_BAND,
+    seed: int = EMB_LSH_SEED,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket: int | None = EMB_LSH_MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Streaming-ingest ANN dedup: for every INCOMING vector, its
+    near-dup matches in the corpus — the embedding twin of
+    dedup.incremental_dedup (dedup.py one-sided design).
+
+    The band join is strictly ONE-SIDED: incoming bands probe corpus
+    bands, so a corpus×corpus (or incoming×incoming) pair structure
+    never exists in the plan — the shape that stays cheap when a
+    small shard arrives against a 100 TB index.  The hot-bucket
+    guard applies to the CORPUS side (a degenerate corpus bucket is
+    the skew risk; the incoming shard is small by definition).
+
+    Output, one row per incoming id (total): (vec_id, n_matches,
+    best_match_id, best_sim, is_dup); unmatched report
+    (0, -1, 0.0, false).  Ties on sim break toward the smaller
+    match_id, mirroring the text-side contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cor_k = _emb_band_keys(
+        corpus, n_bits, rows_per_band, seed, id_col, vec_col
+    ).withColumnRenamed("id", "match_id")
+    if max_bucket is not None:
+        hot = (
+            cor_k.groupBy("band_idx", "key")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band_idx", "key")
+        )
+        cor_k = cor_k.join(F.broadcast(hot), ["band_idx", "key"], "left_anti")
+    inc_k = _emb_band_keys(
+        incoming, n_bits, rows_per_band, seed, id_col, vec_col
+    )
+    cand = (
+        inc_k.join(cor_k, ["band_idx", "key"])
+        .select("id", "match_id")
+        .distinct()
+    )
+    va = incoming.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_va")
+    )
+    vb = corpus.select(
+        F.col(id_col).cast("long").alias("match_id"),
+        F.col(vec_col).alias("_vb"),
+    )
+
+    def _rescore(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["_vb"].tolist(), dtype=np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            sim = np.round(np.einsum("ij,ij->i", A, B), 6)
+            keep = sim >= threshold
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(np.int64)[keep],
+                "match_id": pdf["match_id"].to_numpy(np.int64)[keep],
+                "sim": sim[keep],
+            })
+
+    matched = (
+        cand.join(va, "id")
+        .join(vb, "match_id")
+        .mapInPandas(_rescore, schema="id long, match_id long, sim double")
+    )
+    best = (
+        matched.groupBy("id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max(
+                F.struct(F.col("sim"), (-F.col("match_id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "id",
+            "n_matches",
+            (-F.col("m.nid")).alias("best_match_id"),
+            F.col("m.sim").alias("best_sim"),
+        )
+    )
+    return (
+        incoming.select(F.col(id_col).cast("long").alias("id"))
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("best_match_id", F.lit(-1)).cast("long")
+            .alias("best_match_id"),
+            F.coalesce("best_sim", F.lit(0.0)).alias("best_sim"),
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def q_embedding_incremental_neardup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Registered at the selective production calibration with the
+    planted twins as the incoming shard and the raw table as the
+    corpus — every incoming vector has exactly one ≥0.9 corpus match
+    (its original), found with ~98% band recall, so both branches of
+    the total-output contract (is_dup true AND false) appear in the
+    hash."""
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_incremental_neardup(emb, planted_twins(emb))
+
+
+ORACLE_EMB_INCREMENTAL = f"""
+WITH aug AS (
+    SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(len(embedding))) AS t(j)
+    UNION ALL
+    SELECT vec_id + {EMB_AUG_ID_OFFSET}, j,
+           CAST(embedding[j + 1] AS DOUBLE) +
+           ((2.0 * ((('0x' || substr(md5('aug:' || CAST(vec_id AS VARCHAR)
+                                     || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT)
+                    / 4503599627370496.0) - 1.0) / {EMB_AUG_EPS_DEN}.0) AS x
+    FROM embeddings, unnest(range(len(embedding))) AS t(j)
+),
+dims AS (
+    SELECT max(len(embedding)) AS d FROM embeddings
+),
+h AS (
+    SELECT i, j,
+           2.0 * ((('0x' || substr(md5('{EMB_LSH_SEED}:' || CAST(i * d + j AS VARCHAR)), 1, 13))::BIGINT)
+                  / 4503599627370496.0) - 1.0 AS w
+    FROM dims, unnest(range({EMB_LSH_BITS})) AS ti(i), unnest(range(d)) AS tj(j)
+),
+bits AS (
+    SELECT a.vec_id, h.i,
+           CASE WHEN sum(a.x * h.w) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM aug a JOIN h ON a.j = h.j
+    GROUP BY a.vec_id, h.i
+),
+keys AS (
+    SELECT vec_id, i // {EMB_SELECTIVE_ROWS_PER_BAND} AS band_idx,
+           CAST(sum(bit * (1 << (i % {EMB_SELECTIVE_ROWS_PER_BAND}))) AS BIGINT) AS key
+    FROM bits GROUP BY vec_id, i // {EMB_SELECTIVE_ROWS_PER_BAND}
+),
+ck AS (
+    SELECT vec_id AS match_id, band_idx, key FROM keys
+    WHERE vec_id < {EMB_AUG_ID_OFFSET}
+),
+hot AS (
+    SELECT band_idx, key FROM ck
+    GROUP BY band_idx, key HAVING count(*) > {EMB_LSH_MAX_BUCKET_DEFAULT}
+),
+ck_ok AS (
+    SELECT c.match_id, c.band_idx, c.key
+    FROM ck c ANTI JOIN hot ho
+      ON c.band_idx = ho.band_idx AND c.key = ho.key
+),
+ik AS (
+    SELECT vec_id, band_idx, key FROM keys
+    WHERE vec_id >= {EMB_AUG_ID_OFFSET}
+),
+cand AS (
+    SELECT DISTINCT i.vec_id, c.match_id
+    FROM ik i JOIN ck_ok c
+      ON i.band_idx = c.band_idx AND i.key = c.key
+),
+prods AS (
+    SELECT c.vec_id, c.match_id, a.x AS ae, b.x AS be
+    FROM cand c
+    JOIN aug a ON a.vec_id = c.vec_id
+    JOIN aug b ON b.vec_id = c.match_id AND b.j = a.j
+),
+sims AS (
+    SELECT vec_id, match_id,
+           round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6) AS sim
+    FROM prods GROUP BY 1, 2
+),
+matched AS (
+    SELECT vec_id, match_id, sim FROM sims
+    WHERE sim >= {EMB_SELECTIVE_THRESHOLD}
+),
+ranked AS (
+    SELECT vec_id, match_id, sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, match_id) AS rn,
+           count(*) OVER (PARTITION BY vec_id) AS n
+    FROM matched
+),
+best AS (
+    SELECT vec_id, n, match_id, sim FROM ranked WHERE rn = 1
+)
+SELECT t.vec_id,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_matches,
+       CAST(coalesce(b.match_id, -1) AS BIGINT) AS best_match_id,
+       coalesce(b.sim, 0.0) AS best_sim,
+       b.n IS NOT NULL AS is_dup
+FROM (SELECT vec_id + {EMB_AUG_ID_OFFSET} AS vec_id FROM embeddings) t
+LEFT JOIN best b ON b.vec_id = t.vec_id
 """
 
 
@@ -1701,6 +1927,13 @@ QUERIES = [
      "(s>=0.9, 16-bit bands, hot-bucket guard ON and oracle-mirrored) "
      "over a deterministically planted near-dup corpus — the "
      "sub-linear scale path, hash-checked end to end."),
+    ("embedding_incremental_neardup", q_embedding_incremental_neardup,
+     ORACLE_EMB_INCREMENTAL,
+     "E2 streaming-ingest ANN dedup: one-sided band join of an "
+     "incoming shard against the corpus index (corpus x corpus never "
+     "exists), exact-cosine rescore, per-incoming best-match report "
+     "with total output — the embedding twin of incremental_dedup, "
+     "hash-checked end to end at the selective calibration."),
     ("ann_filtered_topk", q_filtered_topk, ORACLE_FILTERED_TOPK,
      "E2 filtered vector search: metadata predicate pre-filters the "
      "corpus scan before block packing (exact at any selectivity)."),

@@ -86,3 +86,31 @@ def test_selective_regime_finds_planted_twins_and_stays_selective(spark, sf_dir)
         aug, rows_per_band=EMB_SELECTIVE_ROWS_PER_BAND
     ).count()
     assert cand <= 4 * n, f"selective candidate set blew up: {cand} for n={n}"
+
+
+def test_incremental_neardup_contract(spark, sf_dir):
+    """Round-7 gate for the one-sided ingest dedup: total output (one
+    row per incoming id), both is_dup branches present, matches point
+    at each twin's own original with the exact rescored cosine, and
+    unmatched rows carry the documented sentinels."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        EMB_AUG_ID_OFFSET,
+        embedding_incremental_neardup,
+        planted_twins,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = {r.vec_id: r for r in embedding_incremental_neardup(
+        emb, planted_twins(emb)
+    ).collect()}
+    assert len(rows) == n, "output must be total over the incoming side"
+    dup = [r for r in rows.values() if r.is_dup]
+    miss = [r for r in rows.values() if not r.is_dup]
+    assert len(dup) >= 0.9 * n, f"planted-twin recall {len(dup)}/{n}"
+    for r in dup:
+        # the only >=0.9 corpus neighbor of twin(i) is original i
+        assert r.best_match_id == r.vec_id - EMB_AUG_ID_OFFSET
+        assert r.n_matches == 1 and r.best_sim >= 0.9
+    for r in miss:
+        assert (r.n_matches, r.best_match_id, r.best_sim) == (0, -1, 0.0)

@@ -94,6 +94,10 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # 16-bit bands, guard ON, planted twins) — the sub-linear
           # claim that retires the adversarial regime's quadratic
           "embedding_lsh_selective",
+          # round-7: one-sided incoming-vs-corpus embedding dedup
+          # (the streaming-ingest ANN shape; corpus x corpus never
+          # exists, so growth must track corpus + shard, not pairs)
+          "embedding_incremental_neardup",
           # temporal-join family (round 6): events replicate as new
           # users in the same time range (see synthesize), so
           # per-bucket density grows with the multiplier — the stress
