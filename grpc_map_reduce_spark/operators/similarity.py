@@ -670,7 +670,7 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= {EMB_SELECTIVE_THRESHOLD}
 """
 
 
-def embedding_incremental_neardup(
+def embedding_incremental_matches(
     corpus: DataFrame, incoming: DataFrame,
     threshold: float = EMB_SELECTIVE_THRESHOLD,
     n_bits: int = EMB_LSH_BITS,
@@ -679,22 +679,11 @@ def embedding_incremental_neardup(
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_bucket: int | None = EMB_LSH_MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
-    """Streaming-ingest ANN dedup: for every INCOMING vector, its
-    near-dup matches in the corpus — the embedding twin of
-    dedup.incremental_dedup (dedup.py one-sided design).
-
-    The band join is strictly ONE-SIDED: incoming bands probe corpus
-    bands, so a corpus×corpus (or incoming×incoming) pair structure
-    never exists in the plan — the shape that stays cheap when a
-    small shard arrives against a 100 TB index.  The hot-bucket
-    guard applies to the CORPUS side (a degenerate corpus bucket is
-    the skew risk; the incoming shard is small by definition).
-
-    Output, one row per incoming id (total): (vec_id, n_matches,
-    best_match_id, best_sim, is_dup); unmatched report
-    (0, -1, 0.0, false).  Ties on sim break toward the smaller
-    match_id, mirroring the text-side contract.
-    """
+    """(id, match_id, sim): every incoming-side vector's
+    above-threshold corpus matches — the cross-side candidate set,
+    exactly rescored.  The per-incoming report below and the
+    streaming twin (streaming/dedup.py) both reduce to this, exactly
+    as the text side's ``incremental_scored_pairs``."""
     import numpy as np
     import pandas as pd
 
@@ -741,10 +730,41 @@ def embedding_incremental_neardup(
                 "sim": sim[keep],
             })
 
-    matched = (
+    return (
         cand.join(va, "id")
         .join(vb, "match_id")
         .mapInPandas(_rescore, schema="id long, match_id long, sim double")
+    )
+
+
+def embedding_incremental_neardup(
+    corpus: DataFrame, incoming: DataFrame,
+    threshold: float = EMB_SELECTIVE_THRESHOLD,
+    n_bits: int = EMB_LSH_BITS,
+    rows_per_band: int = EMB_SELECTIVE_ROWS_PER_BAND,
+    seed: int = EMB_LSH_SEED,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket: int | None = EMB_LSH_MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Streaming-ingest ANN dedup: for every INCOMING vector, its
+    near-dup matches in the corpus — the embedding twin of
+    dedup.incremental_dedup (dedup.py one-sided design).
+
+    The band join is strictly ONE-SIDED: incoming bands probe corpus
+    bands, so a corpus×corpus (or incoming×incoming) pair structure
+    never exists in the plan — the shape that stays cheap when a
+    small shard arrives against a 100 TB index.  The hot-bucket
+    guard applies to the CORPUS side (a degenerate corpus bucket is
+    the skew risk; the incoming shard is small by definition).
+
+    Output, one row per incoming id (total): (vec_id, n_matches,
+    best_match_id, best_sim, is_dup); unmatched report
+    (0, -1, 0.0, false).  Ties on sim break toward the smaller
+    match_id, mirroring the text-side contract.
+    """
+    matched = embedding_incremental_matches(
+        corpus, incoming, threshold, n_bits, rows_per_band, seed,
+        id_col, vec_col, max_bucket,
     )
     best = (
         matched.groupBy("id")

@@ -171,3 +171,134 @@ def streaming_incremental_dedup(doc_stream: DataFrame, buckets: DataFrame,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "match_id", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding twin (round 7): a STREAM of incoming vectors deduped
+# against a static corpus band index — the streaming face of
+# operators/similarity.embedding_incremental_matches, same shape as
+# the text twin above: map-only signature computation per micro-batch
+# (one vectorized matmul per Arrow batch; the hyperplane matrix is
+# seed-derived in every task, no broadcast state), stream-static
+# band-bucket join, stream-static vector join + exact cosine rescore.
+# No stream-side shuffle of the corpus ever happens.
+
+def emb_band_keys_udf(n_bits: int, rows_per_band: int, seed: int):
+    """Map-only producer of ``array<long>`` band keys per vector —
+    the same numpy pipeline as the batch ``_emb_band_keys`` (matmul
+    against the seed-derived hyperplanes, sign bits, per-band integer
+    keys), fused into one pandas UDF so a stream needs no signature
+    aggregation state."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from grpc_map_reduce_spark.operators.similarity import hyperplanes
+
+    r = rows_per_band
+    assert n_bits % r == 0
+    n_bands = n_bits // r
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        V = np.array(v.tolist(), dtype=np.float64)
+        H = hyperplanes(seed, n_bits, V.shape[1])
+        bits = (V @ H.T) >= 0
+        keys = bits.reshape(len(V), n_bands, r).astype(np.int64) @ weights
+        return pd.Series(list(keys))
+
+    return _keys
+
+
+def cosine_sim_udf():
+    """Exact cosine of two vector columns, rounded to 6 dp — the
+    identical per-row numpy reduction as the batch rescore kernel, so
+    stream and batch sims are bit-equal."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype=float)
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
+
+    return _cos
+
+
+def embedding_corpus_index(corpus: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"
+                           ) -> tuple[DataFrame, DataFrame]:
+    """The static corpus side, built once with the BATCH machinery at
+    the selective production calibration (guard ON): ``buckets
+    (band_idx, key, match_id)`` and ``vectors (match_id, _vb)``.  At
+    scale both live as bucketed parquet, maintained incrementally as
+    shards are accepted."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        EMB_LSH_BITS,
+        EMB_LSH_MAX_BUCKET_DEFAULT,
+        EMB_LSH_SEED,
+        EMB_SELECTIVE_ROWS_PER_BAND,
+        _emb_band_keys,
+    )
+
+    cor_k = _emb_band_keys(
+        corpus, EMB_LSH_BITS, EMB_SELECTIVE_ROWS_PER_BAND, EMB_LSH_SEED,
+        id_col, vec_col,
+    ).withColumnRenamed("id", "match_id")
+    hot = (
+        cor_k.groupBy("band_idx", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > EMB_LSH_MAX_BUCKET_DEFAULT)
+        .select("band_idx", "key")
+    )
+    buckets = cor_k.join(F.broadcast(hot), ["band_idx", "key"], "left_anti")
+    vectors = corpus.select(
+        F.col(id_col).cast("long").alias("match_id"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return buckets, vectors
+
+
+def streaming_embedding_dedup(vec_stream: DataFrame, buckets: DataFrame,
+                              corpus_vecs: DataFrame,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, match_id, sim) appended per micro-batch: each
+    streamed vector's above-threshold corpus matches at the selective
+    calibration — parity-gated against
+    ``embedding_incremental_matches`` in tests/test_streaming.py."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        EMB_LSH_BITS,
+        EMB_LSH_SEED,
+        EMB_SELECTIVE_ROWS_PER_BAND,
+        EMB_SELECTIVE_THRESHOLD,
+    )
+
+    keys_udf = emb_band_keys_udf(
+        EMB_LSH_BITS, EMB_SELECTIVE_ROWS_PER_BAND, EMB_LSH_SEED
+    )
+    exp = (
+        vec_stream.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("_va"),
+            F.posexplode(keys_udf(F.col(vec_col))).alias("band_idx", "key"),
+        )
+    )
+    cand = (
+        exp.join(buckets, ["band_idx", "key"])  # stream-static
+        .dropDuplicates(["id", "match_id"])
+    )
+    return (
+        cand.join(corpus_vecs, "match_id")  # stream-static
+        .withColumn("sim", cosine_sim_udf()(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") >= EMB_SELECTIVE_THRESHOLD)
+        .select(F.col("id").alias(id_col), "match_id", "sim")
+    )

@@ -413,6 +413,50 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_embedding_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Round-7 embedding twin: the planted-twin shard streamed
+    file-by-file against the static corpus band index must produce
+    exactly the batch cross-side matches
+    (operators/similarity.embedding_incremental_matches)."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_incremental_matches,
+        planted_twins,
+    )
+    from grpc_map_reduce_spark.streaming.dedup import (
+        embedding_corpus_index,
+        streaming_embedding_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    incoming = planted_twins(emb)
+    src = str(tmp_path / "incoming_vecs")
+    incoming.repartition(4).write.parquet(src)
+
+    buckets, vectors = embedding_corpus_index(emb)
+    buckets = buckets.localCheckpoint()
+    vectors = vectors.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(
+        streaming_embedding_dedup(stream, buckets, vectors),
+        "stream_emb_dedup",
+        output_mode="append",
+    )
+    got = {
+        (r.vec_id, r.match_id, r.sim)
+        for r in spark.table("stream_emb_dedup").collect()
+    }
+    want = {
+        (r.id, r.match_id, r.sim)
+        for r in embedding_incremental_matches(emb, incoming).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_transform_with_state_matches_batch(spark, sf_dir):
     """The Spark-4 transformWithStateInPandas twin must land on the
     same final per-user totals as both the v1 stateful op and the
