@@ -670,6 +670,49 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= {EMB_SELECTIVE_THRESHOLD}
 """
 
 
+def selective_band_params(n: int, n_bands: int = 6,
+                          floor: int = EMB_SELECTIVE_ROWS_PER_BAND
+                          ) -> tuple[int, int]:
+    """(n_bits, rows_per_band) for an n-vector corpus at the
+    selective regime.
+
+    A FIXED band width saturates: random (sim≈0) pairs collide in a
+    band with probability 2^-r, so candidates grow ~ n²·2^-r — at
+    500 K vectors a 16-bit key space (65 K buckets) yields ~11 M
+    random candidate pairs and the 125× probe measured the registered
+    query super-linear (95.7 s vs 7.8 s @25×).  Scaling r with
+    log2(n) keeps the expected random collisions O(n): the smallest
+    r ≥ floor with 2^r ≥ 16·n bounds per-band random candidates at
+    ~n/32.  Twin recall falls gently with r (0.955^r per band for
+    ~0.99-sim pairs; ≥0.9 overall through r≈24 at 6 bands).  Fixture
+    corpora (n ≤ 4096, incl. the sf0.1 planted corpus) always
+    compute r = floor, so the pinned registered query and this
+    scaled path agree there — the same pin-the-oracle /
+    scale-the-caller split as semdedup's auto-K (gated in
+    test_embedding_lsh.py).
+    """
+    r = max(floor, (16 * n - 1).bit_length() if n > 0 else floor)
+    return n_bands * r, r
+
+
+def embedding_lsh_selective_scaled(corpus: DataFrame,
+                                   threshold: float = EMB_SELECTIVE_THRESHOLD,
+                                   seed: int = EMB_LSH_SEED,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   max_bucket: int | None =
+                                   EMB_LSH_MAX_BUCKET_DEFAULT) -> DataFrame:
+    """The selective near-dup path with :func:`selective_band_params`
+    sizing — the scale caller's entry point (one count() action, a
+    bounded driver scalar like semdedup's auto-K)."""
+    n = corpus.count()
+    n_bits, r = selective_band_params(n)
+    return embedding_lsh_near_dup(
+        corpus, threshold, n_bits=n_bits, rows_per_band=r, seed=seed,
+        id_col=id_col, vec_col=vec_col, max_bucket=max_bucket,
+    )
+
+
 def embedding_incremental_matches(
     corpus: DataFrame, incoming: DataFrame,
     threshold: float = EMB_SELECTIVE_THRESHOLD,

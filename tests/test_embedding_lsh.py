@@ -88,6 +88,44 @@ def test_selective_regime_finds_planted_twins_and_stays_selective(spark, sf_dir)
     assert cand <= 4 * n, f"selective candidate set blew up: {cand} for n={n}"
 
 
+def test_selective_band_params_scale_with_corpus():
+    """The scaled selective path must hold r at the registered floor
+    for fixture corpora (so the pinned oracle twin and the scale
+    caller agree there) and grow it logarithmically past the key
+    space's saturation point."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        EMB_SELECTIVE_ROWS_PER_BAND,
+        selective_band_params,
+    )
+
+    for n in (0, 1, 500, 4000, 4096):
+        n_bits, r = selective_band_params(n)
+        assert r == EMB_SELECTIVE_ROWS_PER_BAND and n_bits == 6 * r
+    for n, want in ((100_000, 21), (500_000, 23), (5_000_000, 27)):
+        n_bits, r = selective_band_params(n)
+        assert r == want and n_bits == 6 * r
+        # the sizing contract: expected random collisions stay O(n)
+        assert 2 ** r >= 16 * n
+
+
+def test_selective_scaled_equals_registered_at_fixture_scale(spark, sf_dir):
+    from grpc_map_reduce_spark.operators.similarity import (
+        EMB_SELECTIVE_ROWS_PER_BAND,
+        EMB_SELECTIVE_THRESHOLD,
+        embedding_lsh_selective_scaled,
+        planted_near_dup_corpus,
+    )
+
+    aug = planted_near_dup_corpus(table(spark, sf_dir, "embeddings"))
+    scaled = {tuple(r) for r in embedding_lsh_selective_scaled(aug).collect()}
+    pinned = {tuple(r) for r in embedding_lsh_near_dup(
+        aug,
+        threshold=EMB_SELECTIVE_THRESHOLD,
+        rows_per_band=EMB_SELECTIVE_ROWS_PER_BAND,
+    ).collect()}
+    assert scaled == pinned and len(pinned) > 0
+
+
 def test_incremental_neardup_contract(spark, sf_dir):
     """Round-7 gate for the one-sided ingest dedup: total output (one
     row per incoming id), both is_dup branches present, matches point

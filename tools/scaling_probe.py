@@ -94,6 +94,9 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # 16-bit bands, guard ON, planted twins) — the sub-linear
           # claim that retires the adversarial regime's quadratic
           "embedding_lsh_selective",
+          # log2(n)-scaled band width: the fix for the 16-bit key
+          # space saturating at 125x (random collisions ~ n^2/2^r)
+          "embedding_lsh_selective_scaled",
           # round-7: one-sided incoming-vs-corpus embedding dedup
           # (the streaming-ingest ANN shape; corpus x corpus never
           # exists, so growth must track corpus + shard, not pairs)
@@ -341,6 +344,16 @@ def main() -> None:
 
     qs["semdedup_auto_k"] = SimpleNamespace(
         spark_fn=lambda spark, sf: semdedup(_table(spark, sf, "embeddings"))
+    )
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_lsh_selective_scaled,
+        planted_near_dup_corpus,
+    )
+
+    qs["embedding_lsh_selective_scaled"] = SimpleNamespace(
+        spark_fn=lambda spark, sf: embedding_lsh_selective_scaled(
+            planted_near_dup_corpus(_table(spark, sf, "embeddings"))
+        )
     )
     # absorb session/scan warmup outside the x1 timings
     qs[probes[0]].spark_fn(spark, BASE_SF).write.format("noop").mode(
