@@ -805,6 +805,11 @@ def embedding_incremental_neardup(
     (0, -1, 0.0, false).  Ties on sim break toward the smaller
     match_id, mirroring the text-side contract.
     """
+    # Same band-width saturation as the symmetric path: random
+    # cross-side collisions ~ n_inc·n_cor·2^-r.  Scale callers should
+    # size r from the CORPUS via selective_band_params (see
+    # embedding_incremental_neardup_scaled); the registered query
+    # keeps r pinned for oracle exactness.
     matched = embedding_incremental_matches(
         corpus, incoming, threshold, n_bits, rows_per_band, seed,
         id_col, vec_col, max_bucket,
@@ -835,6 +840,26 @@ def embedding_incremental_neardup(
             F.coalesce("best_sim", F.lit(0.0)).alias("best_sim"),
             F.col("n_matches").isNotNull().alias("is_dup"),
         )
+    )
+
+
+def embedding_incremental_neardup_scaled(
+    corpus: DataFrame, incoming: DataFrame,
+    threshold: float = EMB_SELECTIVE_THRESHOLD,
+    seed: int = EMB_LSH_SEED,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket: int | None = EMB_LSH_MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Scale caller's entry point: band width sized from the corpus
+    via :func:`selective_band_params` (one count() scalar), so random
+    cross-side collisions stay O(n) as the index grows.  Fixture
+    corpora compute the registered r — equality with the pinned
+    query is implied by the selective-path gate."""
+    n = corpus.count()
+    n_bits, r = selective_band_params(n)
+    return embedding_incremental_neardup(
+        corpus, incoming, threshold, n_bits=n_bits, rows_per_band=r,
+        seed=seed, id_col=id_col, vec_col=vec_col, max_bucket=max_bucket,
     )
 
 

@@ -101,6 +101,7 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # (the streaming-ingest ANN shape; corpus x corpus never
           # exists, so growth must track corpus + shard, not pairs)
           "embedding_incremental_neardup",
+          "embedding_incremental_scaled",
           # temporal-join family (round 6): events replicate as new
           # users in the same time range (see synthesize), so
           # per-bucket density grows with the multiplier — the stress
@@ -353,6 +354,17 @@ def main() -> None:
     qs["embedding_lsh_selective_scaled"] = SimpleNamespace(
         spark_fn=lambda spark, sf: embedding_lsh_selective_scaled(
             planted_near_dup_corpus(_table(spark, sf, "embeddings"))
+        )
+    )
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_incremental_neardup_scaled,
+        planted_twins,
+    )
+
+    qs["embedding_incremental_scaled"] = SimpleNamespace(
+        spark_fn=lambda spark, sf: embedding_incremental_neardup_scaled(
+            _table(spark, sf, "embeddings"),
+            planted_twins(_table(spark, sf, "embeddings")),
         )
     )
     # absorb session/scan warmup outside the x1 timings
