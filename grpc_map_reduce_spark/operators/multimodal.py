@@ -60,8 +60,9 @@ def _decode(payload: bytes, fmt: str) -> bytes:
     no PIL needed (``import PIL`` re-checked unavailable in round 4,
     and installs are off-limits; PNG's only compression primitive is
     DEFLATE, which stdlib zlib provides).  ``jpeg`` is REAL as of
-    round 7 (functions/jpeg.py: baseline Huffman + fixed-point IDCT
-    per T.81; progressive/subsampled scope limits raise ValueError →
+    round 7 (functions/jpeg.py: sequential + progressive Huffman
+    frames with a fixed-point IDCT per T.81 incl. Annex G;
+    hierarchical/lossless/12-bit scope limits raise ValueError →
     quarantine, not job death).  ``rawtext`` stays as the
     deterministic fake for the text-backed fixtures; video formats
     genuinely need external libs and raise."""
