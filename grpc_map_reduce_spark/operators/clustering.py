@@ -672,7 +672,25 @@ def triangle_counts(edges: DataFrame, edges_unique: bool = False,
             .first()
         )
         n_wedges = int(w_row["w"])
-        wedge_batches = max(1, min(32, -(-n_wedges // WEDGE_ROWS_PER_BATCH)))
+        want = max(1, -(-n_wedges // WEDGE_ROWS_PER_BATCH))
+        wedge_batches = min(32, want)
+        if want > 32:
+            # Past 32 batches (~1e9 wedges) per-batch volume grows
+            # with the graph again and the 'peak = max(batch)' bound
+            # stops holding — make the boundary visible instead of
+            # silent (ADVICE r7).  The cap exists because each batch
+            # is a full pass over the oriented edge table; >32 passes
+            # trades too much recompute for memory.
+            import warnings
+
+            warnings.warn(
+                f"triangle_counts: {n_wedges} wedges want {want} batches "
+                f"but the pass-count cap holds it at 32; per-batch volume "
+                f"is ~{n_wedges // 32} rows (> WEDGE_ROWS_PER_BATCH = "
+                f"{WEDGE_ROWS_PER_BATCH}) — the bounded-memory guarantee "
+                f"degrades. Pass wedge_batches explicitly to override.",
+                stacklevel=2,
+            )
 
     def _wedge_counts(e1: DataFrame) -> DataFrame:
         e2 = d.alias("e2")

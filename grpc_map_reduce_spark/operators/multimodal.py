@@ -821,6 +821,19 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
     lands in quarantine with its error class — a corrupt blob must
     never kill the job, it must become a countable row.  Output one
     row per doc: (doc_id, status, n_bytes)."""
+    import struct
+    import zlib
+
+    # The codecs raise ValueError on every *recognized* malformation,
+    # but a truncated/bit-flipped payload can surface as the parse
+    # machinery's own exception before any validity check fires:
+    # IndexError (JPEG cut mid-marker, jpeg.py), struct.error (a
+    # segment body shorter than its unpack width), KeyError (a scan
+    # referencing an undeclared component id), zlib.error (corrupt
+    # PNG IDAT stream).  All of those are the same ingest fact — the
+    # blob is corrupt — so they quarantine rather than kill the job
+    # (ADVICE r7).
+    _corrupt = (ValueError, KeyError, IndexError, struct.error, zlib.error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -832,11 +845,11 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
                     raw = _decode(payload, meta["format"])
                     rows["status"].append("ok")
                     rows["n_bytes"].append(len(raw))
-                except ValueError:
-                    rows["status"].append("corrupt")
-                    rows["n_bytes"].append(0)
                 except NotImplementedError:
                     rows["status"].append("unsupported_format")
+                    rows["n_bytes"].append(0)
+                except _corrupt:
+                    rows["status"].append("corrupt")
                     rows["n_bytes"].append(0)
                 rows["doc_id"].append(doc_id)
             yield pd.DataFrame(rows)

@@ -74,9 +74,25 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         # the reliable knob a no-op for operators that rely on it
         # (ADVICE r6).
         cur = sc._jsc.sc().getCheckpointDir()
+        # setCheckpointDir(p) stores p/<uuid> (often with a file:
+        # scheme prefix), so recover the configured dir by stripping
+        # the scheme and the appended UUID segment and compare path
+        # components — substring containment would accept a foreign
+        # dir that merely shares a prefix ('/data/ckpt' matching
+        # inside '/data/ckpt-old/<uuid>', ADVICE r7).
+        def _matches(stored: str, conf_path: str) -> bool:
+            p = stored.split("://", 1)[-1]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            parent = p.rstrip("/").rsplit("/", 1)[0]
+            want = conf_path.split("://", 1)[-1]
+            if want.startswith("file:"):
+                want = want[len("file:"):]
+            return parent == want.rstrip("/")
+
         if cur.isEmpty():
             sc.setCheckpointDir(path)
-        elif path.rstrip("/") not in cur.get():
+        elif not _matches(cur.get(), path):
             import warnings
 
             warnings.warn(

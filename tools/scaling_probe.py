@@ -88,7 +88,7 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # with the auto-scaled K — replicated embeddings get
           # per-replica rolled vectors (see synthesize) so these
           # measure volume, not clone cliques
-          "ann_cosine_topk", "ann_ivf_topk", "embedding_lsh_neardup",
+          "ann_cosine_topk", "ann_ivf_topk", "embedding_lsh_recall_stress",
           "semdedup_auto_k",
           # round-7: the registered SELECTIVE operating point (s>=0.9,
           # 16-bit bands, guard ON, planted twins) — the sub-linear
