@@ -123,7 +123,23 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # heavy TPC-H representatives over replicated lineitem and
           # orders: the deepest join tree (q9) and the group-having
           # semi-join (q18)
-          "q9_nation_year_profit", "q18_large_volume_customers"]
+          "q9_nation_year_profit", "q18_large_volume_customers",
+          # round-8 (VERDICT r7 item 2): the multimodal codec family —
+          # the one registered family whose kernel is per-image Python
+          # inside Arrow batches (functions/jpeg.py, png.py), never
+          # before priced at probe volume.  Media rows grow with docs;
+          # per-image cost is constant, so the family must scale
+          # ~linearly with a measurable images/s throughput.
+          "multimodal_jpeg_decode", "multimodal_quarantine",
+          "multimodal_phash_pairs", "multimodal_augment",
+          # round-8 (VERDICT r7 item 4): the guard-ON pair path for
+          # hot-CLUSTER skew runs (--hot-cluster P) — the registered
+          # dedup_lsh_neardup is the UNGUARDED oracle twin by contract
+          # and would measure the mega-cluster's quadratic pair count,
+          # not the engine; dedup_canonical / dedup_communities_lpa
+          # are already guard-ON at their registered parameters and
+          # are probed directly.
+          "dedup_lsh_guarded"]
 #: key column to shift per replica so replicated rows stay distinct
 KEYED = {
     "documents": "doc_id",
@@ -154,7 +170,20 @@ def _rot(k: int) -> str:
     return ALPHABET[k % 26:] + ALPHABET[:k % 26]
 
 
-def synthesize(spark, mult: int, zipf_hot: int = 0) -> str:
+#: --hot-cluster template: a fixed boilerplate document planted
+#: verbatim (NOT rotated) into P% of every replica's docs, so one
+#: shingle set — hence one LSH bucket per band and one CC component —
+#: grows linearly with the corpus.  This is the skew mode a real
+#: crawl has (cookie banners, license stubs, nav chrome).
+HOT_TEMPLATE = (
+    "this website uses cookies to improve your experience by continuing "
+    "to browse the site you agree to our use of cookies accept decline "
+    "privacy policy terms of service all rights reserved copyright"
+)
+
+
+def synthesize(spark, mult: int, zipf_hot: int = 0,
+               hot_cluster: int = 0) -> str:
     """Build (or reuse) the replicated scratch dir for ``mult``.
 
     ``zipf_hot`` > 0 derives a VARIANT dir where that percent of every
@@ -165,7 +194,40 @@ def synthesize(spark, mult: int, zipf_hot: int = 0) -> str:
     top-k paths only ever see volume growth (recorded r6 caveat).
     With it, the hot term's document frequency is ~zipf_hot% of the
     WHOLE corpus at any multiplier.  Only documents are rewritten;
-    every other table is symlinked from the base dir."""
+    every other table is symlinked from the base dir.
+
+    ``hot_cluster`` > 0 derives a VARIANT dir where that percent of
+    every replica's documents are REPLACED by :data:`HOT_TEMPLATE`
+    (doc_id-hash selected, disjoint from rotation) — a near-dup
+    MEGA-CLUSTER whose size grows linearly with the multiplier, the
+    boilerplate-clone skew the hot-bucket guard exists for."""
+    if hot_cluster:
+        from pyspark.sql import functions as F
+
+        base = synthesize(spark, mult)
+        out = os.path.join(SCRATCH, f"x{mult}-hotclu{hot_cluster}")
+        done = os.path.join(out, "_COMPLETE_v1")
+        if os.path.exists(done):
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for tbl in ("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "embeddings"):
+            os.symlink(os.path.join(base, f"{tbl}.parquet"),
+                       os.path.join(out, f"{tbl}.parquet"))
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+        docs.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("doc_id", F.lit("hotclu")),
+                       F.lit(100)) < hot_cluster,
+                F.lit(HOT_TEMPLATE),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(done, "w").close()
+        return out
     if zipf_hot:
         from pyspark.sql import functions as F
 
@@ -306,6 +368,23 @@ def main() -> None:
                          "replica's documents so the Zipf head grows "
                          "with the multiplier (documents-table probes "
                          "only; other tables are symlinked)")
+    ap.add_argument("--hot-cluster", type=int, default=0, metavar="PCT",
+                    help="replace PCT%% of every replica's documents "
+                         "with one fixed boilerplate template, so one "
+                         "LSH bucket / CC component grows linearly "
+                         "with the multiplier; also prints the "
+                         "hot-bucket guard's drop accounting")
+    ap.add_argument("--all", action="store_true",
+                    help="sweep EVERY registered query (VERDICT r7 "
+                         "item 6) instead of the hand-picked probe "
+                         "list; any query stepping super-linearly or "
+                         "blowing --budget-s is flagged in the final "
+                         "sweep_flags line — the round's closing gate "
+                         "fails on unexplained flags")
+    ap.add_argument("--budget-s", type=float, default=120.0,
+                    help="per-query per-mult wall budget; the job "
+                         "group is cancelled past it and the query is "
+                         "flagged (only enforced with --all)")
     ap.add_argument("--clean", action="store_true",
                     help="remove scratch data and exit")
     args = ap.parse_args()
@@ -313,10 +392,13 @@ def main() -> None:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     mults = [int(m) for m in args.mults.split(",")]
-    probes = (args.probes.split(",") if args.probes else PROBES)
-    unknown = set(probes) - set(PROBES)
-    if unknown:
-        ap.error(f"unknown probes: {sorted(unknown)}")
+    if args.all:
+        probes = sorted(registry.all_queries())
+    else:
+        probes = (args.probes.split(",") if args.probes else PROBES)
+        unknown = set(probes) - set(PROBES)
+        if unknown:
+            ap.error(f"unknown probes: {sorted(unknown)}")
 
     # local-mode JVM defaults to a 1 GiB heap — fine for sf0.1, OOM
     # for the 25x union write.  The probe is exactly the situation
@@ -367,29 +449,62 @@ def main() -> None:
             planted_twins(_table(spark, sf, "embeddings")),
         )
     )
+    # the guard-ON text-LSH pair path for --hot-cluster runs (the
+    # registered dedup_lsh_neardup is the unguarded oracle twin)
+    from grpc_map_reduce_spark.operators.dedup import lsh_near_dup
+
+    qs["dedup_lsh_guarded"] = SimpleNamespace(
+        spark_fn=lambda spark, sf: lsh_near_dup(
+            _table(spark, sf, "documents")
+        )
+    )
     # absorb session/scan warmup outside the x1 timings
     qs[probes[0]].spark_fn(spark, BASE_SF).write.format("noop").mode(
         "overwrite"
     ).save()
+    import threading
+
+    sc = spark.sparkContext
+    budget = args.budget_s if getattr(args, "all") else None
     results: dict[str, dict[int, float]] = {q: {} for q in probes}
     peaks: dict[str, dict[int, int]] = {q: {} for q in probes}
+    timeouts: list[dict] = []
     for mult in mults:
-        sf_dir = synthesize(spark, mult, args.zipf_hot)
+        sf_dir = synthesize(spark, mult, args.zipf_hot, args.hot_cluster)
         for name in probes:
             # settle the heap, then zero the peak counters so the
             # recorded peak belongs to THIS probe alone
             jvm.System.gc()
             _reset_heap_peaks(jvm)
             t0 = time.perf_counter()
-            qs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = round(time.perf_counter() - t0, 3)
+            timer = None
+            if budget:
+                sc.setJobGroup(name, f"sweep:{name}@x{mult}",
+                               interruptOnCancel=True)
+                timer = threading.Timer(
+                    budget, lambda n=name: sc.cancelJobGroup(n))
+                timer.start()
+            try:
+                qs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                dt = None
+                timeouts.append({"query": name, "mult": mult,
+                                 "budget_s": budget,
+                                 "err": type(exc).__name__})
+                print(json.dumps(timeouts[-1]), flush=True)
+            finally:
+                if timer is not None:
+                    timer.cancel()
+                    sc.setJobGroup("", "")
             pk = _peak_heap_mb(jvm)
-            results[name][mult] = dt
-            peaks[name][mult] = pk
-            print(json.dumps({"query": name, "mult": mult, "sec": dt,
-                              "peak_heap_mb": pk}), flush=True)
+            if dt is not None:
+                results[name][mult] = dt
+                peaks[name][mult] = pk
+                print(json.dumps({"query": name, "mult": mult, "sec": dt,
+                                  "peak_heap_mb": pk}), flush=True)
             # bench-grade housekeeping: the iterative probes pin
             # checkpointed RDD blocks; release them synchronously so
             # later probes aren't timed under earlier probes' storage
@@ -400,14 +515,62 @@ def main() -> None:
     summary = {
         name: {
             f"x{m}": round(times[m] / times[base], 2)
-            for m in mults
+            for m in mults if m in times
         }
-        for name, times in results.items()
+        for name, times in results.items() if base in times
     }
     print(json.dumps({"scaling_vs_x1": summary}))
     print(json.dumps({"peak_heap_mb": {
         name: {f"x{m}": mb for m, mb in by_mult.items()}
         for name, by_mult in peaks.items()}}))
+    # Sweep gate (VERDICT r7 item 6): flag any consecutive-mult step
+    # whose time ratio exceeds the data-growth ratio by >20% once the
+    # larger time is non-noise (>3 s), plus every budget kill.  The
+    # closing-gate contract: sweep_flags must be empty or each flag
+    # explained in SURVEY §8.
+    flags = list(timeouts)
+    for name, times in results.items():
+        ms = [m for m in mults if m in times]
+        for lo, hi in zip(ms, ms[1:]):
+            growth = hi / lo
+            if times[hi] > 3.0 and times[hi] / max(times[lo], 1e-9) \
+                    > growth * 1.2:
+                flags.append({
+                    "query": name, "step": f"x{lo}->x{hi}",
+                    "sec": [times[lo], times[hi]],
+                    "ratio": round(times[hi] / times[lo], 2),
+                    "growth": growth,
+                })
+    print(json.dumps({"sweep_flags": flags}))
+    # --hot-cluster drop accounting: what the guard dropped, and that
+    # it actually fired on the mega-cluster (assert, not just report).
+    if args.hot_cluster:
+        from grpc_map_reduce_spark.operators.dedup import (
+            LSH_MAX_BUCKET_DEFAULT,
+            lsh_hot_buckets,
+        )
+        from pyspark.sql import functions as F
+
+        top = max(mults)
+        sf_dir = synthesize(spark, top, hot_cluster=args.hot_cluster)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_template = docs.filter(F.col("text") == HOT_TEMPLATE).count()
+        hot = lsh_hot_buckets(docs, rows_per_band=1).agg(
+            F.count("*").alias("n_buckets"), F.max("sz").alias("max_sz")
+        ).first()
+        acct = {
+            "hot_cluster_pct": args.hot_cluster, "mult": top,
+            "template_docs": n_template,
+            "guard_dropped_buckets": hot["n_buckets"],
+            "guard_max_bucket_sz": hot["max_sz"],
+            "max_bucket": LSH_MAX_BUCKET_DEFAULT,
+        }
+        print(json.dumps({"hot_cluster_accounting": acct}), flush=True)
+        assert n_template > LSH_MAX_BUCKET_DEFAULT, (
+            "hot-cluster probe vacuous: template cluster smaller than "
+            "the guard threshold")
+        assert hot["n_buckets"] and hot["max_sz"] >= n_template, (
+            "guard did not see the mega-cluster's bucket")
     spark.stop()
 
 
