@@ -130,7 +130,8 @@ PROBES = ["wordcount", "heavy_hitters", "dedup_lsh_neardup",
           # before priced at probe volume.  Media rows grow with docs;
           # per-image cost is constant, so the family must scale
           # ~linearly with a measurable images/s throughput.
-          "multimodal_jpeg_decode", "multimodal_quarantine",
+          "multimodal_jpeg_decode", "multimodal_png_decode",
+          "multimodal_quarantine",
           "multimodal_phash_pairs", "multimodal_augment",
           # round-8 (VERDICT r7 item 4): the guard-ON pair path for
           # hot-CLUSTER skew runs (--hot-cluster P) — the registered

@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Streaming twins at volume (VERDICT r7 item 8).
+
+The Structured Streaming dedup twins are parity-gated at fixture
+scale; this probe replays a replicated corpus (default 25x sf0.1)
+through both and records what a capacity plan needs:
+
+  * per-micro-batch trigger latency and input rows (from the query's
+    progress events) — the stream-static design means batch latency
+    must track the SHARD, not the corpus;
+  * state-store rows — the only stateful operator in either pipeline
+    is the candidate-pair dropDuplicates, so state must stay bounded
+    by the incoming shard's candidate pairs (asserted), never by the
+    corpus.
+
+Usage: python tools/streaming_probe.py [--mult 25] [--batches 8]
+Prints one JSON line per query plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from grpc_map_reduce_spark import get_spark
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch", "streamprobe",
+)
+
+
+def _run(spark, stream_df, name: str, ckpt: str) -> dict:
+    q = (
+        stream_df.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(name)
+        .start()
+    )
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 3)
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    batches = [
+        {
+            "batch": p["batchId"],
+            "input_rows": p["numInputRows"],
+            "trigger_ms": p["durationMs"].get("triggerExecution"),
+            "state_rows": sum(
+                s.get("numRowsTotal", 0)
+                for s in p.get("stateOperators", [])
+            ),
+        }
+        for p in prog
+        if p.get("numInputRows", 0) > 0 or p.get("stateOperators")
+    ]
+    return {"query": name, "wall_s": wall, "batches": batches}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=25)
+    ap.add_argument("--batches", type=int, default=8,
+                    help="number of incoming files = micro-batches")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tools.scaling_probe import synthesize
+
+    spark = get_spark("streaming-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = synthesize(spark, args.mult)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+
+    # ---- text twin --------------------------------------------------
+    from grpc_map_reduce_spark.operators.dedup import _side_is_corpus
+    from grpc_map_reduce_spark.streaming.dedup import (
+        corpus_index,
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    incoming = docs.filter(~_side_is_corpus(F.col("doc_id")))
+    n_corpus = docs.count() - incoming.count()
+    n_in = incoming.count()
+    src = os.path.join(SCRATCH, "docs_in")
+    incoming.repartition(args.batches).write.parquet(src)
+
+    buckets, sets = corpus_index(docs)
+    buckets = buckets.localCheckpoint()
+    sets = sets.localCheckpoint()
+    n_expected = None  # batch-side candidate count for the state bound
+    from grpc_map_reduce_spark.operators.dedup import (
+        incremental_scored_pairs,
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rec = _run(spark, streaming_incremental_dedup(stream, buckets, sets),
+               "stream_incr_dedup", os.path.join(SCRATCH, "ckpt_text"))
+    rec.update({"mult": args.mult, "corpus_docs": n_corpus,
+                "incoming_docs": n_in})
+    print(json.dumps(rec), flush=True)
+    text_state = max((b["state_rows"] for b in rec["batches"]), default=0)
+    # bounded-state: the dropDuplicates state holds (doc_id, match_id)
+    # candidate keys of the replayed shard — it must be nowhere near
+    # corpus x corpus (or even corpus-sized x bands)
+    n_pairs = incremental_scored_pairs(docs).count()
+    # ~43 candidate keys per incoming doc at 1x; the invariant worth
+    # asserting is per-INCOMING-doc boundedness (corpus-independent):
+    # a corpus-sized state would blow this by orders of magnitude.
+    assert text_state < 200 * n_in + 10_000, (
+        f"text dedup state {text_state} not bounded by the incoming "
+        f"shard ({n_in} docs)")
+
+    # ---- embedding twin ---------------------------------------------
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_incremental_matches,
+        planted_twins,
+    )
+    from grpc_map_reduce_spark.streaming.dedup import (
+        embedding_corpus_index,
+        streaming_embedding_dedup,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_in = planted_twins(emb)
+    n_vec = emb.count()
+    vsrc = os.path.join(SCRATCH, "vecs_in")
+    vec_in.repartition(args.batches).write.parquet(vsrc)
+
+    vbuckets, vectors = embedding_corpus_index(emb)
+    vbuckets = vbuckets.localCheckpoint()
+    vectors = vectors.localCheckpoint()
+
+    vstream = (
+        spark.readStream.schema(vec_in.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vsrc)
+    )
+    vrec = _run(spark, streaming_embedding_dedup(vstream, vbuckets, vectors),
+                "stream_emb_dedup", os.path.join(SCRATCH, "ckpt_emb"))
+    vrec.update({"mult": args.mult, "corpus_vecs": n_vec,
+                 "incoming_vecs": n_vec})
+    print(json.dumps(vrec), flush=True)
+    emb_state = max((b["state_rows"] for b in vrec["batches"]), default=0)
+    n_matches = embedding_incremental_matches(emb, vec_in).count()
+    assert emb_state < 200 * n_vec + 10_000, (
+        f"embedding dedup state {emb_state} not bounded by the incoming "
+        f"shard ({n_vec} vectors)")
+
+    summary = {
+        "streaming_probe_summary": {
+            "mult": args.mult,
+            "text": {
+                "wall_s": rec["wall_s"],
+                "max_batch_ms": max(
+                    (b["trigger_ms"] for b in rec["batches"]), default=None),
+                "max_state_rows": text_state,
+                "scored_pairs": n_pairs,
+            },
+            "embedding": {
+                "wall_s": vrec["wall_s"],
+                "max_batch_ms": max(
+                    (b["trigger_ms"] for b in vrec["batches"]), default=None),
+                "max_state_rows": emb_state,
+                "matches": n_matches,
+            },
+        }
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
