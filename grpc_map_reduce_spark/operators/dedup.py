@@ -899,6 +899,47 @@ SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
+#: Bucket cap for the guard-exercising registrations (round 8): at the
+#: production cap (1000) no fixture bucket is hot, so a guarded
+#: registration would be vacuous in the hash — it would never differ
+#: from the unguarded twin.  4 is the largest cap with hot buckets at
+#: EVERY fixture SF (18 @sf0.001, 19 @sf0.01, 5 627 @sf0.1), so the
+#: broadcast anti-join drop path itself is what gets hash-checked.
+GUARD_DEMO_BUCKET = 4
+
+
+def q_lsh_near_dup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard-ON twin of `dedup_lsh_neardup`: same LSH→rescore chain
+    with the hot-bucket guard REGISTERED AND FIRING (cap 4), oracle
+    mirrored via lsh_pairs_sql's max_bucket HAVING-filter — the
+    production drop semantics under the driver's hash gate."""
+    return lsh_near_dup(table(spark, sf_dir, "documents"),
+                        max_bucket=GUARD_DEMO_BUCKET)
+
+
+ORACLE_LSH_GUARDED = f"""
+WITH {lsh_pairs_sql(LSH_NEAR_DUP_THRESHOLD, max_bucket=GUARD_DEMO_BUCKET)}
+SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+def q_hot_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guard's drop-accounting companion (`lsh_hot_buckets`) as a
+    registered query: (band_idx, key, sz) for every band bucket the
+    cap-4 guard would drop — what a pipeline logs/alerts on instead of
+    discovering guard activity from a recall dip."""
+    return lsh_hot_buckets(table(spark, sf_dir, "documents"),
+                           rows_per_band=LSH_ROWS_PER_BAND,
+                           max_bucket=GUARD_DEMO_BUCKET)
+
+
+ORACLE_HOT_BUCKETS = f"""
+WITH {lsh_pairs_sql(0.0)}
+SELECT band_idx, key, count(*) AS sz
+FROM bands_all GROUP BY 1, 2 HAVING count(*) > {GUARD_DEMO_BUCKET}
+"""
+
+
 # Reuses the shared candidate fragment's `common` CTE (n_common, na,
 # nb) directly; the fragment's jaccard-thresholded `pairs` CTE goes
 # unreferenced and is pruned.
@@ -1129,6 +1170,16 @@ QUERIES = [
     ("dedup_lsh_neardup", q_lsh_near_dup, ORACLE_LSH_NEAR_DUP,
      "E2 composed scale path: LSH candidates -> exact Jaccard rescore "
      "(sub-quadratic; no shingle self-join)."),
+    ("dedup_lsh_neardup_guarded", q_lsh_near_dup_guarded,
+     ORACLE_LSH_GUARDED,
+     "E2 guard-ON twin (round 8): the hot-bucket broadcast anti-join "
+     "REGISTERED AND FIRING (cap 4 so fixture buckets are hot), "
+     "oracle-mirrored — the production drop semantics under the hash "
+     "gate."),
+    ("dedup_hot_bucket_census", q_hot_bucket_census, ORACLE_HOT_BUCKETS,
+     "Guard drop accounting (round 8): every band bucket the cap-4 "
+     "guard drops, with its size — the lsh_hot_buckets companion a "
+     "pipeline alerts on, hash-checked."),
     ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
      "ExactSubstr-style cross-doc repeated token-window audit "
      "(rolling-hash windows, no pair join / suffix array)."),
