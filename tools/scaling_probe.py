@@ -397,7 +397,10 @@ def main() -> None:
         probes = sorted(registry.all_queries())
     else:
         probes = (args.probes.split(",") if args.probes else PROBES)
-        unknown = set(probes) - set(PROBES)
+        # any registered query is probe-able; PROBES is the curated
+        # default list plus the probe-only entries patched in below
+        unknown = (set(probes) - set(PROBES)
+                   - set(registry.all_queries()))
         if unknown:
             ap.error(f"unknown probes: {sorted(unknown)}")
 
