@@ -84,7 +84,12 @@ def get_spark(app_name: str = "grpc-map-reduce-spark", *, cpus: int | str | None
     """
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    # SPARK_GRAFT_MASTER overrides the master URL — e.g.
+    # `local-cluster[2,2,2048]` runs REAL separate executor JVMs with
+    # netty shuffle transport (the multi-JVM evidence tier,
+    # tests/test_multi_jvm.py), or a spark:// URL on a real cluster.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master).appName(app_name)
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
