@@ -194,13 +194,39 @@ def _rdiv_np(a, d: int):
     return _np.where(a >= 0, (a + h) // d, -((-a + h) // d))
 
 
+def _basis_np():
+    global _BASIS_NP
+    if _BASIS_NP is None:
+        _BASIS_NP = _np.array(BASIS_INT, dtype=_np.int64).reshape(8, 8)
+    return _BASIS_NP
+
+
+def _fdct_grid_np(plane, pw: int, ph: int, nbx: int, nby: int,
+                  quant: list[int]):
+    """Batched edge-replicated block extraction + forward DCT +
+    quantization: exact twin of ``_block_at`` + :func:`_fdct_quant`
+    over the whole (nby, nbx) block grid.  Returns (nby, nbx, 64)
+    int64 natural-order coefficients."""
+    B = _basis_np()
+    p = _np.asarray(plane, dtype=_np.int64).reshape(ph, pw)
+    yi = _np.minimum(_np.arange(nby * 8), ph - 1)
+    xi = _np.minimum(_np.arange(nbx * 8), pw - 1)
+    padded = p[yi[:, None], xi[None, :]]
+    s = (
+        padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8) - 128
+    )
+    tmp = _np.einsum("vy,nyx->nvx", B, s)
+    f = _np.einsum("ux,nvx->nvu", B, tmp)
+    q = _np.asarray(quant, dtype=_np.int64).reshape(8, 8) * DCT_SCALE
+    return _rdiv_np(f, q).reshape(nby, nbx, 64)
+
+
 def _idct_grid_np(blocks, quant: list[int]):
     """Batched dequantize + inverse DCT: ``blocks`` (n, 64) int64
     natural-order coefficients -> (n, 64) uint8 levels.  Same integer
     math as :func:`_dequant_idct`, n blocks at once."""
-    global _BASIS_NP
-    if _BASIS_NP is None:
-        _BASIS_NP = _np.array(BASIS_INT, dtype=_np.int64).reshape(8, 8)
+    _basis_np()
     dq = (blocks * _np.array(quant, dtype=_np.int64)).reshape(-1, 8, 8)
     # tmp[y][u] = sum_v B[v][y] * dq[v][u];  acc[y][x] = sum_u B[u][x] * tmp[y][u]
     tmp = _np.einsum("vy,nvu->nyu", _BASIS_NP, dq)
@@ -452,8 +478,18 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
 
+    # numpy exact twins of the per-pixel stages (same int64 math and
+    # round-half-away division; bit-equality gated in test_jpeg.py)
     if channels == 1:
         planes = [list(pixels)]
+    elif _np is not None:
+        px = _np.frombuffer(pixels, dtype=_np.uint8).astype(
+            _np.int64).reshape(-1, 3)
+        r, g, b = px[:, 0], px[:, 1], px[:, 2]
+        y = _rdiv_np(19595 * r + 38470 * g + 7471 * b, 65536)
+        cb = 128 + _rdiv_np(-11059 * r - 21709 * g + 32768 * b, 65536)
+        cr = 128 + _rdiv_np(32768 * r - 27439 * g - 5329 * b, 65536)
+        planes = [_np.clip(p, 0, 255) for p in (y, cb, cr)]
     else:
         planes = [[0] * (width * height) for _ in range(3)]
         for i in range(width * height):
@@ -472,6 +508,18 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
         cw, ch = -(-width // 2), -(-height // 2)
         for c in (1, 2):
             src = planes[c]
+            if _np is not None:
+                p = _np.asarray(src, dtype=_np.int64).reshape(
+                    height, width)
+                y0 = 2 * _np.arange(ch)
+                y1 = _np.minimum(y0 + 1, height - 1)
+                x0 = 2 * _np.arange(cw)
+                x1 = _np.minimum(x0 + 1, width - 1)
+                planes[c] = _rdiv_np(
+                    p[y0[:, None], x0] + p[y0[:, None], x1]
+                    + p[y1[:, None], x0] + p[y1[:, None], x1], 4,
+                ).reshape(-1)
+                continue
             ds = [0] * (cw * ch)
             for y in range(ch):
                 y0, y1 = 2 * y, min(2 * y + 1, height - 1)
@@ -525,6 +573,19 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
     writer = _BitWriter()
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
+    # batch the whole forward transform up front when numpy is
+    # available (exact twin of _block_at + _fdct_quant); the entropy
+    # loop below is unchanged either way
+    coef_grids = None
+    if _np is not None:
+        coef_grids = []
+        for c in range(channels):
+            cw, chh = dims[c]
+            hs, vs = samps[c]
+            coef_grids.append(_fdct_grid_np(
+                planes[c], cw, chh, mcus_x * hs, mcus_y * vs,
+                QUANT_LUMA if c == 0 else QUANT_CHROMA,
+            ))
     preds = [0] * channels
     mcu = 0
     for my in range(mcus_y):
@@ -542,10 +603,15 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
                 cw, chh = dims[c]
                 for v in range(vs):
                     for u in range(hs):
-                        block = _block_at(
-                            planes[c], cw, chh, mx * hs + u, my * vs + v
-                        )
-                        coefs = _fdct_quant(block, qt)
+                        if coef_grids is not None:
+                            coefs = coef_grids[c][
+                                my * vs + v, mx * hs + u
+                            ].tolist()
+                        else:
+                            block = _block_at(
+                                planes[c], cw, chh, mx * hs + u, my * vs + v
+                            )
+                            coefs = _fdct_quant(block, qt)
                         preds[c] = _encode_block(
                             writer, coefs, preds[c], dc_t, ac_t
                         )

@@ -336,3 +336,19 @@ def test_numpy_finish_is_bit_identical_to_stdlib():
         assert a == b, (w, h, c, sub)
         checked += 1
     assert checked >= 4
+
+    # the ENCODER's numpy path (color transform, chroma downsample,
+    # batched forward DCT) must emit byte-identical files too
+    for (w, h, c, sub, rst) in ((16, 8, 3, False, 0), (24, 16, 3, True, 0),
+                                (13, 9, 3, True, 0), (32, 32, 3, True, 3),
+                                (7, 5, 1, False, 0)):
+        pix = bytes((i * 31 + i // 7) % 256 for i in range(w * h * c))
+        enc_np = J.encode_jpeg(w, h, c, pix, restart_interval=rst,
+                               subsample=sub)
+        saved, J._np = J._np, None
+        try:
+            enc_py = J.encode_jpeg(w, h, c, pix, restart_interval=rst,
+                                   subsample=sub)
+        finally:
+            J._np = saved
+        assert enc_np == enc_py, (w, h, c, sub, rst)
