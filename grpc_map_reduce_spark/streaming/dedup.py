@@ -124,15 +124,27 @@ def corpus_index(docs: DataFrame, n: int = 3,
 def streaming_incremental_dedup(doc_stream: DataFrame, buckets: DataFrame,
                                 corpus_sets: DataFrame, n: int = 3,
                                 threshold: float = LSH_NEAR_DUP_THRESHOLD,
-                                rows_per_band: int = LSH_ROWS_PER_BAND
-                                ) -> DataFrame:
+                                rows_per_band: int = LSH_ROWS_PER_BAND,
+                                ts_col: str | None = None,
+                                dedup_within: str = "1 hour") -> DataFrame:
     """(doc_id, match_id, jaccard) appended per micro-batch: each
-    streamed doc's above-threshold corpus matches."""
+    streamed doc's above-threshold corpus matches.
+
+    ``ts_col``: optional ingest-timestamp column on the stream.  When
+    given, the candidate dedup becomes
+    ``dropDuplicatesWithinWatermark`` under a ``dedup_within``
+    watermark — the CONTINUOUS-stream state contract (state expires
+    with event time instead of accumulating for the run), exactly the
+    swap the module docstring promises.  Default (None) keeps the
+    run-scoped ``dropDuplicates`` for bounded replays."""
     r = rows_per_band
     n_bands = len(MINHASH_A) // r
+    if ts_col is not None:
+        doc_stream = doc_stream.withWatermark(ts_col, dedup_within)
+    ts_cols = [ts_col] if ts_col is not None else []
     enriched = (
         doc_stream.select(
-            "doc_id", minhash_struct_udf(n)("text").alias("ms")
+            "doc_id", *ts_cols, minhash_struct_udf(n)("text").alias("ms")
         )
         .filter(F.size("ms.sh_set") > 0)
     )
@@ -149,13 +161,18 @@ def streaming_incremental_dedup(doc_stream: DataFrame, buckets: DataFrame,
         ]
     )
     exp = enriched.select(
-        "doc_id", F.col("ms.sh_set").alias("_sa"), F.explode(bands).alias("b")
-    ).select("doc_id", "_sa", F.col("b.band_idx").alias("band_idx"),
+        "doc_id", *ts_cols, F.col("ms.sh_set").alias("_sa"),
+        F.explode(bands).alias("b")
+    ).select("doc_id", *ts_cols, "_sa",
+             F.col("b.band_idx").alias("band_idx"),
              F.col("b.key").alias("key"))
-    cand = (
-        exp.join(buckets, ["band_idx", "key"])  # stream-static
-        .dropDuplicates(["doc_id", "match_id"])
-    )
+    joined = exp.join(buckets, ["band_idx", "key"])  # stream-static
+    if ts_col is not None:
+        cand = joined.dropDuplicatesWithinWatermark(
+            ["doc_id", "match_id"]
+        ).drop(ts_col)
+    else:
+        cand = joined.dropDuplicates(["doc_id", "match_id"])
     n_common = F.size(F.array_intersect("_sa", "_sb"))
     return (
         cand.join(corpus_sets, "match_id")  # stream-static
@@ -270,11 +287,15 @@ def embedding_corpus_index(corpus: DataFrame,
 def streaming_embedding_dedup(vec_stream: DataFrame, buckets: DataFrame,
                               corpus_vecs: DataFrame,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              ts_col: str | None = None,
+                              dedup_within: str = "1 hour") -> DataFrame:
     """(vec_id, match_id, sim) appended per micro-batch: each
     streamed vector's above-threshold corpus matches at the selective
     calibration — parity-gated against
-    ``embedding_incremental_matches`` in tests/test_streaming.py."""
+    ``embedding_incremental_matches`` in tests/test_streaming.py.
+    ``ts_col``/``dedup_within``: same continuous-stream watermark
+    contract as :func:`streaming_incremental_dedup`."""
     from grpc_map_reduce_spark.operators.similarity import (
         EMB_LSH_BITS,
         EMB_LSH_SEED,
@@ -285,17 +306,24 @@ def streaming_embedding_dedup(vec_stream: DataFrame, buckets: DataFrame,
     keys_udf = emb_band_keys_udf(
         EMB_LSH_BITS, EMB_SELECTIVE_ROWS_PER_BAND, EMB_LSH_SEED
     )
+    if ts_col is not None:
+        vec_stream = vec_stream.withWatermark(ts_col, dedup_within)
+    ts_cols = [ts_col] if ts_col is not None else []
     exp = (
         vec_stream.select(
             F.col(id_col).cast("long").alias("id"),
+            *ts_cols,
             F.col(vec_col).alias("_va"),
             F.posexplode(keys_udf(F.col(vec_col))).alias("band_idx", "key"),
         )
     )
-    cand = (
-        exp.join(buckets, ["band_idx", "key"])  # stream-static
-        .dropDuplicates(["id", "match_id"])
-    )
+    joined = exp.join(buckets, ["band_idx", "key"])  # stream-static
+    if ts_col is not None:
+        cand = joined.dropDuplicatesWithinWatermark(
+            ["id", "match_id"]
+        ).drop(ts_col)
+    else:
+        cand = joined.dropDuplicates(["id", "match_id"])
     return (
         cand.join(corpus_vecs, "match_id")  # stream-static
         .withColumn("sim", cosine_sim_udf()(F.col("_va"), F.col("_vb")))

@@ -497,3 +497,106 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_watermarked_state_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Round 8: the CONTINUOUS-stream variant — candidate dedup via
+    dropDuplicatesWithinWatermark under an ingest-time watermark (the
+    swap the module docstring promises for unbounded streams) — must
+    still produce exactly the batch cross-side pairs when every event
+    is inside the window."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        _side_is_corpus,
+        incremental_scored_pairs,
+    )
+    from grpc_map_reduce_spark.streaming.dedup import (
+        corpus_index,
+        streaming_incremental_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(~_side_is_corpus(F.col("doc_id"))).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 60)
+    )
+    src = str(tmp_path / "incoming_docs_wm")
+    incoming.repartition(3).write.parquet(src)
+
+    buckets, sets = corpus_index(docs)
+    buckets = buckets.localCheckpoint()
+    sets = sets.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(
+        streaming_incremental_dedup(
+            stream, buckets, sets, ts_col="ingest_ts", dedup_within="1 hour"
+        ),
+        "stream_incr_dedup_wm",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in spark.table("stream_incr_dedup_wm").collect()
+    }
+    want = {
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in incremental_scored_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_embedding_dedup_watermarked_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Watermarked twin of the embedding stream: same batch parity as
+    the run-scoped variant."""
+    from grpc_map_reduce_spark.operators.similarity import (
+        embedding_incremental_matches,
+        planted_twins,
+    )
+    from grpc_map_reduce_spark.streaming.dedup import (
+        embedding_corpus_index,
+        streaming_embedding_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    incoming = planted_twins(emb).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("vec_id") % 60),
+    )
+    src = str(tmp_path / "incoming_vecs_wm")
+    incoming.repartition(3).write.parquet(src)
+
+    buckets, vectors = embedding_corpus_index(emb)
+    buckets = buckets.localCheckpoint()
+    vectors = vectors.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(
+        streaming_embedding_dedup(
+            stream, buckets, vectors, ts_col="ingest_ts",
+            dedup_within="1 hour",
+        ),
+        "stream_emb_dedup_wm",
+        output_mode="append",
+    )
+    got = {
+        (r.vec_id, r.match_id, r.sim)
+        for r in spark.table("stream_emb_dedup_wm").collect()
+    }
+    want = {
+        (r.id, r.match_id, r.sim)
+        for r in embedding_incremental_matches(
+            emb, planted_twins(emb)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
