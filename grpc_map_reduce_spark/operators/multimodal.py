@@ -1223,6 +1223,16 @@ DHASH_BITS = (DHASH_W - 1) * DHASH_H  # 56
 DHASH_BANDS = 4
 DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS  # 14
 DHASH_HAMMING_MAX = 8
+#: Hot-bucket guard, ON by default and oracle-mirrored.  dHash of
+#: low-entropy media (text thumbnails, boilerplate images, blank
+#: frames) COLLAPSES: the round-8 125x probe measured 625 K images
+#: with only 80 746 distinct hashes, a 163 646-row band bucket, and
+#: 98.8 % of the 16.0e9 candidate pairs inside 43 buckets > 1000 —
+#: the registered query ran 21.6x per 5x data (252 s) before the
+#: guard.  Members of a mega-bucket are exact/near-exact dups of one
+#: another (hamming 0 within an identical-hash bucket) and belong to
+#: the exact-dup pass, same rationale as dedup.LSH_MAX_BUCKET_DEFAULT.
+DHASH_MAX_BUCKET_DEFAULT = 1000
 
 
 def dhash_images(media_df: DataFrame) -> DataFrame:
@@ -1246,8 +1256,15 @@ def dhash_images(media_df: DataFrame) -> DataFrame:
 
 
 def phash_near_dup_pairs(media_df: DataFrame,
-                         max_hamming: int = DHASH_HAMMING_MAX) -> DataFrame:
-    """(doc_a, doc_b, hamming) for banded-candidate image pairs."""
+                         max_hamming: int = DHASH_HAMMING_MAX,
+                         max_bucket: int | None = DHASH_MAX_BUCKET_DEFAULT
+                         ) -> DataFrame:
+    """(doc_a, doc_b, hamming) for banded-candidate image pairs.
+
+    ``max_bucket`` is the hot-bucket skew guard, ON by default (see
+    :data:`DHASH_MAX_BUCKET_DEFAULT` for the measured 125x blowup it
+    prevents) and mirrored in the oracle's HAVING filter; ``None``
+    restores the exact unguarded band join."""
     sigs = dhash_images(media_df).localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     bands = F.array(*[
         F.struct(
@@ -1259,6 +1276,19 @@ def phash_near_dup_pairs(media_df: DataFrame,
     ])
     exploded = sigs.select("doc_id", "dhash", F.explode(bands).alias("b")) \
         .select("doc_id", "dhash", "b.band_idx", "b.key")
+    if max_bucket is not None:
+        exploded = exploded.localCheckpoint(
+            eager=False, storageLevel=PIN_LEVEL
+        )
+        hot = (
+            exploded.groupBy("band_idx", "key")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band_idx", "key")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), ["band_idx", "key"], "left_anti"
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -1329,8 +1359,18 @@ sigs AS MATERIALIZED (
                AS BIGINT) AS dhash
     FROM resized
 ),
-bands AS (
+bands_all AS (
     {_DHASH_SQL_BANDS}
+),
+bands AS (
+    -- hot-bucket guard twin: keep only band buckets of size <=
+    -- DHASH_MAX_BUCKET_DEFAULT, exactly like the Spark side's
+    -- broadcast anti-join (no fixture bucket is hot, but the oracle
+    -- must be an exact twin under ANY data)
+    SELECT b.* FROM bands_all b
+    JOIN (SELECT band_idx, key FROM bands_all
+          GROUP BY band_idx, key HAVING count(*) <= {DHASH_MAX_BUCKET_DEFAULT}) k
+    ON b.band_idx = k.band_idx AND b.key = k.key
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
