@@ -165,10 +165,31 @@ SHIFT = 10**9
 #: replica's INTERNAL near-dup structure exactly while making
 #: cross-replica shingle collisions vanish.
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+DIGITS = "0123456789"
+#: Replica-k letter map (round 8): the plain rotation REPEATS with
+#: period 26, so replica k and k+26 carried IDENTICAL text — exact
+#: clone cliques that only exist past mult 26.  The 125x probe
+#: measured scored near-dup pairs growing 127x per 5x data, all at
+#: replica gaps {26, 52, 78, 104}, dragging every pair-consuming
+#: probe super-linear for a probe-scheme reason (the same bug class
+#: as the embeddings' period-63 roll, fixed in scratch v4).  Compose
+#: the shift with an affine multiplier keyed on k//26 — x ->
+#: a*(x+k) mod 26 with a drawn from the units {1,3,5,7,9} — still a
+#: bijection (per-replica internal near-dup structure preserved),
+#: distinct for every k < 130.  Digits rotate with period 10 so
+#: digit-bearing shingles decorrelate too.
+AFFINE_MULTS = (1, 3, 5, 7, 9)
 
 
 def _rot(k: int) -> str:
-    return ALPHABET[k % 26:] + ALPHABET[:k % 26]
+    a = AFFINE_MULTS[(k // 26) % len(AFFINE_MULTS)]
+    return "".join(
+        chr(ord("a") + (a * (i + k)) % 26) for i in range(26)
+    )
+
+
+def _drot(k: int) -> str:
+    return DIGITS[k % 10:] + DIGITS[:k % 10]
 
 
 #: --hot-cluster template: a fixed boilerplate document planted
@@ -207,7 +228,7 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
 
         base = synthesize(spark, mult)
         out = os.path.join(SCRATCH, f"x{mult}-hotclu{hot_cluster}")
-        done = os.path.join(out, "_COMPLETE_v1")
+        done = os.path.join(out, "_COMPLETE_v3")  # v3: v6 base (affine letters)
         if os.path.exists(done):
             return out
         shutil.rmtree(out, ignore_errors=True)
@@ -234,7 +255,7 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
 
         base = synthesize(spark, mult)
         out = os.path.join(SCRATCH, f"x{mult}-zipf{zipf_hot}")
-        done = os.path.join(out, "_COMPLETE_v1")
+        done = os.path.join(out, "_COMPLETE_v3")  # v3: v6 base (affine letters)
         if os.path.exists(done):
             return out
         shutil.rmtree(out, ignore_errors=True)
@@ -258,27 +279,35 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
     out = os.path.join(SCRATCH, f"x{mult}")
     # Scratch versioning: v2 added replicated embeddings (rolled per
     # replica), v3 added replicated events (user-shifted), v4 fixed
-    # the embedding roll's period-63 clone pairs (sign-flip compose).
-    # A dir at an older version has every table NOT listed for the
-    # newer versions already correct, so only the delta is rewritten.
-    done = os.path.join(out, "_COMPLETE_v4")
+    # the embedding roll's period-63 clone pairs (sign-flip compose),
+    # v5 rotated digits, v6 replaced the period-26 rotation with the affine letter map (see AFFINE_MULTS above).  A dir
+    # at an older version has every table NOT listed for the newer
+    # versions already correct, so only the delta is rewritten.
+    done = os.path.join(out, "_COMPLETE_v6")
+    v5 = os.path.join(out, "_COMPLETE_v5")
+    v4 = os.path.join(out, "_COMPLETE_v4")
     v3 = os.path.join(out, "_COMPLETE_v3")
     v2 = os.path.join(out, "_COMPLETE_v2")
     v1 = os.path.join(out, "_COMPLETE")
     if os.path.exists(done):
         return out
-    if not (os.path.exists(v1) or os.path.exists(v2) or os.path.exists(v3)):
+    if not any(os.path.exists(p) for p in (v1, v2, v3, v4, v5)):
         shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        if os.path.exists(v3) and tbl != "embeddings":
+        if (os.path.exists(v4) or os.path.exists(v5)) \
+                and tbl != "documents":
             continue
-        if os.path.exists(v2) and tbl not in ("events", "embeddings"):
+        if os.path.exists(v3) and tbl not in ("documents", "embeddings"):
             continue
-        if os.path.exists(v1) and tbl not in ("events", "embeddings"):
+        if os.path.exists(v2) and tbl not in ("documents", "events",
+                                              "embeddings"):
+            continue
+        if os.path.exists(v1) and tbl not in ("documents", "events",
+                                              "embeddings"):
             continue
         src = spark.read.parquet(os.path.join(BASE_SF, f"{tbl}.parquet"))
         if tbl in KEYED and mult > 1:
@@ -288,7 +317,9 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
                 r = src.withColumn(key, F.col(key) + F.lit(k * SHIFT))
                 if tbl == "documents" and k:
                     r = r.withColumn(
-                        "text", F.translate("text", ALPHABET, _rot(k))
+                        "text",
+                        F.translate("text", ALPHABET + DIGITS,
+                                    _rot(k) + _drot(k)),
                     )
                 if tbl == "events" and k:
                     # Replicas are NEW users in the SAME time range —
