@@ -578,6 +578,10 @@ FROM clusters c JOIN qual q USING (doc_id)
 #: always compute B = 1, the exact single-plan path — registered
 #: hashes are invariant by construction.
 WEDGE_ROWS_PER_BATCH = 32_000_000
+# once-per-session latch for the cap-binding warning (ADVICE r8:
+# iterative callers would otherwise see one identical warning per call
+# whenever the warnings filter has been reset from the default)
+_WEDGE_CAP_WARNED = False
 
 
 def triangle_counts(edges: DataFrame, edges_unique: bool = False,
@@ -680,17 +684,26 @@ def triangle_counts(edges: DataFrame, edges_unique: bool = False,
             # stops holding — make the boundary visible instead of
             # silent (ADVICE r7).  The cap exists because each batch
             # is a full pass over the oriented edge table; >32 passes
-            # trades too much recompute for memory.
-            import warnings
+            # trades too much recompute for memory.  Emitted once per
+            # session: an iterative caller over a >1e9-wedge graph
+            # would otherwise spam an identical warning per call, and
+            # registered drivers often run with the dedup-by-location
+            # warnings filter reset (ADVICE r8).
+            global _WEDGE_CAP_WARNED
+            if not _WEDGE_CAP_WARNED:
+                _WEDGE_CAP_WARNED = True
+                import warnings
 
-            warnings.warn(
-                f"triangle_counts: {n_wedges} wedges want {want} batches "
-                f"but the pass-count cap holds it at 32; per-batch volume "
-                f"is ~{n_wedges // 32} rows (> WEDGE_ROWS_PER_BATCH = "
-                f"{WEDGE_ROWS_PER_BATCH}) — the bounded-memory guarantee "
-                f"degrades. Pass wedge_batches explicitly to override.",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"triangle_counts: {n_wedges} wedges want {want} batches "
+                    f"but the pass-count cap holds it at 32; per-batch volume "
+                    f"is ~{n_wedges // 32} rows (> WEDGE_ROWS_PER_BATCH = "
+                    f"{WEDGE_ROWS_PER_BATCH}) — the bounded-memory guarantee "
+                    f"degrades. Pass wedge_batches explicitly to override. "
+                    f"(warned once per session)",
+                    category=RuntimeWarning,
+                    stacklevel=2,
+                )
 
     def _wedge_counts(e1: DataFrame) -> DataFrame:
         e2 = d.alias("e2")

@@ -820,7 +820,13 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
     """Ingest-robust decode: each payload either decodes (``ok``) or
     lands in quarantine with its error class — a corrupt blob must
     never kill the job, it must become a countable row.  Output one
-    row per doc: (doc_id, status, n_bytes)."""
+    row per doc: (doc_id, status, n_bytes, error_class).
+
+    ``error_class`` carries the exception type name for quarantined
+    rows ('' for ok/unsupported), so operators can distinguish guard
+    activity from a codec programming bug surfacing as e.g. a
+    KeyError — the broad catch below would otherwise make the two
+    indistinguishable (ADVICE r8)."""
     import struct
     import zlib
 
@@ -837,7 +843,7 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"doc_id": [], "status": [], "n_bytes": []}
+            rows = {"doc_id": [], "status": [], "n_bytes": [], "error_class": []}
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
@@ -845,17 +851,21 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
                     raw = _decode(payload, meta["format"])
                     rows["status"].append("ok")
                     rows["n_bytes"].append(len(raw))
+                    rows["error_class"].append("")
                 except NotImplementedError:
                     rows["status"].append("unsupported_format")
                     rows["n_bytes"].append(0)
-                except _corrupt:
+                    rows["error_class"].append("")
+                except _corrupt as exc:
                     rows["status"].append("corrupt")
                     rows["n_bytes"].append(0)
+                    rows["error_class"].append(type(exc).__name__)
                 rows["doc_id"].append(doc_id)
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(
-        batches, schema="doc_id long, status string, n_bytes long"
+        batches,
+        schema="doc_id long, status string, n_bytes long, error_class string",
     )
 
 

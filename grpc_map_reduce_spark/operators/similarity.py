@@ -723,11 +723,14 @@ def embedding_lsh_selective_scaled(corpus: DataFrame,
                                    id_col: str = "vec_id",
                                    vec_col: str = "embedding",
                                    max_bucket: int | None =
-                                   EMB_LSH_MAX_BUCKET_DEFAULT) -> DataFrame:
+                                   EMB_LSH_MAX_BUCKET_DEFAULT,
+                                   n: int | None = None) -> DataFrame:
     """The selective near-dup path with :func:`selective_band_params`
     sizing — the scale caller's entry point (one count() action, a
-    bounded driver scalar like semdedup's auto-K)."""
-    n = corpus.count()
+    bounded driver scalar like semdedup's auto-K).  ``n`` lets a
+    caller that already counted the corpus skip the extra job."""
+    if n is None:
+        n = corpus.count()
     n_bits, r = selective_band_params(n)
     return embedding_lsh_near_dup(
         corpus, threshold, n_bits=n_bits, rows_per_band=r, seed=seed,
@@ -744,7 +747,20 @@ def q_embedding_lsh_selective_scaled(spark: SparkSession,
     pinned oracle — so registering the scale path itself under the
     driver's hash gate costs nothing (VERDICT r7 item 3)."""
     aug = planted_near_dup_corpus(table(spark, sf_dir, "embeddings"))
-    return embedding_lsh_selective_scaled(aug)
+    n = aug.count()
+    _, r = selective_band_params(n)
+    # The pinned oracle was derived at r = EMB_SELECTIVE_ROWS_PER_BAND;
+    # a future fixture SF large enough to flip selective_band_params
+    # to r+1 would hash-mismatch with no hint why — fail loudly at the
+    # source instead (ADVICE r8).
+    if r != EMB_SELECTIVE_ROWS_PER_BAND:
+        raise AssertionError(
+            f"fixture corpus grew to n={n}: selective_band_params computes "
+            f"r={r} but the registered oracle is pinned at "
+            f"r={EMB_SELECTIVE_ROWS_PER_BAND}; re-derive the oracle CTE for "
+            f"the new band width (see selective_band_params)"
+        )
+    return embedding_lsh_selective_scaled(aug, n=n)
 
 
 def embedding_incremental_matches(

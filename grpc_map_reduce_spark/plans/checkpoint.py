@@ -35,12 +35,53 @@ accordingly or enable the conf at session build.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 #: Session conf key: when set to a storage path, iterative operators
 #: use reliable checkpoint()-to-storage instead of localCheckpoint.
 RELIABLE_DIR_CONF = "spark.graft.reliableCheckpointDir"
+
+
+def _norm_ckpt_uri(uri: str) -> tuple:
+    """(scheme, host, port, path) with local/relative paths resolved
+    absolute — the comparable form of a checkpoint dir URI."""
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        # local path — possibly relative, possibly 'file:/x' with no
+        # netloc: resolve absolute
+        return ("file", "", None,
+                os.path.abspath(p.path or uri).rstrip("/") or "/")
+    return (p.scheme, (p.hostname or "").lower(), p.port,
+            (p.path or "/").rstrip("/") or "/")
+
+
+def _stored_dir_matches(stored: str, conf_path: str) -> bool:
+    """Does the context's stored checkpoint dir (``conf_path/<uuid>``
+    as rewritten by setCheckpointDir, possibly with the FS client's
+    scheme/authority normalization applied) live under ``conf_path``?
+
+    Compares the UUID segment's PARENT against the configured dir on
+    fully-normalized components — substring containment would accept
+    a foreign dir sharing a prefix ('/a/ckpt' inside
+    '/a/ckpt-old/<uuid>', ADVICE r7), and a raw string compare
+    false-warns on authority normalization ('hdfs://nn/ckpt' stored
+    back as 'hdfs://nn:8020/ckpt/<uuid>') or a relative local conf
+    path, re-setting the dir on every call (ADVICE r8)."""
+    s_scheme, s_host, s_port, s_path = _norm_ckpt_uri(stored)
+    parent = s_path.rsplit("/", 1)[0] or "/"
+    w_scheme, w_host, w_port, w_path = _norm_ckpt_uri(conf_path)
+    if (s_scheme, s_host) != (w_scheme, w_host):
+        return False
+    # a side with NO explicit port had the scheme default filled in
+    # by the FS client — treat missing as wildcard
+    if s_port is not None and w_port is not None and s_port != w_port:
+        return False
+    return parent == w_path
 
 
 def set_reliable_checkpoint_dir(spark: SparkSession, path: str | None) -> None:
@@ -75,24 +116,11 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         # (ADVICE r6).
         cur = sc._jsc.sc().getCheckpointDir()
         # setCheckpointDir(p) stores p/<uuid> (often with a file:
-        # scheme prefix), so recover the configured dir by stripping
-        # the scheme and the appended UUID segment and compare path
-        # components — substring containment would accept a foreign
-        # dir that merely shares a prefix ('/data/ckpt' matching
-        # inside '/data/ckpt-old/<uuid>', ADVICE r7).
-        def _matches(stored: str, conf_path: str) -> bool:
-            p = stored.split("://", 1)[-1]
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            parent = p.rstrip("/").rsplit("/", 1)[0]
-            want = conf_path.split("://", 1)[-1]
-            if want.startswith("file:"):
-                want = want[len("file:"):]
-            return parent == want.rstrip("/")
-
+        # scheme prefix) — see _stored_dir_matches for the
+        # normalization contract.
         if cur.isEmpty():
             sc.setCheckpointDir(path)
-        elif not _matches(cur.get(), path):
+        elif not _stored_dir_matches(cur.get(), path):
             import warnings
 
             warnings.warn(

@@ -136,7 +136,16 @@ def streaming_incremental_dedup(doc_stream: DataFrame, buckets: DataFrame,
     watermark — the CONTINUOUS-stream state contract (state expires
     with event time instead of accumulating for the run), exactly the
     swap the module docstring promises.  Default (None) keeps the
-    run-scoped ``dropDuplicates`` for bounded replays."""
+    run-scoped ``dropDuplicates`` for bounded replays.
+
+    RETURNED CONTRACT under ``ts_col``: output uniqueness of a
+    (doc_id, match_id) pair holds only WITHIN a ``dedup_within``
+    window.  A candidate recurring more than ``dedup_within`` of
+    event time later re-emits the same scored pair — that re-emit IS
+    the state-expiry contract, not a bug — so the append sink is
+    at-least-once per pair and downstream consumers must dedup (or
+    upsert) on (doc_id, match_id) if they need exactly-once pairs
+    (ADVICE r8)."""
     r = rows_per_band
     n_bands = len(MINHASH_A) // r
     if ts_col is not None:

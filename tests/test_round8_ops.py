@@ -171,7 +171,16 @@ def test_wedge_batch_cap_binding_warns(spark, monkeypatch):
     want = {(r.node, r.n_triangles)
             for r in clustering.triangle_counts(edges).collect()}
     monkeypatch.setattr(clustering, "WEDGE_ROWS_PER_BATCH", 1)
-    with pytest.warns(UserWarning, match="cap holds it at 32"):
+    monkeypatch.setattr(clustering, "_WEDGE_CAP_WARNED", False)
+    with pytest.warns(RuntimeWarning, match="cap holds it at 32"):
         got = {(r.node, r.n_triangles)
                for r in clustering.triangle_counts(edges).collect()}
     assert got == want
+    # once per session: a repeat call (the iterative-caller shape,
+    # ADVICE r8) must stay silent even with the warnings filter set
+    # to error
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        again = {(r.node, r.n_triangles)
+                 for r in clustering.triangle_counts(edges).collect()}
+    assert again == want

@@ -123,6 +123,7 @@ def main() -> int:
     raw = sys.argv[1:]
     vanilla = "--vanilla" in raw
     sample_n = seed = None
+    out_path = None
     args = []
     it = iter(raw)
     for a in it:
@@ -132,6 +133,8 @@ def main() -> int:
             sample_n = int(next(it))
         elif a == "--seed":
             seed = int(next(it))
+        elif a == "--out":
+            out_path = next(it)
         else:
             args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -145,6 +148,10 @@ def main() -> int:
         )
         return 2
 
+    import time
+
+    t0 = time.time()
+
     import __spark_entry__ as entry
 
     if vanilla:
@@ -152,15 +159,30 @@ def main() -> int:
         # of our tuned conf — catches conf dependencies the default
         # (tuned) run would mask.  session timezone pinned UTC to match
         # the driver host's JVM default deterministically (ADVICE r3).
+        # SPARK_GRAFT_MASTER lets this same gate run on the multi-JVM
+        # pseudo-cluster tier (local-cluster[N,c,mem]): real separate
+        # executor JVMs, netty shuffle transport, per-executor python
+        # workers — the one correctness surface local[*] cannot witness
+        # (VERDICT r8 top-next).
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[8]")
+        master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+        builder = (
+            SparkSession.builder.master(master)
             .config("spark.sql.shuffle.partitions", "8")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        if master.startswith("local-cluster"):
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            # executor python workers are fresh processes — they need
+            # the repo on THEIR path (local mode inherits the driver's)
+            builder = (
+                builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+                .config("spark.executor.memory", master.rsplit(",", 1)[-1].rstrip("]") + "m")
+                .config("spark.driver.memory", "4g")
+            )
+        spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
     else:
         from grpc_map_reduce_spark.session import get_spark
@@ -251,6 +273,21 @@ def main() -> int:
     print(f"\n{len(results) - len(bad)}/{len(results)} green")
     if bad:
         print("FAILING:", json.dumps(bad, indent=2))
+    if out_path:
+        import time
+
+        artifact = {
+            "master": os.environ.get("SPARK_GRAFT_MASTER", "local[8]" if vanilla else None),
+            "sf_dir": sf_dir,
+            "vanilla": vanilla,
+            "green": len(results) - len(bad),
+            "total": len(results),
+            "wall_s": round(time.time() - t0, 1),
+            "results": results,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=2, sort_keys=True)
+        print(f"wrote {out_path}")
     return 1 if bad else 0
 
 
