@@ -352,7 +352,12 @@ class _BitReader:
                 raise ValueError("unexpected marker inside scan data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits BEFORE shifting: without the trim,
+        # acc accumulates the entire entropy stream (measured 180 kbit
+        # on a 300x311 photo) and every bit extraction becomes ~20 KB
+        # big-int arithmetic — the single largest decode cost found in
+        # round 9
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -386,7 +391,62 @@ class _RestartMarker(Exception):
         self.marker = marker
 
 
-def _huff_decode(reader: _BitReader, table: list[dict[int, int]]) -> int:
+class _HuffLUT:
+    """Huffman table with an 8-bit lookahead array — the classic
+    libjpeg HUFF_LOOKAHEAD technique (public jdhuff.c design, also
+    T.81 Annex F note on table-driven decoders): ``lut[next8bits]``
+    packs ``(code_length << 8) | symbol`` for every code of <= 8
+    bits (0 = longer code / invalid), so the overwhelmingly common
+    short codes decode with ONE list index instead of a per-bit tree
+    walk.  ``by_len`` keeps the exact per-length dicts for the long
+    -code fallback walk."""
+
+    __slots__ = ("lut", "by_len")
+
+    def __init__(self, by_len: list[dict[int, int]]) -> None:
+        self.by_len = by_len
+        lut = [0] * 256
+        for length in range(1, 9):
+            shift = 8 - length
+            tag = length << 8
+            for code, v in by_len[length].items():
+                base = code << shift
+                e = tag | v
+                for i in range(base, base + (1 << shift)):
+                    lut[i] = e
+        self.lut = lut
+
+
+#: DHT-content-keyed LUT cache: real corpora overwhelmingly reuse the
+#: T.81 Annex K tables, so an executor builds each 256-entry table
+#: once per process, not once per image.  Bounded — adversarial
+#: corpora with per-image custom tables just stop caching.
+_HUFF_LUT_CACHE: dict[bytes, _HuffLUT] = {}
+_HUFF_LUT_CACHE_MAX = 512
+
+
+def _huff_decode(reader: _BitReader, table: _HuffLUT) -> int:
+    # fast path: peek 8 bits, one list index.  When fewer than 8 bits
+    # remain before a marker/EOS (the code may still be complete!) or
+    # the code is longer than 8 bits, fall back to the exact walk —
+    # which also re-raises the marker/EOS exception at precisely the
+    # consumption point the bit-by-bit decoder would have.
+    if reader.nbits < 8:
+        try:
+            while reader.nbits < 8:
+                reader._fill()
+        except (_RestartMarker, ValueError):
+            return _huff_decode_walk(reader, table.by_len)
+    e = table.lut[(reader.acc >> (reader.nbits - 8)) & 0xFF]
+    if e:
+        reader.nbits -= e >> 8
+        return e & 0xFF
+    return _huff_decode_walk(reader, table.by_len)
+
+
+def _huff_decode_walk(reader: _BitReader,
+                      table: list[dict[int, int]]) -> int:
+    """The exact bit-by-bit reference decode (T.81 F.2.2.3 DECODE)."""
     code, length = 0, 0
     while length < 16:
         code = (code << 1) | reader.bit()
@@ -642,7 +702,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], list[dict[int, int]]] = {}
+    htables: dict[tuple[int, int], _HuffLUT] = {}
     frame = None
     store = None  # per-component block coefficient arrays
     restart_interval = 0
@@ -682,17 +742,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 tc, th = body[p] >> 4, body[p] & 0x0F
                 bits = list(body[p + 1:p + 17])
                 n = sum(bits)
-                vals = list(body[p + 17:p + 17 + n])
-                codes = _canonical_codes(bits, vals)
-                # decode table as a length-indexed list of dicts —
-                # _huff_decode's inner loop then does one int-keyed
-                # .get per extra bit instead of allocating and hashing
-                # a (length, code) tuple per step (measured ~1.3x on
-                # the entropy phase of real photos)
-                by_len: list[dict[int, int]] = [dict() for _ in range(17)]
-                for v, (code, lng) in codes.items():
-                    by_len[lng][code] = v
-                htables[(tc, th)] = by_len
+                # LUT construction is content-addressed: bits+vals
+                # bytes are the complete table definition
+                seg = bytes(body[p + 1:p + 17 + n])
+                lut = _HUFF_LUT_CACHE.get(seg)
+                if lut is None:
+                    vals = list(body[p + 17:p + 17 + n])
+                    codes = _canonical_codes(bits, vals)
+                    # fallback table as a length-indexed list of
+                    # dicts — the walk does one int-keyed .get per
+                    # extra bit past the 8-bit lookahead
+                    by_len: list[dict[int, int]] = [dict() for _ in range(17)]
+                    for v, (code, lng) in codes.items():
+                        by_len[lng][code] = v
+                    lut = _HuffLUT(by_len)
+                    if len(_HUFF_LUT_CACHE) < _HUFF_LUT_CACHE_MAX:
+                        _HUFF_LUT_CACHE[seg] = lut
+                htables[(tc, th)] = lut
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -866,7 +932,10 @@ def _run_scan(data: bytes, pos: int, frame: "_Frame", scomps: list,
     raise ValueError("scan data ran past end of file")
 
 
-def _sequential_block(reader, dc_t, ac_t, preds, ci, block) -> None:
+def _sequential_block_ref(reader, dc_t, ac_t, preds, ci, block) -> None:
+    """Reference sequential-block decode (T.81 F.2.2): the exact twin
+    the fast inlined variant below is gated against
+    (test_jpeg.py::test_fast_sequential_block_is_bit_exact)."""
     t = _huff_decode(reader, dc_t)
     diff = _extend(reader.receive(t), t)
     preds[ci] += diff
@@ -885,6 +954,123 @@ def _sequential_block(reader, dc_t, ac_t, preds, ci, block) -> None:
             raise ValueError("AC coefficient index overflow")
         block[ZIGZAG[k]] = _extend(reader.receive(size), size)
         k += 1
+
+
+def _sequential_block(reader, dc_t, ac_t, preds, ci, block) -> None:
+    """Fast sequential-block decode: the reader's bit buffer lives in
+    locals for the whole block (Python attribute/method dispatch is
+    ~the entire entropy-decode cost once the LUT exists), with the
+    bit-exactness contract of :func:`_sequential_block_ref` kept by
+    construction — the inline paths handle ONLY plain bytes and
+    stuffed 0xFF00 fills, short (<= 8 bit) codes, and in-buffer
+    receives; every boundary case (marker, EOS, long code, starved
+    receive) commits the locals back and delegates that one step to
+    the exact shared helpers, which raise at precisely the same
+    consumption points the reference does."""
+    d = reader.data
+    n = len(d)
+    pos = reader.pos
+    acc = reader.acc
+    nbits = reader.nbits
+    zig = ZIGZAG
+
+    # ---- DC: symbol
+    while nbits < 8 and pos < n:
+        b = d[pos]
+        if b == 0xFF:
+            if pos + 1 < n and d[pos + 1] == 0:
+                pos += 2
+            else:
+                break  # marker: delegate
+        else:
+            pos += 1
+        acc = ((acc & ((1 << nbits) - 1)) << 8) | b
+        nbits += 8
+    e = dc_t.lut[(acc >> (nbits - 8)) & 0xFF] if nbits >= 8 else 0
+    if e:
+        nbits -= e >> 8
+        t = e & 0xFF
+    else:
+        reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+        t = _huff_decode(reader, dc_t)
+        pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+    # ---- DC: receive(t) + EXTEND
+    if t:
+        while nbits < t and pos < n:
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < n and d[pos + 1] == 0:
+                    pos += 2
+                else:
+                    break
+            else:
+                pos += 1
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | b
+            nbits += 8
+        if nbits >= t:
+            nbits -= t
+            v = (acc >> nbits) & ((1 << t) - 1)
+        else:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+            v = reader.receive(t)
+            pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+        preds[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    block[0] = preds[ci]
+
+    # ---- AC run/size loop
+    lut = ac_t.lut
+    k = 1
+    while k < 64:
+        while nbits < 8 and pos < n:
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < n and d[pos + 1] == 0:
+                    pos += 2
+                else:
+                    break
+            else:
+                pos += 1
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | b
+            nbits += 8
+        e = lut[(acc >> (nbits - 8)) & 0xFF] if nbits >= 8 else 0
+        if e:
+            nbits -= e >> 8
+            rs = e & 0xFF
+        else:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+            rs = _huff_decode(reader, ac_t)
+            pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+        size = rs & 0x0F
+        if size == 0:
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += rs >> 4
+        if k > 63:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+            raise ValueError("AC coefficient index overflow")
+        while nbits < size and pos < n:
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < n and d[pos + 1] == 0:
+                    pos += 2
+                else:
+                    break
+            else:
+                pos += 1
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | b
+            nbits += 8
+        if nbits >= size:
+            nbits -= size
+            v = (acc >> nbits) & ((1 << size) - 1)
+        else:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+            v = reader.receive(size)
+            pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+        block[zig[k]] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        k += 1
+    reader.pos, reader.acc, reader.nbits = pos, acc, nbits
 
 
 def _ac_first(reader, ac_t, block, ss, se, al, state) -> None:

@@ -352,3 +352,126 @@ def test_numpy_finish_is_bit_identical_to_stdlib():
         finally:
             J._np = saved
         assert enc_np == enc_py, (w, h, c, sub, rst)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 entropy-decode fast path: LUT lookahead + inlined sequential
+# block + acc trim.  Three gates: symbol-level LUT-vs-walk equivalence,
+# block-level fast-vs-reference byte equality, and golden md5s of the
+# real-photo decodes recorded from the PRE-round-9 decoder.
+
+
+def test_huff_lut_matches_walk_on_random_streams():
+    """Symbol-for-symbol: the 8-bit-lookahead decode and the bit-by-bit
+    reference walk must consume identical bits and emit identical
+    symbols over random entropy data, for every Annex K table."""
+    import random as _r
+
+    from grpc_map_reduce_spark.functions import jpeg as J
+
+    tables = [
+        (J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+        (J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+        (J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+    ]
+    _r.seed(9)
+    for bits, vals in tables:
+        codes = J._canonical_codes(bits, vals)
+        by_len = [dict() for _ in range(17)]
+        for v, (code, lng) in codes.items():
+            by_len[lng][code] = v
+        lut = J._HuffLUT(by_len)
+        # random bytes with stuffed 0xFF00 pairs sprinkled in
+        raw = bytearray()
+        for _ in range(4000):
+            b = _r.randrange(256)
+            raw.append(b)
+            if b == 0xFF:
+                raw.append(0x00)
+        data = bytes(raw)
+        # NOTE: the fast reader PREFETCHES whole bytes (its pos/nbits
+        # run ahead transiently), so the invariant is the SYMBOL
+        # stream, not reader internals — any bit-consumption
+        # divergence desynchronizes every subsequent symbol.
+        def drain(decode, table):
+            r = J._BitReader(data, 0)
+            out = []
+            try:
+                while True:
+                    out.append(decode(r, table))
+            except ValueError:
+                pass
+            return out
+
+        fast_syms = drain(J._huff_decode, lut)
+        slow_syms = drain(J._huff_decode_walk, by_len)
+        assert fast_syms == slow_syms
+        # sparse DC tables terminate early on random data (an invalid
+        # 16-bit pattern raises) — a few hundred symbols still covers
+        # every code length
+        assert len(fast_syms) > 200
+
+
+def _decode_forcing_reference_block(data):
+    from grpc_map_reduce_spark.functions import jpeg as J
+
+    orig = J._sequential_block
+    J._sequential_block = J._sequential_block_ref
+    try:
+        return J.decode_jpeg(data)
+    finally:
+        J._sequential_block = orig
+
+
+def test_fast_sequential_block_is_bit_exact():
+    """End-to-end: decoding through the inlined fast block must be
+    byte-identical to the reference block on real photos (independent
+    encoders, 4:2:0, restart-free) AND on our own encoder's output
+    with restart markers (exercises the marker-boundary delegation)."""
+    import glob
+    import random as _r
+
+    paths = sorted(glob.glob(
+        "/opt/spark-*/data/mllib/images/origin/kittens/*.jpg"
+    ))
+    corpora = [open(p, "rb").read() for p in paths]
+    _r.seed(7)
+    noisy = bytes(_r.randrange(256) for _ in range(40 * 24))
+    corpora.append(encode_jpeg(40, 24, 1, noisy))
+    corpora.append(encode_jpeg(40, 24, 1, noisy, restart_interval=2))
+    corpora.append(encode_jpeg(24, 40, 3, bytes(
+        _r.randrange(256) for _ in range(24 * 40 * 3)), subsample=True))
+    assert len(corpora) >= 5
+    for blob in corpora:
+        assert decode_jpeg(blob) == _decode_forcing_reference_block(blob)
+
+
+def test_real_photo_decode_golden_md5():
+    """Pixel-level regression pin: md5 of every distro photo's decode,
+    recorded from the round-8 decoder (pre-LUT, pre-inline, pre-trim).
+    Any entropy-decode change that alters ONE pixel anywhere fails."""
+    import glob
+    import hashlib
+
+    want = {
+        "29.5.a_b_EGDP022204.jpg": "728ee8022b2642077991a8cd02f10527",
+        "54893.jpg": "81b60d1aeac9ae24ff8927e9704e3340",
+        "DP153539.jpg": "e9720b4768ee7abe36f6161c50b72c02",
+        "DP802813.jpg": "296408615f803dc1745b22bcbf730707",
+        "chr30.4.184.jpg": "6b0f368cf827c1c7c91b7c1b6ca918f3",
+        "grayscale.jpg": "f3f442cde19ad1ddac713012a7f8f221",
+    }
+    paths = [p for pat in ("kittens", "multi-channel") for p in sorted(
+        glob.glob(f"/opt/spark-*/data/mllib/images/origin/{pat}/*.jpg"))]
+    if not paths:
+        pytest.skip("Spark distro sample images not present")
+    checked = 0
+    for p in paths:
+        name = p.rsplit("/", 1)[-1]
+        if name not in want:
+            continue
+        _, _, _, pix = decode_jpeg(open(p, "rb").read())
+        assert hashlib.md5(pix).hexdigest() == want[name], name
+        checked += 1
+    assert checked >= 5
