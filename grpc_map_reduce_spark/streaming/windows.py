@@ -324,9 +324,11 @@ def tws_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(df: DataFrame, query_name: str,
-                  output_mode: str = "complete") -> None:
+                  output_mode: str = "complete"):
     """Replay the whole backlog (availableNow) into an in-memory table
     and block until done — the test/bench harness for streaming ops.
+    Returns the finished StreamingQuery so callers can inspect
+    ``recentProgress`` (per-batch state-store metrics).
 
     Use ``complete`` for windowed aggregations (emits every window);
     ``applyInPandasWithState`` plans only support ``update``/``append``.
@@ -339,3 +341,4 @@ def run_to_memory(df: DataFrame, query_name: str,
         .start()
     )
     q.awaitTermination()
+    return q

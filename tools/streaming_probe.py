@@ -69,7 +69,13 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=25)
     ap.add_argument("--batches", type=int, default=8,
                     help="number of incoming files = micro-batches")
+    ap.add_argument("--expiry", action="store_true",
+                    help="probe watermarked STATE EXPIRY at volume "
+                         "instead of throughput (VERDICT r8 item 4)")
     args = ap.parse_args()
+
+    if args.expiry:
+        return expiry_probe(args.mult)
 
     from pyspark.sql import functions as F
 
@@ -181,6 +187,102 @@ def main() -> None:
         }
     }
     print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+
+
+def _staged_batches(spark, root: str, frames_with_names) -> str:
+    """Write each (df, name, mtime) as ONE parquet file under a source
+    dir — file-source replay order is modification time, so each file
+    becomes its own micro-batch under maxFilesPerTrigger=1."""
+    import glob as _glob
+
+    src = os.path.join(root, "expiry_src")
+    os.makedirs(src, exist_ok=True)
+    for df, name, mtime in frames_with_names:
+        stage = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+    return src
+
+
+def expiry_probe(mult: int) -> None:
+    """Watermarked state-EXPIRY at volume: replay the mult-x incoming
+    shard at 0h, advance the watermark with tiny key-disjoint batches
+    (3h/6h), replay at 9h (state must be GONE -> pairs re-emit), then
+    drain with two more tiny advancers (12h/15h).  Records per-batch
+    state-store rows; the evidence is rows DROPPING between batches,
+    not just staying bounded (tests/test_streaming.py carries the
+    fixture-scale pytest twin of this probe)."""
+    from pyspark.sql import functions as F
+
+    from tools.scaling_probe import synthesize
+
+    from grpc_map_reduce_spark.operators.dedup import _side_is_corpus
+    from grpc_map_reduce_spark.streaming.dedup import (
+        corpus_index,
+        streaming_incremental_dedup,
+    )
+
+    spark = get_spark("streaming-expiry-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = synthesize(spark, mult)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    incoming = docs.filter(~_side_is_corpus(F.col("doc_id")))
+    tiny = incoming.limit(1)
+    base, hr = 1_700_000_000, 3_600
+
+    def stamp(df, hours):
+        return df.withColumn(
+            "ingest_ts", F.timestamp_seconds(F.lit(base + hours * hr)))
+
+    src = _staged_batches(spark, SCRATCH, [
+        (stamp(incoming, 0), "b0", 1_000),
+        (stamp(tiny, 3), "b1", 2_000),
+        (stamp(tiny, 6), "b2", 3_000),
+        (stamp(incoming, 9), "b3", 4_000),
+        (stamp(tiny, 12), "b4", 5_000),
+        (stamp(tiny, 15), "b5", 6_000),
+    ])
+    buckets, sets = corpus_index(docs)
+    buckets = buckets.localCheckpoint()
+    sets = sets.localCheckpoint()
+    stream = (
+        spark.readStream.schema(stamp(incoming, 0).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rec = _run(
+        spark,
+        streaming_incremental_dedup(
+            stream, buckets, sets, ts_col="ingest_ts",
+            dedup_within="1 hour"),
+        "stream_dedup_expiry_probe",
+        os.path.join(SCRATCH, "ckpt_expiry"),
+    )
+    states = [b["state_rows"] for b in rec["batches"]]
+    peak, final = max(states), states[-1]
+    summary = {
+        "expiry_probe_summary": {
+            "mult": mult,
+            "incoming_docs": incoming.count(),
+            "state_rows_per_batch": states,
+            "peak_state_rows": peak,
+            "final_state_rows": final,
+            "drained": final < max(2, peak // 2),
+        }
+    }
+    print(json.dumps(rec), flush=True)
+    print(json.dumps(summary), flush=True)
+    assert summary["expiry_probe_summary"]["drained"], (
+        f"state did not drain: {states}")
     spark.stop()
 
 
