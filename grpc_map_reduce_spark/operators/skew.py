@@ -22,6 +22,24 @@ operators cover the two cases AQE does not:
 
 Both are result-invariant rewrites — the salted wordcount below is
 oracle-checked against the SAME SQL as the unsalted one.
+
+WHEN TO SALT A JOIN vs TRUST AQE (measured, round 9 —
+tools/skew_probe.py, 20 M probe rows / 40 % hot key / 25x volume):
+
+  * plain shuffle EQUI-join with a hot key: do NOT salt.  AQE's
+    runtime split finished in 2.1 s where skew-off took 8.1 s (3.8x)
+    and the manually salted join took 3.9 s — the split beats salting
+    because it never pays the n_salts x build-side replication (which
+    also OOM'd a task's hash-map build at 4 M keys x 8 salts).
+  * EXCEPT when the hot partition is highly compressible: AQE skew
+    detection reads COMPRESSED map-output sizes, and a column-pruned
+    hot partition (millions of identical 8-byte keys) lz4-compresses
+    below the threshold — the probe measured the split NOT firing on
+    exactly that shape while wall-clock skew remained.  Row-count
+    skew with tiny compressed bytes is the one join case where
+    ``salted_shuffle_join`` still pays.
+  * aggregation skew: always ``salted_aggregate`` — AQE splits join
+    partitions, never aggregation groups.
 """
 
 from __future__ import annotations
