@@ -258,3 +258,53 @@ def test_spectrogram_finds_planted_sinusoid(spark):
     assert len(out) == WAV_N // SPEC_FRAME
     for r in out:
         assert r.dominant_bin == 5 and r.dominant_pow > 0
+
+
+def test_native_decoder_adapter_contract(spark):
+    """Round 9: the one-function native-codec swap point.  A future
+    libjpeg/ffmpeg drop-in must satisfy exactly this: installed via
+    register_native_decoder it (a) takes over its format ahead of the
+    stdlib codec, (b) its quarantine-class failures become countable
+    'corrupt' rows with the adapter's error class — never task
+    deaths, (c) other formats keep the stdlib path, and (d)
+    uninstalling restores stdlib behavior byte-identically."""
+    from grpc_map_reduce_spark.functions.png import encode_png
+    from grpc_map_reduce_spark.operators import multimodal as M
+
+    png = encode_png(4, 4, 1, bytes(range(16)), filter_type=0)
+    rows = [(0, png, ("png", 4, 4, 1)), (1, png, ("fakefmt", 4, 4, 1))]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, "
+        "media_meta struct<format:string,width:int,height:int,n_frames:int>",
+    )
+
+    def fake_native(payload: bytes) -> bytes:
+        if len(payload) < 8:
+            raise ValueError("native: truncated")
+        return b"N" * 7  # distinguishable from any stdlib decode
+
+    before = {(r.doc_id, r.status, r.n_bytes)
+              for r in M.decode_with_quarantine(media).collect()}
+    assert (0, "ok", 16) in before                   # stdlib png
+    assert (1, "unsupported_format", 0) in before    # no codec
+
+    M.register_native_decoder("fakefmt", fake_native)
+    try:
+        got = {(r.doc_id, r.status, r.n_bytes)
+               for r in M.decode_with_quarantine(media).collect()}
+        assert (0, "ok", 16) in got        # stdlib path untouched
+        assert (1, "ok", 7) in got         # adapter took the format
+        # adapter failures quarantine like any codec failure
+        short = spark.createDataFrame(
+            [(2, b"xx", ("fakefmt", 1, 1, 1))],
+            "doc_id long, media binary, "
+            "media_meta struct<format:string,width:int,height:int,n_frames:int>",
+        )
+        rec = M.decode_with_quarantine(short).collect()[0]
+        assert (rec.status, rec.error_class) == ("corrupt", "ValueError")
+    finally:
+        M.register_native_decoder("fakefmt", None)
+    after = {(r.doc_id, r.status, r.n_bytes)
+             for r in M.decode_with_quarantine(media).collect()}
+    assert after == before
