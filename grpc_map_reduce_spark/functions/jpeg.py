@@ -311,6 +311,11 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
                 self.buf.append(0x00)
+        # trim drained bytes off the accumulator — without this it
+        # retains every bit ever written and each shift becomes
+        # big-int arithmetic over the whole stream (the writer twin of
+        # the round-9 decoder accumulator fix)
+        self.acc &= (1 << self.nbits) - 1
 
     def pad_to_byte(self) -> None:
         if self.nbits:
