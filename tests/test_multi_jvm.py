@@ -96,6 +96,88 @@ print("RESULT:" + json.dumps(result))
 """
 
 
+_STREAM_PARITY_SCRIPT = r"""
+import json, os, sys, tempfile
+sys.path.insert(0, sys.argv[1])
+sf_dir = sys.argv[2]
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+CONF = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def run_suite(master, workdir):
+    b = SparkSession.builder.master(master).appName("mjvm-stream")
+    for k, v in CONF.items():
+        b = b.config(k, v)
+    if master.startswith("local-cluster"):
+        b = b.config("spark.executor.memory", "1g")
+        b = b.config("spark.executorEnv.PYTHONPATH", sys.argv[1])
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from grpc_map_reduce_spark.operators.dedup import _side_is_corpus
+    from grpc_map_reduce_spark.streaming.dedup import (
+        corpus_index,
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    incoming = docs.filter(~_side_is_corpus(F.col("doc_id"))).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 60),
+    )
+    src = os.path.join(workdir, "in_" + master.split("[")[0])
+    incoming.repartition(3).write.mode("overwrite").parquet(src)
+    buckets, sets = corpus_index(docs)
+    buckets = buckets.localCheckpoint()
+    sets = sets.localCheckpoint()
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_incremental_dedup(
+            stream, buckets, sets, ts_col="ingest_ts",
+            dedup_within="1 hour",
+        )
+        .writeStream.format("memory").queryName("mjvm_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in spark.table("mjvm_stream").collect()
+    )
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    n_batches = len([p for p in progs if p.get("numInputRows", 0) > 0])
+    state = max(
+        (sum(op.get("numRowsTotal", 0)
+             for op in p.get("stateOperators", [])) for p in progs),
+        default=0,
+    )
+    spark.stop()
+    return rows, n_batches, state
+
+
+with tempfile.TemporaryDirectory() as wd:
+    local, nb1, st1 = run_suite("local[4]", wd)
+    cluster, nb2, st2 = run_suite("local-cluster[2,2,1024]", wd)
+result = {
+    "match": local == cluster,
+    "n_rows": len(local),
+    "batches": [nb1, nb2],
+    "state_rows": [st1, st2],
+}
+print("RESULT:" + json.dumps(result))
+"""
+
+
 _EXEC_LOSS_SCRIPT = r"""
 import glob, json, os, signal, sys
 sys.path.insert(0, sys.argv[1])
@@ -197,6 +279,19 @@ def test_multi_jvm_parity(sf_dir):
     assert out["n_executor_entries"] >= 2
     assert all(out["match"].values()), out
     assert all(n > 0 for n in out["sizes"].values()), out
+
+
+def test_multi_jvm_streaming_parity(sf_dir):
+    """Round 9: Structured Streaming had never run with >1 JVM — the
+    watermarked dedup twin (stream-static band join + Arrow UDF +
+    dropDuplicatesWithinWatermark state store) must emit the exact
+    same scored pairs on local[4] and a 2-executor pseudo-cluster,
+    with state-store rows reported from executor-side state."""
+    out = _run(_STREAM_PARITY_SCRIPT, sf_dir)
+    assert out["match"], out
+    assert out["n_rows"] > 0, out
+    assert min(out["batches"]) >= 2, out          # really multi-batch
+    assert min(out["state_rows"]) > 0, out        # state store engaged
 
 
 def test_executor_loss_recovers_with_reliable_checkpoints(sf_dir):
