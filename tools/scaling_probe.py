@@ -276,6 +276,21 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
         )
         open(done, "w").close()
         return out
+    # Replica-transform period ceiling (round 9): the affine letter
+    # maps repeat with period 130 (26 shifts x 5 multipliers) and the
+    # embedding roll+sign-flip with period 126, so any multiplier
+    # past 126 would reintroduce exact cross-replica clone cliques —
+    # the precise artifact class the r8 corpus fix removed (replicas
+    # k and k+period byte-identical).  Fail loudly instead of
+    # silently measuring artifacts; extend the transform families
+    # (another compose keyed on k//130) before raising this.
+    if mult > 126:
+        raise ValueError(
+            f"mult={mult} exceeds the replica-transform period ceiling "
+            "(126): text/embedding replicas would contain exact clones "
+            "and every dedup/similarity probe would measure the "
+            "artifact, not the engine — see synthesize() docstring"
+        )
     out = os.path.join(SCRATCH, f"x{mult}")
     # Scratch versioning: v2 added replicated embeddings (rolled per
     # replica), v3 added replicated events (user-shifted), v4 fixed
