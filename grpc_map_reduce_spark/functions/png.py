@@ -85,32 +85,86 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("IDAT size mismatch")
 
     out = bytearray(stride * height)
+    # Round-9 unfilter fast paths, bit-exact by construction (gated in
+    # test_png.py::test_fast_unfilter_matches_reference_all_filters):
+    #   * None/Sub/Up rows vectorize in numpy — Sub's recurrence
+    #     x_i = (r_i + x_{i-ch}) mod 256 is a per-lane prefix sum mod
+    #     256, Up is one wrapping uint8 add against the previous row;
+    #   * Average/Paeth rows are inherently sequential (each byte
+    #     depends on the RECONSTRUCTED left byte), so they stay in
+    #     Python with the predictor inlined (pa = |b-c|, pb = |a-c|,
+    #     pc = |a+b-2c| — the p-form differences, no function call,
+    #     ~2x) — the same per-row structure libpng uses.
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked in
+        _np = None
     prev_start = -1  # start of previous unfiltered scanline in `out`
     for y in range(height):
         fbyte = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        off = y * (stride + 1) + 1
+        line = raw[off:off + stride]
         start = y * stride
         if fbyte == 0:  # None
             out[start:start + stride] = line
         elif fbyte == 1:  # Sub
-            for x in range(stride):
-                a = out[start + x - ch] if x >= ch else 0
-                out[start + x] = (line[x] + a) & 0xFF
+            if _np is not None:
+                lanes = _np.frombuffer(line, _np.uint8).reshape(-1, ch)
+                cur = (lanes.astype(_np.int64).cumsum(axis=0) & 0xFF)
+                out[start:start + stride] = (
+                    cur.astype(_np.uint8).reshape(-1).tobytes()
+                )
+            else:
+                for x in range(stride):
+                    a = out[start + x - ch] if x >= ch else 0
+                    out[start + x] = (line[x] + a) & 0xFF
         elif fbyte == 2:  # Up
-            for x in range(stride):
-                b = out[prev_start + x] if y else 0
-                out[start + x] = (line[x] + b) & 0xFF
-        elif fbyte == 3:  # Average
-            for x in range(stride):
-                a = out[start + x - ch] if x >= ch else 0
-                b = out[prev_start + x] if y else 0
-                out[start + x] = (line[x] + (a + b) // 2) & 0xFF
-        elif fbyte == 4:  # Paeth
-            for x in range(stride):
-                a = out[start + x - ch] if x >= ch else 0
-                b = out[prev_start + x] if y else 0
-                c = out[prev_start + x - ch] if (y and x >= ch) else 0
-                out[start + x] = (line[x] + _paeth(a, b, c)) & 0xFF
+            if _np is not None:
+                cur = _np.frombuffer(line, _np.uint8).copy()
+                if y:
+                    cur += _np.frombuffer(
+                        out, _np.uint8, count=stride, offset=prev_start
+                    )  # uint8 add wraps mod 256
+                out[start:start + stride] = cur.tobytes()
+            else:
+                for x in range(stride):
+                    b = out[prev_start + x] if y else 0
+                    out[start + x] = (line[x] + b) & 0xFF
+        elif fbyte == 3:  # Average — sequential in the left byte
+            prev = out[prev_start:prev_start + stride] if y \
+                else bytes(stride)
+            for x in range(ch):
+                out[start + x] = (line[x] + prev[x] // 2) & 0xFF
+            for x in range(ch, stride):
+                out[start + x] = (
+                    line[x] + (out[start + x - ch] + prev[x]) // 2
+                ) & 0xFF
+        elif fbyte == 4:  # Paeth — sequential in the left byte
+            prev = out[prev_start:prev_start + stride] if y \
+                else bytes(stride)
+            # first pixel: a = c = 0 → predictor reduces to b
+            for x in range(ch):
+                out[start + x] = (line[x] + prev[x]) & 0xFF
+            for x in range(ch, stride):
+                a = out[start + x - ch]
+                b = prev[x]
+                c = prev[x - ch]
+                pa = b - c
+                if pa < 0:
+                    pa = -pa
+                pb = a - c
+                if pb < 0:
+                    pb = -pb
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[start + x] = (line[x] + pred) & 0xFF
         else:
             raise ValueError(f"bad filter byte {fbyte} on row {y}")
         prev_start = start

@@ -132,3 +132,67 @@ def test_round_trip_property(w, h, ch, ft, data):
                            max_size=w * h * ch))
     )
     assert decode_png(encode_png(w, h, ch, pix, ft)) == (w, h, ch, pix)
+
+
+def test_fast_unfilter_matches_reference_all_filters():
+    """Round 9: the numpy Sub/Up rows and the inlined Average/Paeth
+    rows must reconstruct exactly what a straightforward per-byte
+    reference unfilter does, for every filter type, channel count,
+    and awkward width — including rows whose reconstruction chains
+    through a previous row of a DIFFERENT filter type."""
+    import random
+    import struct
+    import zlib
+
+    from grpc_map_reduce_spark.functions.png import (
+        CHANNELS,
+        PNG_SIGNATURE,
+        _chunk,
+        _paeth,
+        decode_png,
+    )
+
+    def reference_unfilter(raw, height, stride, ch):
+        out = bytearray(stride * height)
+        prev_start = -1
+        for y in range(height):
+            fbyte = raw[y * (stride + 1)]
+            line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+            start = y * stride
+            for x in range(stride):
+                a = out[start + x - ch] if x >= ch else 0
+                b = out[prev_start + x] if y else 0
+                c = out[prev_start + x - ch] if (y and x >= ch) else 0
+                if fbyte == 0:
+                    pred = 0
+                elif fbyte == 1:
+                    pred = a
+                elif fbyte == 2:
+                    pred = b
+                elif fbyte == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                out[start + x] = (line[x] + pred) & 0xFF
+            prev_start = start
+        return bytes(out)
+
+    rng = random.Random(99)
+    color_of = {v: k for k, v in CHANNELS.items()}
+    for ch in (1, 2, 3, 4):
+        for w, h in ((1, 1), (3, 7), (16, 16), (33, 5)):
+            stride = w * ch
+            # per-row RANDOM filter bytes — the mixed-filter case the
+            # per-filter roundtrip tests never produce
+            raw = bytearray()
+            for _ in range(h):
+                raw.append(rng.randrange(5))
+                raw += bytes(rng.randrange(256) for _ in range(stride))
+            want = reference_unfilter(raw, h, stride, ch)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color_of[ch], 0, 0, 0)
+            blob = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + _chunk(b"IEND", b""))
+            got_w, got_h, got_ch, got = decode_png(blob)
+            assert (got_w, got_h, got_ch) == (w, h, ch)
+            assert got == want, (ch, w, h)
