@@ -406,7 +406,7 @@ class _HuffLUT:
     walk.  ``by_len`` keeps the exact per-length dicts for the long
     -code fallback walk."""
 
-    __slots__ = ("lut", "by_len")
+    __slots__ = ("lut", "by_len", "lut16")
 
     def __init__(self, by_len: list[dict[int, int]]) -> None:
         self.by_len = by_len
@@ -420,6 +420,29 @@ class _HuffLUT:
                 for i in range(base, base + (1 << shift)):
                     lut[i] = e
         self.lut = lut
+        # second level for >8-bit codes, built LAZILY on first miss
+        # (see ensure_lut16): eager build costs ~3 ms/table, which a
+        # thumbnail whose scan never emits a long code should not pay;
+        # real photos hit the miss once and amortize via the content
+        # cache
+        self.lut16: list[int] | None = None
+
+    def ensure_lut16(self) -> list[int]:
+        """Full 16-bit-lookahead table: lut16[peek16] packs
+        ``(length << 8) | symbol`` for EVERY code (1..16 bits), 0 only
+        for invalid prefixes — one list index resolves any symbol."""
+        if self.lut16 is None:
+            lut16 = [0] * 65536
+            for length in range(1, 17):
+                shift = 16 - length
+                tag = length << 8
+                for code, v in self.by_len[length].items():
+                    base = code << shift
+                    e = tag | v
+                    for i in range(base, base + (1 << shift)):
+                        lut16[i] = e
+            self.lut16 = lut16
+        return self.lut16
 
 
 #: DHT-content-keyed LUT cache: real corpora overwhelmingly reuse the
@@ -446,7 +469,21 @@ def _huff_decode(reader: _BitReader, table: _HuffLUT) -> int:
     if e:
         reader.nbits -= e >> 8
         return e & 0xFF
-    return _huff_decode_walk(reader, table.by_len)
+    # long (> 8 bit) code: one 16-bit-lookahead index resolves it
+    # (lazy second-level table); if fewer than 16 bits remain before
+    # a marker/EOS the code may STILL be complete in what's left —
+    # the walk decides that bit-exactly.
+    if reader.nbits < 16:
+        try:
+            while reader.nbits < 16:
+                reader._fill()
+        except (_RestartMarker, ValueError):
+            return _huff_decode_walk(reader, table.by_len)
+    e = table.ensure_lut16()[(reader.acc >> (reader.nbits - 16)) & 0xFFFF]
+    if e:
+        reader.nbits -= e >> 8
+        return e & 0xFF
+    raise ValueError("invalid Huffman code in scan data")
 
 
 def _huff_decode_walk(reader: _BitReader,
