@@ -1095,17 +1095,23 @@ def audio_spectrogram(media_df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame
                 raw = _decode(payload, meta["format"])
                 s = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
                 n_frames = len(s) // frame
-                for fi in range(n_frames):
-                    seg = s[fi * frame:(fi + 1) * frame]
-                    re = C @ seg
-                    im = S @ seg
-                    p = re * re + im * im
-                    j = int(np.argmax(p))  # first max → lowest bin on ties
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(fi)
-                    rows["frame_energy"].append(int(np.abs(seg).sum()))
-                    rows["dominant_bin"].append(j + 1)
-                    rows["dominant_pow"].append(int(p[j]))
+                if not n_frames:
+                    continue
+                # all frames in ONE matmul (round 9): identical int64
+                # arithmetic to the per-frame form, argmax-along-axis
+                # keeps the first-max/lowest-bin tie rule
+                segs = s[:n_frames * frame].reshape(n_frames, frame)
+                re = segs @ C.T  # (n_frames, F/2)
+                im = segs @ S.T
+                p = re * re + im * im
+                j = p.argmax(axis=1)
+                pick = p[np.arange(n_frames), j]
+                energy = np.abs(segs).sum(axis=1)
+                rows["doc_id"].extend([doc_id] * n_frames)
+                rows["frame_idx"].extend(range(n_frames))
+                rows["frame_energy"].extend(int(x) for x in energy)
+                rows["dominant_bin"].extend(int(x) + 1 for x in j)
+                rows["dominant_pow"].extend(int(x) for x in pick)
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(
