@@ -65,11 +65,13 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 #: by default and per-process: the hash-oracled registered queries
 #: pin the stdlib codecs' exact output (a native IDCT rounds
 #: differently), so production swaps happen in the ingest job, not in
-#: the oracle surface.  The adapter surface is
-#: ``decode_with_quarantine`` (the ingest path): it SNAPSHOTS this
-#: registry into its closure at plan-build time, because executor
-#: python workers re-import the module and would never see a
-#: driver-side mutation of this dict.
+#: the oracle surface.  Every distributed consumer SNAPSHOTS this
+#: registry into its closure at plan-build time via
+#: :func:`_decoder_snapshot` (executor python workers re-import the
+#: module and would never see a driver-side mutation of this dict),
+#: so a registration made before building the DataFrame applies to
+#: decode_with_quarantine, extract_features, frame sampling, the
+#: audio and image kernels — all of them.
 _NATIVE_DECODERS: dict[str, "object"] = {}
 
 
@@ -80,6 +82,20 @@ def register_native_decoder(fmt: str, fn) -> None:
         _NATIVE_DECODERS.pop(fmt, None)
     else:
         _NATIVE_DECODERS[fmt] = fn
+
+
+def _decoder_snapshot() -> dict:
+    """Plan-build-time copy of the adapter registry — capture this
+    OUTSIDE a mapInPandas closure so cloudpickle ships it (and its
+    function values) with the task."""
+    return dict(_NATIVE_DECODERS)
+
+
+def _decode_any(native: dict, payload: bytes, fmt: str) -> bytes:
+    """Adapter-aware decode: the snapshot's decoder for ``fmt`` if one
+    was registered at plan-build time, else the stdlib codec."""
+    fn = native.get(fmt)
+    return fn(payload) if fn is not None else _decode(payload, fmt)
 
 
 def _decode(payload: bytes, fmt: str) -> bytes:
@@ -94,11 +110,10 @@ def _decode(payload: bytes, fmt: str) -> bytes:
     hierarchical/lossless/12-bit scope limits raise ValueError →
     quarantine, not job death).  ``rawtext`` stays as the
     deterministic fake for the text-backed fixtures; video formats
-    genuinely need external libs and raise (or plug one in via
-    :func:`register_native_decoder`)."""
-    native = _NATIVE_DECODERS.get(fmt)
-    if native is not None:
-        return native(payload)
+    genuinely need external libs and raise — plug one in via
+    :func:`register_native_decoder`, which every distributed operator
+    honors through a plan-build-time snapshot (:func:`_decode_any`);
+    this function itself is the stdlib-only path."""
     if fmt == "rawtext":
         return payload
     if fmt == "png":
@@ -136,10 +151,12 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     partition size — the right shape for multi-MB payloads at scale.
     """
 
+    native = _decoder_snapshot()  # adapters bind at plan build
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             raws = [
-                _decode(payload, meta["format"])
+                _decode_any(native, payload, meta["format"])
                 for payload, meta in zip(pdf["media"], pdf["media_meta"])
             ]
             yield pd.DataFrame(
@@ -174,6 +191,8 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     width×height bytes (the deterministic fake).  Metadata is updated
     Spark-side."""
 
+    native = _decoder_snapshot()  # adapters bind at plan build
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
@@ -186,7 +205,7 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
                         _resize_pixels(pix, w0, h0, ch, width, height),
                     ))
                 else:
-                    raw = _decode(payload, meta["format"])
+                    raw = _decode_any(native, payload, meta["format"])
                     out.append(raw[:target].ljust(target, b"\0"))
             pdf = pdf.copy()
             pdf["media"] = out
@@ -211,13 +230,15 @@ def sample_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
     n_frames equal chunks, keep every ``every_n``-th, one output row
     per kept frame (explodes like a real frame sampler would)."""
 
+    native = _decoder_snapshot()  # adapters bind at plan build
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
-                raw = _decode(payload, meta["format"])
+                raw = _decode_any(native, payload, meta["format"])
                 nf = max(int(meta["n_frames"]), 1)
                 size = max(len(raw) // nf, 1)
                 for i in range(0, nf, every_n):
@@ -647,6 +668,8 @@ def audio_features(media_df: DataFrame) -> DataFrame:
     is engine-portable: sample count, total energy (Σ|s−128| for u8),
     peak deviation, and midline zero-crossing count."""
 
+    native = _decoder_snapshot()  # adapters bind at plan build
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -656,7 +679,7 @@ def audio_features(media_df: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
-                raw = _decode(payload, meta["format"])
+                raw = _decode_any(native, payload, meta["format"])
                 s = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
                 rows["doc_id"].append(doc_id)
                 rows["n_samples"].append(len(s))
@@ -874,14 +897,7 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
     # (ADVICE r7).
     _corrupt = (ValueError, KeyError, IndexError, struct.error, zlib.error)
 
-    # Snapshot the adapter registry INTO the closure: executor python
-    # workers re-import this module fresh, so a driver-side
-    # register_native_decoder() would be invisible to them if _decode
-    # read the module global at call time.  cloudpickle ships the
-    # snapshot (and its function values) with the task instead —
-    # adapters bind at plan-build time, which is also the honest
-    # semantic for a streaming ingest job.
-    native = dict(_NATIVE_DECODERS)
+    native = _decoder_snapshot()  # adapters bind at plan build
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -889,10 +905,8 @@ def decode_with_quarantine(media_df: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
-                fn = native.get(meta["format"])
                 try:
-                    raw = (fn(payload) if fn is not None
-                           else _decode(payload, meta["format"]))
+                    raw = _decode_any(native, payload, meta["format"])
                     rows["status"].append("ok")
                     rows["n_bytes"].append(len(raw))
                     rows["error_class"].append("")
@@ -1081,6 +1095,8 @@ def audio_spectrogram(media_df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame
         raise ValueError("twiddle table is sized for SPEC_FRAME")
     tw_c, tw_s = _spec_twiddles()
 
+    native = _decoder_snapshot()  # adapters bind at plan build
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1092,7 +1108,7 @@ def audio_spectrogram(media_df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
-                raw = _decode(payload, meta["format"])
+                raw = _decode_any(native, payload, meta["format"])
                 s = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
                 n_frames = len(s) // frame
                 if not n_frames:
@@ -1138,6 +1154,8 @@ def downsample_audio(media_df: DataFrame,
     (block mean), re-encode as a real WAV at rate/factor, decode
     again, and hash the round-tripped samples."""
 
+    native = _decoder_snapshot()  # adapters bind at plan build
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1146,7 +1164,7 @@ def downsample_audio(media_df: DataFrame,
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
-                raw = _decode(payload, meta["format"])
+                raw = _decode_any(native, payload, meta["format"])
                 s = np.frombuffer(raw, np.uint8).astype(np.int64)
                 n = (len(s) // factor) * factor
                 blocks = s[:n].reshape(-1, factor)

@@ -303,6 +303,11 @@ def test_native_decoder_adapter_contract(spark):
         )
         rec = M.decode_with_quarantine(short).collect()[0]
         assert (rec.status, rec.error_class) == ("corrupt", "ValueError")
+        # (e) EVERY distributed consumer honors the snapshot, not just
+        # the quarantine path (round-9 review finding): features over
+        # the adapter's 7-byte decode
+        feats = M.extract_features(media.filter("doc_id = 1")).collect()
+        assert [r.n_bytes for r in feats] == [7]
     finally:
         M.register_native_decoder("fakefmt", None)
     after = {(r.doc_id, r.status, r.n_bytes)

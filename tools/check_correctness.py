@@ -274,8 +274,6 @@ def main() -> int:
     if bad:
         print("FAILING:", json.dumps(bad, indent=2))
     if out_path:
-        import time
-
         artifact = {
             "master": os.environ.get("SPARK_GRAFT_MASTER", "local[8]" if vanilla else None),
             "sf_dir": sf_dir,

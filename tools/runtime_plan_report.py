@@ -91,8 +91,7 @@ def final_plan_audit(df) -> dict:
         "aqe_coalesced": len(re.findall(r"AQEShuffleRead coalesced", final)),
         "aqe_skewed": len(re.findall(r"skewed=true|AQEShuffleRead skewed",
                                      final)),
-        "bloom_runtime": ("bloomfilter" in final.lower()
-                          or "BloomFilter" in final),
+        "bloom_runtime": "bloomfilter" in final.lower(),
     }
 
 

@@ -192,10 +192,13 @@ def main() -> None:
 
 
 
-def _staged_batches(spark, root: str, frames_with_names) -> str:
+def staged_batches(spark, root: str, frames_with_names) -> str:
     """Write each (df, name, mtime) as ONE parquet file under a source
     dir — file-source replay order is modification time, so each file
-    becomes its own micro-batch under maxFilesPerTrigger=1."""
+    becomes its own micro-batch under maxFilesPerTrigger=1.  Shared
+    with tests/test_streaming.py's expiry gates (round-9 review: two
+    drifting copies of the staging trick would silently stop testing
+    the same thing)."""
     import glob as _glob
 
     src = os.path.join(root, "expiry_src")
@@ -208,6 +211,30 @@ def _staged_batches(spark, root: str, frames_with_names) -> str:
         shutil.copy(part, dst)
         os.utime(dst, (mtime, mtime))
     return src
+
+
+def build_expiry_schedule(incoming, stamp, id_col: str = "doc_id"):
+    """The canonical six-batch expiry replay, shared by the probe and
+    the pytest gates: shard at 0h; KEY-DISJOINT tiny advancers at
+    3h/6h (fresh negative ids per batch — an advancer drawn from the
+    shard would refresh its own entry's expiry and could re-emit,
+    satisfying the multiplicity assertion without the 9h replay,
+    round-9 review); shard again at 9h (state must be gone ->
+    re-emit); two more advancers at 12h/15h to drain the store."""
+    from pyspark.sql import functions as F
+
+    def adv(i):
+        return incoming.limit(1).withColumn(
+            id_col, F.lit(-(i + 1)).cast("long"))
+
+    return [
+        (stamp(incoming, 0), "b0", 1_000),
+        (stamp(adv(1), 3), "b1", 2_000),
+        (stamp(adv(2), 6), "b2", 3_000),
+        (stamp(incoming, 9), "b3", 4_000),
+        (stamp(adv(3), 12), "b4", 5_000),
+        (stamp(adv(4), 15), "b5", 6_000),
+    ]
 
 
 def expiry_probe(mult: int) -> None:
@@ -236,21 +263,14 @@ def expiry_probe(mult: int) -> None:
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     incoming = docs.filter(~_side_is_corpus(F.col("doc_id")))
-    tiny = incoming.limit(1)
     base, hr = 1_700_000_000, 3_600
 
     def stamp(df, hours):
         return df.withColumn(
             "ingest_ts", F.timestamp_seconds(F.lit(base + hours * hr)))
 
-    src = _staged_batches(spark, SCRATCH, [
-        (stamp(incoming, 0), "b0", 1_000),
-        (stamp(tiny, 3), "b1", 2_000),
-        (stamp(tiny, 6), "b2", 3_000),
-        (stamp(incoming, 9), "b3", 4_000),
-        (stamp(tiny, 12), "b4", 5_000),
-        (stamp(tiny, 15), "b5", 6_000),
-    ])
+    src = staged_batches(
+        spark, SCRATCH, build_expiry_schedule(incoming, stamp))
     buckets, sets = corpus_index(docs)
     buckets = buckets.localCheckpoint()
     sets = sets.localCheckpoint()
