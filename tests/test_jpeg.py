@@ -475,3 +475,4 @@ def test_real_photo_decode_golden_md5():
         assert hashlib.md5(pix).hexdigest() == want[name], name
         checked += 1
     assert checked >= 5
+
