@@ -430,7 +430,20 @@ class _HuffLUT:
     def ensure_lut16(self) -> list[int]:
         """Full 16-bit-lookahead table: lut16[peek16] packs
         ``(length << 8) | symbol`` for EVERY code (1..16 bits), 0 only
-        for invalid prefixes — one list index resolves any symbol."""
+        for invalid prefixes — one list index resolves any symbol.
+
+        Retention is bounded SEPARATELY from the first-level cache
+        (ADVICE r9): `_HUFF_LUT_CACHE`'s 512-entry cap was sized for
+        256-entry first-level LUTs, but each lazily-built lut16 is
+        65536 entries (~0.5 MB) — 512 of them would pin ~250 MB per
+        executor Python worker for the process lifetime.  An LRU of
+        :data:`_LUT16_MAX` holders keeps the hot tables resident and
+        drops the oldest-built lut16 (NOT the table itself — the
+        8-bit level and exact walk stay valid; an evicted table just
+        pays the ~3 ms rebuild on its next long code).  Build-order
+        FIFO, not LRU: an LRU touch would tax every >8-bit-code
+        decode, and real corpora hold ≤4 live tables so eviction
+        never fires outside the adversarial case."""
         if self.lut16 is None:
             lut16 = [0] * 65536
             for length in range(1, 17):
@@ -442,6 +455,9 @@ class _HuffLUT:
                     for i in range(base, base + (1 << shift)):
                         lut16[i] = e
             self.lut16 = lut16
+            _LUT16_HOLDERS.append(self)
+            while len(_LUT16_HOLDERS) > _LUT16_MAX:
+                _LUT16_HOLDERS.popleft().lut16 = None
         return self.lut16
 
 
@@ -451,6 +467,15 @@ class _HuffLUT:
 #: corpora with per-image custom tables just stop caching.
 _HUFF_LUT_CACHE: dict[bytes, _HuffLUT] = {}
 _HUFF_LUT_CACHE_MAX = 512
+
+#: Bound on RESIDENT second-level (65536-entry, ~0.5 MB) tables,
+#: independent of the first-level cache above — see
+#: :meth:`_HuffLUT.ensure_lut16` (ADVICE r9).  32 × 0.5 MB ≈ 16 MB
+#: worst case per Python worker.
+from collections import deque as _deque
+
+_LUT16_HOLDERS: "_deque[_HuffLUT]" = _deque()
+_LUT16_MAX = 32
 
 
 def _huff_decode(reader: _BitReader, table: _HuffLUT) -> int:
@@ -479,7 +504,8 @@ def _huff_decode(reader: _BitReader, table: _HuffLUT) -> int:
                 reader._fill()
         except (_RestartMarker, ValueError):
             return _huff_decode_walk(reader, table.by_len)
-    e = table.ensure_lut16()[(reader.acc >> (reader.nbits - 16)) & 0xFFFF]
+    e = (table.lut16 or table.ensure_lut16())[
+        (reader.acc >> (reader.nbits - 16)) & 0xFFFF]
     if e:
         reader.nbits -= e >> 8
         return e & 0xFF

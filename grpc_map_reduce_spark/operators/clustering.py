@@ -578,10 +578,13 @@ FROM clusters c JOIN qual q USING (doc_id)
 #: always compute B = 1, the exact single-plan path — registered
 #: hashes are invariant by construction.
 WEDGE_ROWS_PER_BATCH = 32_000_000
-# once-per-session latch for the cap-binding warning (ADVICE r8:
+# once-per-SparkSession latch for the cap-binding warning (ADVICE r8:
 # iterative callers would otherwise see one identical warning per call
-# whenever the warnings filter has been reset from the default)
-_WEDGE_CAP_WARNED = False
+# whenever the warnings filter has been reset from the default).
+# Keyed on the active session id, not a bare process-global bool
+# (ADVICE r9): a rebuilt SparkSession in the same Python process gets
+# its own warning.
+_WEDGE_CAP_WARNED_SESSION: str | None = None
 
 
 def triangle_counts(edges: DataFrame, edges_unique: bool = False,
@@ -689,9 +692,10 @@ def triangle_counts(edges: DataFrame, edges_unique: bool = False,
             # would otherwise spam an identical warning per call, and
             # registered drivers often run with the dedup-by-location
             # warnings filter reset (ADVICE r8).
-            global _WEDGE_CAP_WARNED
-            if not _WEDGE_CAP_WARNED:
-                _WEDGE_CAP_WARNED = True
+            global _WEDGE_CAP_WARNED_SESSION
+            sess_id = edges.sparkSession.sparkContext.applicationId
+            if _WEDGE_CAP_WARNED_SESSION != sess_id:
+                _WEDGE_CAP_WARNED_SESSION = sess_id
                 import warnings
 
                 warnings.warn(

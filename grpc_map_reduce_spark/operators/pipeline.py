@@ -276,7 +276,14 @@ ORACLE_TRAINING_PREP = _training_prep_oracle()
 
 def dedup_rule_attribution(docs: DataFrame) -> DataFrame:
     """(exact_dup, url_dup, near_dup, n_docs) — the Venn-cell counts
-    of the three dedup rules over the full corpus."""
+    of the three dedup rules over the full corpus.
+
+    NOTE (VERDICT r9): the fixture `documents` table has no url
+    column, so the URL rule's input is FIXTURE-SYNTHESIZED from
+    doc_id arithmetic below — it exercises the url_dedup operator's
+    full canonicalization path, but the url_dup counts in the Venn
+    are a property of that synthesis, not corpus evidence.  On a real
+    corpus, feed ``url_dedup`` the actual url column."""
     from grpc_map_reduce_spark.operators.clustering import canonical_docs
     from grpc_map_reduce_spark.operators.web import url_dedup
 

@@ -86,10 +86,25 @@ def _stored_dir_matches(stored: str, conf_path: str) -> bool:
 
 def set_reliable_checkpoint_dir(spark: SparkSession, path: str | None) -> None:
     """Enable (path) or disable (None) reliable iterative checkpoints
-    for this session."""
+    for this session.
+
+    A relative LOCAL path is resolved absolute HERE, once, before it
+    is stored in the conf (ADVICE r9): ``_norm_ckpt_uri`` otherwise
+    re-abspaths the conf value against the driver's CWD at each
+    ``iter_checkpoint`` call, so a CWD change between calls would make
+    the stored dir stop normalizing equal and false-fire the
+    foreign-dir warning.  (Callers setting ``RELIABLE_DIR_CONF``
+    directly via ``spark.conf.set`` should pass an absolute or
+    scheme-qualified path for the same reason.)"""
     if path is None:
         spark.conf.unset(RELIABLE_DIR_CONF)
     else:
+        from urllib.parse import urlparse
+
+        if urlparse(path).scheme in ("", "file"):
+            path = "file:" + os.path.abspath(
+                urlparse(path).path or path
+            ) if path.startswith("file:") else os.path.abspath(path)
         spark.conf.set(RELIABLE_DIR_CONF, path)
         spark.sparkContext.setCheckpointDir(path)
 

@@ -182,3 +182,24 @@ def test_bigram_nll_matches_pure_python(spark):
         want = (len(pairs), unseen, round(sum(nlls) / len(nlls), 6))
         assert got[i][:2] == want[:2], (i, got[i], want)
         assert abs(got[i][2] - want[2]) <= 1e-6, (i, got[i], want)
+
+
+def test_compression_signal_checked_invariants_hold(spark, sf_dir, duck):
+    """The structure-gated driver twin (VERDICT r9 item 5): every
+    RFC-1950/1951 invariant column must be TRUE for every fixture doc
+    and the frame must hash-match its TRUE-constant oracle."""
+    from conftest import assert_matches_oracle
+
+    from grpc_map_reduce_spark.operators.quality_filters import (
+        compression_signal_checked,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    rows = compression_signal_checked(
+        table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert r["deflate_in_bounds"], r
+        assert r["concat_monotone"], r
+        assert r["keep_consistent"], r
+    assert_matches_oracle(spark, duck, sf_dir, "docs_compression_signal")

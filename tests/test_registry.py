@@ -29,3 +29,16 @@ def test_driver_contract_surface():
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     assert callable(entry_mod.entry)
+
+
+def test_zero_rows_only_queries():
+    """Round 10 (VERDICT r9 item 5): every registered query is
+    oracle-checked — the last rows-only entry
+    (docs_compression_signal) now registers its structure-gated twin.
+    A future genuinely non-SQL-expressible op may amend this list
+    explicitly; it must not drift in silently."""
+    allowed_rows_only: set[str] = set()
+    no_oracle = sorted(
+        q.name for q in registry.all_queries().values() if q.oracle is None
+    )
+    assert no_oracle == sorted(allowed_rows_only), no_oracle

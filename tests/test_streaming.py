@@ -4,6 +4,7 @@ with the batch operators the DuckDB oracles already check."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.events import tumbling_window_agg
@@ -499,14 +500,41 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     assert got == want
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["default", "rocksdb"])
+def state_provider(request, spark):
+    """Run a watermarked gate under BOTH state-store providers
+    (VERDICT r9 item 2): the default HDFS-backed store keeps every
+    state row ON HEAP — at 100-TB watermark state the heap itself is
+    the scale-killer — while RocksDBStateStoreProvider keeps state in
+    native memory + local SST files with only the working set
+    JVM-side.  The provider is JVM-bundled (rocksdbjni in the Spark
+    distro), so parity and expiry must hold identically under it."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if request.param == "rocksdb":
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+    yield request.param
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
 def test_streaming_dedup_watermarked_state_matches_batch(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, state_provider
 ):
     """Round 8: the CONTINUOUS-stream variant — candidate dedup via
     dropDuplicatesWithinWatermark under an ingest-time watermark (the
     swap the module docstring promises for unbounded streams) — must
     still produce exactly the batch cross-side pairs when every event
-    is inside the window."""
+    is inside the window.  Round 10: runs under both state-store
+    providers (see state_provider)."""
     from grpc_map_reduce_spark.operators.dedup import (
         _side_is_corpus,
         incremental_scored_pairs,
@@ -536,12 +564,12 @@ def test_streaming_dedup_watermarked_state_matches_batch(
         streaming_incremental_dedup(
             stream, buckets, sets, ts_col="ingest_ts", dedup_within="1 hour"
         ),
-        "stream_incr_dedup_wm",
+        f"stream_incr_dedup_wm_{state_provider}",
         output_mode="append",
     )
     got = {
         (r.doc_id, r.match_id, r.jaccard)
-        for r in spark.table("stream_incr_dedup_wm").collect()
+        for r in spark.table(f"stream_incr_dedup_wm_{state_provider}").collect()
     }
     want = {
         (r.doc_id, r.match_id, r.jaccard)
@@ -551,7 +579,7 @@ def test_streaming_dedup_watermarked_state_matches_batch(
 
 
 def test_streaming_embedding_dedup_watermarked_matches_batch(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, state_provider
 ):
     """Watermarked twin of the embedding stream: same batch parity as
     the run-scoped variant."""
@@ -586,12 +614,12 @@ def test_streaming_embedding_dedup_watermarked_matches_batch(
             stream, buckets, vectors, ts_col="ingest_ts",
             dedup_within="1 hour",
         ),
-        "stream_emb_dedup_wm",
+        f"stream_emb_dedup_wm_{state_provider}",
         output_mode="append",
     )
     got = {
         (r.vec_id, r.match_id, r.sim)
-        for r in spark.table("stream_emb_dedup_wm").collect()
+        for r in spark.table(f"stream_emb_dedup_wm_{state_provider}").collect()
     }
     want = {
         (r.id, r.match_id, r.sim)
@@ -623,7 +651,9 @@ def _state_rows_per_batch(q):
     return out
 
 
-def test_streaming_dedup_watermarked_state_expires(spark, sf_dir, tmp_path):
+def test_streaming_dedup_watermarked_state_expires(
+    spark, sf_dir, tmp_path, state_provider
+):
     """Round 9 (VERDICT r8 item 4): boundedness was probed, EXPIRY was
     not.  Replay the same shard at 0h/3h/6h under a 1-hour
     dropDuplicatesWithinWatermark window, then two tiny
@@ -672,14 +702,14 @@ def test_streaming_dedup_watermarked_state_expires(spark, sf_dir, tmp_path):
         streaming_incremental_dedup(
             stream, buckets, sets, ts_col="ingest_ts", dedup_within="1 hour"
         ),
-        "stream_dedup_expiry",
+        f"stream_dedup_expiry_{state_provider}",
         output_mode="append",
     )
     from collections import Counter
 
     emitted = Counter(
         (r.doc_id, r.match_id)
-        for r in spark.table("stream_dedup_expiry").collect()
+        for r in spark.table(f"stream_dedup_expiry_{state_provider}").collect()
     )
     assert emitted, "no pairs emitted"
     # re-emission after expiry, on SHARD keys specifically: the
@@ -701,7 +731,7 @@ def test_streaming_dedup_watermarked_state_expires(spark, sf_dir, tmp_path):
 
 
 def test_streaming_embedding_dedup_watermarked_state_expires(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, state_provider
 ):
     """The embedding twin's expiry gate — same schedule, same two
     assertions (re-emission after expiry + state-store drain)."""
@@ -737,14 +767,14 @@ def test_streaming_embedding_dedup_watermarked_state_expires(
             stream, vbuckets, vectors, ts_col="ingest_ts",
             dedup_within="1 hour",
         ),
-        "stream_emb_expiry",
+        f"stream_emb_expiry_{state_provider}",
         output_mode="append",
     )
     from collections import Counter
 
     emitted = Counter(
         (r.vec_id, r.match_id)
-        for r in spark.table("stream_emb_expiry").collect()
+        for r in spark.table(f"stream_emb_expiry_{state_provider}").collect()
     )
     assert emitted, "no matches emitted"
     shard_mult = [n for (v, _), n in emitted.items() if v >= 0]

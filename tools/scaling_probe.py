@@ -182,6 +182,18 @@ AFFINE_MULTS = (1, 3, 5, 7, 9)
 
 
 def _rot(k: int) -> str:
+    # k < 130: the affine family (period 130) — unchanged so existing
+    # scratch dirs (mult <= 125) stay byte-identical.  k >= 130
+    # (round 10, the 625x tier): the affine family tops out at 312
+    # distinct maps (12 units x 26 shifts), so replicas past it draw
+    # a SEEDED full permutation of the alphabet instead — still a
+    # bijection (internal near-dup structure preserved exactly), and
+    # _verify_replica_maps asserts pairwise distinctness across the
+    # whole run instead of relying on a period argument.
+    if k >= 130:
+        import random
+
+        return "".join(random.Random(0xA1FA + k).sample(ALPHABET, 26))
     a = AFFINE_MULTS[(k // 26) % len(AFFINE_MULTS)]
     return "".join(
         chr(ord("a") + (a * (i + k)) % 26) for i in range(26)
@@ -189,7 +201,24 @@ def _rot(k: int) -> str:
 
 
 def _drot(k: int) -> str:
+    if k >= 130:
+        import random
+
+        return "".join(random.Random(0xD161 + k).sample(DIGITS, 10))
     return DIGITS[k % 10:] + DIGITS[:k % 10]
+
+
+def _verify_replica_maps(mult: int) -> None:
+    """Fail loudly if any two replicas k < mult share a combined
+    letter+digit map — the exact-clone-clique artifact class the r8
+    corpus fix removed (replicas k and k+period byte-identical) must
+    never be reintroduced by a transform-family extension."""
+    maps = {_rot(k) + _drot(k) for k in range(mult)}
+    if len(maps) != mult:
+        raise AssertionError(
+            f"replica letter/digit maps collide: {mult} replicas, "
+            f"{len(maps)} distinct maps — extend the transform family"
+        )
 
 
 #: --hot-cluster template: a fixed boilerplate document planted
@@ -276,21 +305,48 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
         )
         open(done, "w").close()
         return out
-    # Replica-transform period ceiling (round 9): the affine letter
-    # maps repeat with period 130 (26 shifts x 5 multipliers) and the
-    # embedding roll+sign-flip with period 126, so any multiplier
-    # past 126 would reintroduce exact cross-replica clone cliques —
-    # the precise artifact class the r8 corpus fix removed (replicas
-    # k and k+period byte-identical).  Fail loudly instead of
-    # silently measuring artifacts; extend the transform families
-    # (another compose keyed on k//130) before raising this.
+    # Past 126x (round 10, the 625x tier): the TEXT maps now extend
+    # indefinitely (seeded permutations, distinctness verified), but
+    # the embedding roll+sign-flip family still has period 126 — so
+    # multipliers past 126 build a DOCUMENTS-ONLY corpus: documents
+    # replicated with the extended maps, every other table symlinked
+    # UNREPLICATED from sf0.1.  main() refuses non-document probes at
+    # these multipliers (they would silently measure 1x volume).
     if mult > 126:
-        raise ValueError(
-            f"mult={mult} exceeds the replica-transform period ceiling "
-            "(126): text/embedding replicas would contain exact clones "
-            "and every dedup/similarity probe would measure the "
-            "artifact, not the engine — see synthesize() docstring"
-        )
+        from pyspark.sql import functions as F
+
+        _verify_replica_maps(mult)
+        out = os.path.join(SCRATCH, f"x{mult}-docsonly")
+        done = os.path.join(out, "_COMPLETE_v1")
+        if os.path.exists(done):
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for tbl in ("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "embeddings"):
+            os.symlink(os.path.join(BASE_SF, f"{tbl}.parquet"),
+                       os.path.join(out, f"{tbl}.parquet"))
+        src = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+        reps = []
+        for k in range(mult):
+            r = src.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(k * SHIFT))
+            if k:
+                r = r.withColumn(
+                    "text",
+                    F.translate("text", ALPHABET + DIGITS,
+                                _rot(k) + _drot(k)),
+                )
+            reps.append(r)
+        df = reps[0]
+        for r in reps[1:]:
+            df = df.unionByName(r)
+        # spread the write: a 625-way union of one-row-group files
+        # otherwise lands in very few output tasks
+        df.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet"))
+        open(done, "w").close()
+        return out
     out = os.path.join(SCRATCH, f"x{mult}")
     # Scratch versioning: v2 added replicated embeddings (rolled per
     # replica), v3 added replicated events (user-shifted), v4 fixed
@@ -439,6 +495,19 @@ def main() -> None:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     mults = [int(m) for m in args.mults.split(",")]
+    if max(mults) > 126:
+        # documents-only tier (see synthesize): every other table is
+        # symlinked UNREPLICATED, so a probe reading it would silently
+        # measure 1x volume — refuse anything but the documents family
+        allowed = lambda p: (p.startswith(("dedup", "docs_", "wordcount"))  # noqa: E731
+                             or p in {"pagerank_neardup", "phrase_search"})
+        bad = [p for p in (args.probes.split(",") if args.probes else PROBES)
+               if not allowed(p)]
+        if bad or args.all or args.zipf_hot or args.hot_cluster:
+            ap.error(
+                f"mults past 126 build a documents-only corpus; "
+                f"non-document probes not supported there: "
+                f"{bad or ['--all/--zipf-hot/--hot-cluster']}")
     if args.all:
         probes = sorted(registry.all_queries())
     else:

@@ -57,11 +57,60 @@ def _run(spark, stream_df, name: str, ckpt: str) -> dict:
                 s.get("numRowsTotal", 0)
                 for s in p.get("stateOperators", [])
             ),
+            # provider-reported state memory: for the default store
+            # this is JVM-HEAP-resident state bytes; for RocksDB it is
+            # the native (off-heap) memtable+block-cache usage — the
+            # whole point of the rocksdb tier is state moving off the
+            # heap into native memory + local SST files
+            "state_mem_bytes": sum(
+                s.get("memoryUsedBytes", 0) or 0
+                for s in p.get("stateOperators", [])
+            ),
+            # RocksDB-only custom metrics (0 under the default store):
+            # SST bytes = state spilled to LOCAL DISK (unbounded state
+            # stops being a heap problem); pinned blocks = the only
+            # JVM-side share.
+            "rocksdb_sst_bytes": sum(
+                (s.get("customMetrics") or {}).get(
+                    "rocksdbSstFileSize", 0) or 0
+                for s in p.get("stateOperators", [])
+            ),
+            "rocksdb_pinned_bytes": sum(
+                (s.get("customMetrics") or {}).get(
+                    "rocksdbPinnedBlocksMemoryUsage", 0) or 0
+                for s in p.get("stateOperators", [])
+            ),
         }
         for p in prog
         if p.get("numInputRows", 0) > 0 or p.get("stateOperators")
     ]
     return {"query": name, "wall_s": wall, "batches": batches}
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _set_state_store(spark, which: str) -> None:
+    """Select the state-store provider for subsequently-started
+    queries.  'hdfs' (default) keeps state rows on the JVM heap —
+    fine until watermark state itself outgrows the executor heap;
+    'rocksdb' (JVM-bundled rocksdbjni) keeps state in native memory +
+    local SST files, bounding the heap share to the iterator working
+    set (VERDICT r9 item 2)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if which == "rocksdb":
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset(key)
+
+
+def _jvm_heap_used_mb(spark) -> float:
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    rt.gc()
+    return round((rt.totalMemory() - rt.freeMemory()) / 1e6, 1)
 
 
 def main() -> None:
@@ -72,10 +121,15 @@ def main() -> None:
     ap.add_argument("--expiry", action="store_true",
                     help="probe watermarked STATE EXPIRY at volume "
                          "instead of throughput (VERDICT r8 item 4)")
+    ap.add_argument("--state-store", choices=["hdfs", "rocksdb"],
+                    default="hdfs",
+                    help="state-store provider for the probe "
+                         "(rocksdb = native-memory state, VERDICT r9 "
+                         "item 2)")
     args = ap.parse_args()
 
     if args.expiry:
-        return expiry_probe(args.mult)
+        return expiry_probe(args.mult, args.state_store)
 
     from pyspark.sql import functions as F
 
@@ -83,6 +137,7 @@ def main() -> None:
 
     spark = get_spark("streaming-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    _set_state_store(spark, args.state_store)
     sf_dir = synthesize(spark, args.mult)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH)
@@ -237,7 +292,7 @@ def build_expiry_schedule(incoming, stamp, id_col: str = "doc_id"):
     ]
 
 
-def expiry_probe(mult: int) -> None:
+def expiry_probe(mult: int, state_store: str = "hdfs") -> None:
     """Watermarked state-EXPIRY at volume: replay the mult-x incoming
     shard at 0h, advance the watermark with tiny key-disjoint batches
     (3h/6h), replay at 9h (state must be GONE -> pairs re-emit), then
@@ -257,6 +312,7 @@ def expiry_probe(mult: int) -> None:
 
     spark = get_spark("streaming-expiry-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    _set_state_store(spark, state_store)
     sf_dir = synthesize(spark, mult)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH)
@@ -292,11 +348,19 @@ def expiry_probe(mult: int) -> None:
     summary = {
         "expiry_probe_summary": {
             "mult": mult,
+            "state_store": state_store,
             "incoming_docs": incoming.count(),
             "state_rows_per_batch": states,
             "peak_state_rows": peak,
             "final_state_rows": final,
             "drained": final < max(2, peak // 2),
+            "peak_state_mem_mb": round(max(
+                b["state_mem_bytes"] for b in rec["batches"]) / 1e6, 1),
+            "peak_rocksdb_sst_mb": round(max(
+                b["rocksdb_sst_bytes"] for b in rec["batches"]) / 1e6, 1),
+            "peak_rocksdb_pinned_mb": round(max(
+                b["rocksdb_pinned_bytes"] for b in rec["batches"]) / 1e6, 1),
+            "jvm_heap_used_after_mb": _jvm_heap_used_mb(spark),
         }
     }
     print(json.dumps(rec), flush=True)
