@@ -1017,6 +1017,64 @@ SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
+def band_volume_census(docs: DataFrame, n: int = 3,
+                       rows_per_band: int = LSH_ROWS_PER_BAND,
+                       max_bucket: int = LSH_MAX_BUCKET_DEFAULT,
+                       ) -> DataFrame:
+    """Band-bucket size histogram with candidate-pair accounting:
+    (sz, n_buckets, cand_pairs, in_guard) — for each observed bucket
+    size, how many buckets and how many rescore pairs they will emit
+    (``n_buckets * sz*(sz-1)/2``), and whether the production
+    hot-bucket guard keeps them.
+
+    This is the capacity-planning face of the LSH chain: the
+    round-10 625x probe diagnosed its rescore-shuffle cliff from
+    exactly this census (21.7 M pairs @125x -> 109.4 M @625x, max
+    bucket 154, guard silent — SURVEY §8.11), so it is registered as
+    a first-class query a pipeline runs BEFORE committing a corpus
+    to the pair path: total rescore volume = sum(cand_pairs) rows x
+    ~2 shingle-set payloads, and any size class near ``max_bucket``
+    warns that corpus growth is about to hand the guard real drops.
+    Output is tiny (one row per distinct bucket size); two shuffles
+    (bucket count, histogram), both on 8-byte keys.
+    """
+    sizes = (
+        _band_rows(docs, n, rows_per_band, None)
+        .groupBy("band_idx", "key")
+        .agg(F.count("*").alias("sz"))
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(
+            "sz",
+            "n_buckets",
+            F.expr("n_buckets * sz * (sz - 1) DIV 2").alias("cand_pairs"),
+            (F.col("sz") <= max_bucket).alias("in_guard"),
+        )
+    )
+
+
+def q_band_volume_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return band_volume_census(table(spark, sf_dir, "documents"))
+
+
+# Reuses the shared band CTE chain (lsh_pairs_sql) and reads
+# bands_all — DuckDB only evaluates CTEs the main query references,
+# so the downstream cand/pairs CTEs cost nothing here.
+ORACLE_BAND_CENSUS = f"""
+WITH {lsh_pairs_sql(0.0)},
+sizes AS (
+    SELECT band_idx, key, count(*) AS sz FROM bands_all GROUP BY 1, 2
+)
+SELECT sz,
+       CAST(count(*) AS BIGINT)                    AS n_buckets,
+       CAST(count(*) * sz * (sz - 1) // 2 AS BIGINT) AS cand_pairs,
+       sz <= {LSH_MAX_BUCKET_DEFAULT}              AS in_guard
+FROM sizes GROUP BY sz
+"""
+
+
 def q_hot_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The guard's drop-accounting companion (`lsh_hot_buckets`) as a
     registered query: (band_idx, key, sz) for every band bucket the
@@ -1282,6 +1340,10 @@ QUERIES = [
      "Guard drop accounting (round 8): every band bucket the cap-4 "
      "guard drops, with its size — the lsh_hot_buckets companion a "
      "pipeline alerts on, hash-checked."),
+    ("dedup_band_volume_census", q_band_volume_census, ORACLE_BAND_CENSUS,
+     "Rescore capacity planning (round 10): band-bucket size "
+     "histogram with candidate-pair accounting — the census the 625x "
+     "probe diagnosis ran, as a registered query."),
     ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
      "ExactSubstr-style cross-doc repeated token-window audit "
      "(rolling-hash windows, no pair join / suffix array)."),

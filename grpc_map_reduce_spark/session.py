@@ -31,6 +31,16 @@ DEFAULT_CONF: dict[str, str] = {
     # down when maps are small and splits skewed reduces.  At 100 TB
     # this would be O(2-3x total cores) instead.
     "spark.sql.shuffle.partitions": "32",
+    # ...but a FIXED partition count is itself the classic scale
+    # cliff: at the 625x probe tier the LSH rescore shuffle put
+    # ~1.4 GiB through each of 32 sort tasks and spilled past the
+    # host's disk (SURVEY §8, round 10).  Over-provision the INITIAL
+    # post-shuffle partition count and let AQE coalesce small
+    # shuffles back down to the advisory size — partition width then
+    # tracks actual shuffle volume instead of a static conf.  512 is
+    # 16x the local core count; a real cluster would raise it with
+    # the executor fleet.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # Dimension tables (region/nation/customer/supplier/part at any
     # realistic SF ratio) should broadcast rather than shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -52,6 +62,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(
         64 * 1024 * 1024
     ),
+    # Deliberately NOT set: spark.sql.adaptive.
+    # maxShuffledHashJoinLocalMapThreshold (AQE SMJ->SHJ conversion).
+    # Measured at the 625x probe tier (round 10): AQE coalesces the
+    # build side up to the 64 MiB advisory size BEFORE the conversion
+    # check, so every one of 32 concurrent tasks built a ~64 MiB map
+    # output into a several-hundred-MiB UnsafeHashedRelation and the
+    # execution pool threw "not enough memory to build hash map"
+    # (the build path cannot spill).  initialPartitionNum above is
+    # the fix that holds: SMJ over 512-way shuffles sorts ~90 MiB per
+    # task in memory — no hash-build cliff, bounded sort spill.
     # Reliable-checkpoint retention: without this, every per-round
     # checkpoint() under spark.graft.reliableCheckpointDir lives until
     # the app exits — unbounded storage growth over a long job.  With

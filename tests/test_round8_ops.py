@@ -171,7 +171,9 @@ def test_wedge_batch_cap_binding_warns(spark, monkeypatch):
     want = {(r.node, r.n_triangles)
             for r in clustering.triangle_counts(edges).collect()}
     monkeypatch.setattr(clustering, "WEDGE_ROWS_PER_BATCH", 1)
-    monkeypatch.setattr(clustering, "_WEDGE_CAP_WARNED", False)
+    # the latch is keyed on the active session id (ADVICE r9) —
+    # clearing it means "no session has warned yet"
+    monkeypatch.setattr(clustering, "_WEDGE_CAP_WARNED_SESSION", None)
     with pytest.warns(RuntimeWarning, match="cap holds it at 32"):
         got = {(r.node, r.n_triangles)
                for r in clustering.triangle_counts(edges).collect()}

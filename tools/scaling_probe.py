@@ -458,6 +458,18 @@ def _peak_heap_mb(jvm) -> int:
                  / (1024 * 1024))
 
 
+def _session_alive(spark) -> bool:
+    """Can the session still run a trivial job?  After a heap OOM or
+    spill-disk exhaustion the local JVM often keeps answering py4j
+    calls while every task it schedules fails — the only honest
+    health check is running one."""
+    try:
+        spark.range(1).count()
+        return True
+    except Exception:
+        return False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,5,25")
@@ -614,6 +626,28 @@ def main() -> None:
                                  "budget_s": budget,
                                  "err": type(exc).__name__})
                 print(json.dumps(timeouts[-1]), flush=True)
+                # A JVM-level failure (heap OOM, dead executor, full
+                # disk) poisons the shared local JVM: round 10's 625x
+                # run recorded dedup_simhash/dedup_ngram_jaccard_
+                # guarded as failed purely because docs_leakage_safe_
+                # split had OOM'd the session two probes earlier (both
+                # pass standalone, 52/57 s).  A budget cancel is fine
+                # — only rebuild after a genuinely broken session.
+                if not _session_alive(spark):
+                    print(json.dumps({"session_restart_after": name,
+                                      "mult": mult}), flush=True)
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = get_spark(
+                        "scaling-probe",
+                        extra_conf={
+                            "spark.driver.memory": args.driver_memory},
+                    )
+                    spark.sparkContext.setLogLevel("ERROR")
+                    sc = spark.sparkContext
+                    jvm = sc._jvm
             finally:
                 if timer is not None:
                     timer.cancel()
