@@ -327,22 +327,34 @@ def synthesize(spark, mult: int, zipf_hot: int = 0,
             os.symlink(os.path.join(BASE_SF, f"{tbl}.parquet"),
                        os.path.join(out, f"{tbl}.parquet"))
         src = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
-        reps = []
-        for k in range(mult):
-            r = src.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(k * SHIFT))
-            if k:
-                r = r.withColumn(
-                    "text",
-                    F.translate("text", ALPHABET + DIGITS,
-                                _rot(k) + _drot(k)),
-                )
-            reps.append(r)
-        df = reps[0]
-        for r in reps[1:]:
-            df = df.unionByName(r)
-        # spread the write: a 625-way union of one-row-group files
-        # otherwise lands in very few output tasks
+        # Data-driven replication: one broadcast cross-join against a
+        # (k, translate-target) table instead of a mult-way union.
+        # The union formulation built `mult` DataFrame branches with
+        # two withColumns each — O(mult^2) analyzer work that kept
+        # the 3125x build in driver-side planning for 10+ minutes
+        # without launching a single task.  StringTranslate accepts a
+        # non-foldable replace argument (it re-caches its char map
+        # when the argument value changes), so the per-replica
+        # alphabet map can be a joined COLUMN.  k=0 keeps the
+        # identity map (ALPHABET+DIGITS translated to itself), same
+        # as the union path's untranslated first replica.
+        rep_map = spark.createDataFrame(
+            [(k, (_rot(k) + _drot(k)) if k else (ALPHABET + DIGITS))
+             for k in range(mult)],
+            "k long, tr string",
+        )
+        df = (
+            src.crossJoin(F.broadcast(rep_map))
+            .select(
+                (F.col("doc_id") + F.col("k") * SHIFT).alias("doc_id"),
+                F.expr(
+                    f"translate(text, '{ALPHABET + DIGITS}', tr)"
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+        # spread the write: the source is a handful of row groups and
+        # would otherwise land in very few output tasks
         df.repartition(64).write.mode("overwrite").parquet(
             os.path.join(out, "documents.parquet"))
         open(done, "w").close()
