@@ -1075,6 +1075,93 @@ FROM sizes GROUP BY sz
 """
 
 
+def jaccard_estimate_calibration(docs: DataFrame, n: int = 3,
+                                 rows_per_band: int = LSH_ROWS_PER_BAND,
+                                 ) -> DataFrame:
+    """Sketch-vs-exact calibration: for every LSH candidate pair,
+    the MinHash signature agreement (``n_bands`` of 16 matching
+    components at r=1) IS an estimator of Jaccard — aggregate the
+    EXACT rescored Jaccard by agreement count and the table reads
+    as "how wrong would sketch-only rescoring be".
+
+    Output: (n_bands, est_bp, n_pairs, sum_jaccard_e6) — estimated
+    similarity in basis points (``n_bands/16``) next to the exact
+    Jaccard mass of the pairs at that agreement level (integer e6
+    fixed-point, hash-stable).  Why it exists: the exact rescore's
+    transport floor is ~one shingle-set array per candidate through
+    one shuffle (the round-10 625x finding, SURVEY §8.11), and the
+    documented lever is replacing it with the signature estimate the
+    candidate stream already carries AT ZERO transport.  This query
+    is the measured basis for that decision on a given corpus: if
+    the exact-Jaccard mass concentrates where the estimate puts it,
+    the sketch path is safe at the chosen threshold.  Work: the
+    candidate chain (same as lsh_near_dup, oracle-twin unguarded) +
+    one tiny aggregate; output is ≤17 rows.
+    """
+    sets = _shingle_sets(docs, n)
+    cand = minhash_candidates(
+        docs, n, rows_per_band=rows_per_band, sets=sets, max_bucket=None
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
+    n_bands_total = len(MINHASH_A) // rows_per_band
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("n_bands")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1000000).cast("long"))
+            .alias("sum_jaccard_e6"),
+        )
+        .select(
+            "n_bands",
+            F.expr(f"n_bands * 10000 DIV {n_bands_total}").alias("est_bp"),
+            "n_pairs",
+            "sum_jaccard_e6",
+        )
+    )
+
+
+def q_jaccard_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_estimate_calibration(table(spark, sf_dir, "documents"))
+
+
+# Reuses the shared fragment: `bands` (unguarded here == bands_all)
+# re-joined with a COUNT gives per-pair signature agreement, and
+# `common` carries the exact n_common/na/nb for the same pair set.
+ORACLE_JACCARD_CALIBRATION = f"""
+WITH {lsh_pairs_sql(0.0)},
+nbands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT n_bands,
+       CAST(n_bands * 10000 // {len(MINHASH_A) // LSH_ROWS_PER_BAND}
+            AS BIGINT) AS est_bp,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(round(n_common * 1.0 / (na + nb - n_common), 6)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS sum_jaccard_e6
+FROM nbands JOIN common USING (doc_a, doc_b)
+GROUP BY n_bands
+"""
+
+
 def q_hot_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The guard's drop-accounting companion (`lsh_hot_buckets`) as a
     registered query: (band_idx, key, sz) for every band bucket the
@@ -1344,6 +1431,12 @@ QUERIES = [
      "Rescore capacity planning (round 10): band-bucket size "
      "histogram with candidate-pair accounting — the census the 625x "
      "probe diagnosis ran, as a registered query."),
+    ("dedup_jaccard_calibration", q_jaccard_estimate_calibration,
+     ORACLE_JACCARD_CALIBRATION,
+     "Sketch-vs-exact calibration (round 10): exact Jaccard mass by "
+     "MinHash signature-agreement level — the measured basis for "
+     "replacing the rescore's array transport with the zero-transport "
+     "signature estimate."),
     ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
      "ExactSubstr-style cross-doc repeated token-window audit "
      "(rolling-hash windows, no pair join / suffix array)."),
