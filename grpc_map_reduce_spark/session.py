@@ -80,6 +80,18 @@ DEFAULT_CONF: dict[str, str] = {
     # it).  Static conf, read at SparkContext construction — it must
     # live here, not in plans/checkpoint.py (too late to set there).
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+    # The ContextCleaner only reclaims dead shuffle files / checkpoint
+    # blocks when a JVM GC runs, and the default periodic-GC interval
+    # is 30 MINUTES — longer than any single query.  An iterative
+    # chain that checkpoints its edge set (pagerank/CC over LSH
+    # edges) turns its whole edge-generation shuffle into dead weight
+    # mid-query, but the files sit on disk until the query ends: at
+    # the 625x tier pagerank_neardup exhausted the probe host's disk
+    # on exactly this (~46 GB of dead rescore shuffle + live
+    # iteration shuffles).  2 minutes bounds the dead-file window;
+    # the bench's between-query System.gc() is the same medicine at
+    # a coarser grain.
+    "spark.cleaner.periodicGC.interval": "2min",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
