@@ -14,22 +14,40 @@ Truncation discipline (round 7): the driver keeps only the last
 ~8 KB — BENCH_r05/r06 both recorded ``parsed: null`` because the
 tail landed mid-map.  The harness therefore ENDS with one compact
 line (< 1 KB) carrying the headline number, the top-10 warm
-medians, and any >= 1.3x warm regressions vs the previous full run
+mins, and any >= 1.3x warm regressions vs the previous full run
 (snapshot at tools/bench_prev.json, rewritten after each full
 inventory run) — so the driver's tail always parses and always
 names the slow queries.
 
-Measurement discipline (round 5): per query, ONE untimed-in-spirit
-warm-up execution (reported separately as ``queries_cold``) and then
-``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) timed executions whose
-MEDIAN is the reported number.  Rationale: a single cold measurement
-per query manufactured phantom 2–6× "regressions" in two consecutive
-rounds (BENCH_r03/r04) — first-run Python-worker spawn, JIT, and
-host-contention spikes all land on whichever query runs first/under
-load, and the median of warm runs is immune to all three.  ``value``
-is the sum of warm medians; the cold map preserves the first-run
-cost signal (codegen + Arrow worker spin-up) without letting it
-masquerade as engine cost.
+Measurement discipline (round 5, re-armored round 11): per query,
+ONE untimed-in-spirit warm-up execution (reported separately as
+``queries_cold``) and then ``$SPARK_GRAFT_BENCH_REPEATS`` (default 2)
+timed executions — repeated over ``$SPARK_GRAFT_BENCH_PASSES``
+(default 2) FULL-INVENTORY passes, with the per-query reported number
+the MIN across all timed runs of all passes.  Rationale, in two
+layers:
+
+  * round 5: a single cold measurement per query manufactured
+    phantom 2–6× "regressions" in two consecutive rounds
+    (BENCH_r03/r04) — first-run Python-worker spawn, JIT, and
+    host-contention spikes all land on whichever query runs
+    first/under load.
+  * round 11: per-query medians of CONSECUTIVE runs are still
+    load-correlated — a multi-minute host spike covers all repeats
+    of several adjacent queries, and round 10's driver artifact
+    flagged 10 "regressions" that were 100% this (same-code totals
+    spanned 164.9–208.3 s, ±13%; VERDICT r10).  Timing noise on an
+    otherwise-idle host is strictly ADDITIVE, so the min is the
+    consistent estimator of plan cost, and separating the two
+    samples of each query by a full inventory pass (~7 min apart)
+    decorrelates them from any one spike.
+
+``value`` is the sum of per-query mins; ``pass_totals`` (per-pass
+sums) and ``spread_pct`` quantify the residual host noise so a
+round-over-round delta inside the spread is never read as a
+regression; ``loadavg`` records the 1-min load average at start/end.
+The cold map preserves the first-run cost signal (codegen + Arrow
+worker spin-up) without letting it masquerade as engine cost.
 
 Each query is executed with a `noop` sink write so the full physical
 plan runs (scan → shuffle → agg) without result materialization on
@@ -44,7 +62,6 @@ import gc
 import json
 import os
 import re
-import statistics
 import sys
 import time
 
@@ -117,59 +134,90 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     only_set = set(only.split(",")) if only else None
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
 
-    timings: dict[str, float] = {}
+    names = [n for n in sorted(registry.all_queries())
+             if only_set is None or n in only_set]
+    qmap = registry.all_queries()
+    all_runs: dict[str, list[float]] = {n: [] for n in names}
+    pass_mins: list[dict[str, float]] = []
     cold: dict[str, float] = {}
-    for name, q in sorted(registry.all_queries().items()):
-        if only_set is not None and name not in only_set:
-            continue
-        runs: list[float] = []
-        for _rep in range(1 + repeats):  # run 0 = warm-up / cold number
-            t0 = time.perf_counter()
-            df = q.spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            # Untimed housekeeping between executions: drop the Python
-            # references to finished plans so the JVM ContextCleaner can
-            # release their localCheckpoint RDDs and broadcasts — without
-            # this, 80+ queries of accumulated state inflate the later
-            # queries' timings by up to 2× (GC pressure, not plan cost).
-            # The ContextCleaner is ASYNC, so also unpersist the finished
-            # execution's pinned RDD blocks synchronously (blocking=True):
-            # ~15 LSH/iterative queries otherwise stack tens of
-            # checkpointed block sets in storage memory, and the later
-            # iterative queries' timings become load-dependent noise.
-            df = None
-            gc.collect()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist(True)
-        cold[name] = round(runs[0], 3)
-        timings[name] = round(statistics.median(runs[1:]), 3)
-        # Python gc does NOT collect the JVM: broadcasts, shuffle
-        # state and RDD metadata pile up until a JVM GC lets the
-        # ContextCleaner's weak-reference queue drain (its built-in
-        # periodic GC runs every 30 min — never, in a 4-min bench).
-        # One System.gc() per few queries keeps late queries from
-        # paying earlier queries' garbage (measured: the same query
-        # is up to ~8x slower 60 queries into the session otherwise).
-        if len(timings) % int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1")) == 0:
-            spark.sparkContext._jvm.System.gc()
-        # JVM recycling (off by default): measured WORSE than per-query
-        # GC alone — each fresh JVM re-pays cold-JIT on its first
-        # queries (total 179.5 s recycling every 24 vs 149.6 s with one
-        # warm JVM + per-query System.gc()).  Kept as a knob because on
-        # larger inventories metaspace drag could eventually win.
-        restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "0"))
-        if restart_every and len(timings) % restart_every == 0:
-            spark = recycle_jvm(spark, fresh_session)
+    n_done = 0
+    for p in range(passes):
+        this_pass: dict[str, float] = {}
+        for name in names:
+            q = qmap[name]
+            runs: list[float] = []
+            # pass 0 run 0 = warm-up / cold number; later passes are
+            # warm already (same JVM, codegen + page cache live).
+            n_runs = (1 + repeats) if p == 0 else repeats
+            for _rep in range(n_runs):
+                t0 = time.perf_counter()
+                df = q.spark_fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                # Untimed housekeeping between executions: drop the Python
+                # references to finished plans so the JVM ContextCleaner can
+                # release their localCheckpoint RDDs and broadcasts — without
+                # this, 80+ queries of accumulated state inflate the later
+                # queries' timings by up to 2× (GC pressure, not plan cost).
+                # The ContextCleaner is ASYNC, so also unpersist the finished
+                # execution's pinned RDD blocks synchronously (blocking=True):
+                # ~15 LSH/iterative queries otherwise stack tens of
+                # checkpointed block sets in storage memory, and the later
+                # iterative queries' timings become load-dependent noise.
+                df = None
+                gc.collect()
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist(True)
+            if p == 0:
+                cold[name] = round(runs[0], 3)
+                runs = runs[1:]
+            all_runs[name].extend(runs)
+            this_pass[name] = round(min(runs), 3)
+            n_done += 1
+            # Python gc does NOT collect the JVM: broadcasts, shuffle
+            # state and RDD metadata pile up until a JVM GC lets the
+            # ContextCleaner's weak-reference queue drain (its built-in
+            # periodic GC runs every 30 min — never, in a 4-min bench).
+            # One System.gc() per few queries keeps late queries from
+            # paying earlier queries' garbage (measured: the same query
+            # is up to ~8x slower 60 queries into the session otherwise).
+            if n_done % int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1")) == 0:
+                spark.sparkContext._jvm.System.gc()
+            # JVM recycling (off by default): measured WORSE than per-query
+            # GC alone — each fresh JVM re-pays cold-JIT on its first
+            # queries (total 179.5 s recycling every 24 vs 149.6 s with one
+            # warm JVM + per-query System.gc()).  Kept as a knob because on
+            # larger inventories metaspace drag could eventually win.
+            restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "0"))
+            if restart_every and n_done % restart_every == 0:
+                spark = recycle_jvm(spark, fresh_session)
+        pass_mins.append(this_pass)
+
+    timings = {n: round(min(rs), 3) for n, rs in all_runs.items()}
+    pass_totals = [round(sum(pm.values()), 3) for pm in pass_mins]
+    spread_pct = (
+        round((max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1)
+        if len(pass_totals) > 1 and min(pass_totals) > 0 else 0.0
+    )
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     print(json.dumps({
         "metric": (
             "total wall-clock for full query inventory, one reused "
-            f"session; per query: warm-up then median of {repeats} "
+            f"session; per query: warm-up then min over {passes} "
+            f"passes x {repeats} timed runs "
             "(cold first-run times in queries_cold)"
         ),
         "value": total,
@@ -189,6 +237,10 @@ def main() -> None:
             round(cold_total / total, 3) if total else None
         ),
         "repeats": repeats,
+        "passes": passes,
+        "pass_totals": pass_totals,
+        "spread_pct": spread_pct,
+        "loadavg": [load_start, load_end],
         "sf": sf,
     }))
 
@@ -220,12 +272,19 @@ def main() -> None:
         pass
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
-        "metric": "sum of per-query warm medians (full record on line 1)",
+        "metric": (
+            "sum of per-query warm mins over "
+            f"{passes} passes (full record on line 1)"
+        ),
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "repeats": repeats,
+        "passes": passes,
+        "pass_totals": pass_totals,
+        "spread_pct": spread_pct,
+        "loadavg": [load_start, load_end],
         "cold_over_warm": round(cold_total / total, 3) if total else None,
         "slowest": slowest,
         "regressed": regressed,

@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -385,7 +387,7 @@ MINHASH_B = [3, 11, 29, 53, 97, 173, 313, 577, 1049, 1907, 3469, 6277, 11369, 20
 MINHASH_ROWS_PER_BAND = 2
 
 
-def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+def _shingle_sets(docs: DataFrame, n: int = 3, pin: bool = True) -> DataFrame:
     """(doc_id, sh_set) — each doc's DISTINCT shingle-HASH set
     (``array<long>``, see functions.text.distinct_shingle_hashes_udf),
     computed ONCE (lazy-checkpointed) so candidate generation and
@@ -396,16 +398,26 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     is a single ArrowEvalPython node evaluated once per row — the
     Column-expression alternative gets duplicated by Catalyst into
     inferred filters/generator projections and re-runs the tokenizer
-    per slice (measured ~10× slower at sf0.1; see functions.text)."""
-    return (
-        spread(docs, "doc_id")
-        .select("doc_id", distinct_shingle_hashes_udf(n)("text").alias("sh_set"))
-        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
+    per slice (measured ~10× slower at sf0.1; see functions.text).
+
+    ``pin=False`` skips the checkpoint: consumers that traverse the
+    sets exactly ONCE (the band-census and sketch-rescore paths —
+    they read signatures, never rejoin the arrays) must not pin
+    O(corpus) shingle arrays in storage memory.  The pin is what
+    OOM'd the 8 GiB cap for `dedup_band_volume_census` at the 3125×
+    tier (~6 GB of sets for a query whose output is a ≤200-row
+    histogram — SURVEY §8.11, round-10 finding)."""
+    out = spread(docs, "doc_id").select(
+        "doc_id", distinct_shingle_hashes_udf(n)("text").alias("sh_set")
     )
+    if pin:
+        out = out.localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
+    return out
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3,
-                       sets: DataFrame | None = None) -> DataFrame:
+                       sets: DataFrame | None = None,
+                       pin: bool = True) -> DataFrame:
     """Per-doc MinHash signature columns m0..m15.
 
     Computed map-side: each permutation min is ``array_min`` over a
@@ -418,7 +430,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     drop of empty shingle sets (``array_min([]) = NULL`` would
     otherwise bucket all empty docs together downstream)."""
     if sets is None:
-        sets = _shingle_sets(docs, n)
+        sets = _shingle_sets(docs, n, pin=pin)
     hs = F.transform("sh_set", lambda x: x % MINHASH_P)
     mins = [
         F.array_min(
@@ -446,11 +458,11 @@ LSH_MAX_BUCKET_DEFAULT = 1000
 
 
 def _band_rows(docs: DataFrame, n: int, rows_per_band: int,
-               sets: DataFrame | None) -> DataFrame:
+               sets: DataFrame | None, pin: bool = True) -> DataFrame:
     """(doc_id, band_idx, key): one row per doc per LSH band."""
     r = rows_per_band
     assert len(MINHASH_A) % r == 0, "rows_per_band must divide 16"
-    sig = minhash_signatures(docs, n, sets=sets)
+    sig = minhash_signatures(docs, n, sets=sets, pin=pin)
     n_bands = len(MINHASH_A) // r
     bands = F.array(
         *[
@@ -492,6 +504,7 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
                        rows_per_band: int = MINHASH_ROWS_PER_BAND,
                        sets: DataFrame | None = None,
                        max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                       pin: bool = True,
                        ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -511,7 +524,7 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
     knowingly); :func:`lsh_hot_buckets` reports what a guarded run
     drops.
     """
-    exploded = _band_rows(docs, n, rows_per_band, sets)
+    exploded = _band_rows(docs, n, rows_per_band, sets, pin=pin)
     if max_bucket is not None:
         exploded = exploded.localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
         hot = (
@@ -1037,9 +1050,16 @@ def band_volume_census(docs: DataFrame, n: int = 3,
     warns that corpus growth is about to hand the guard real drops.
     Output is tiny (one row per distinct bucket size); two shuffles
     (bucket count, histogram), both on 8-byte keys.
+
+    ``pin=False`` (round 11): the census traverses the shingle sets
+    exactly once (signatures → band keys), so pinning them bought
+    nothing and cost everything — the ~6 GB of pinned arrays at the
+    3125× tier OOM'd the 8 GiB cap for a query whose whole output is
+    a histogram (SURVEY §8.11).  A capacity-planning query must be
+    cheaper than the capacity it plans.
     """
     sizes = (
-        _band_rows(docs, n, rows_per_band, None)
+        _band_rows(docs, n, rows_per_band, None, pin=False)
         .groupBy("band_idx", "key")
         .agg(F.count("*").alias("sz"))
     )
@@ -1159,6 +1179,96 @@ SELECT n_bands,
                            * 1000000) AS BIGINT)) AS BIGINT) AS sum_jaccard_e6
 FROM nbands JOIN common USING (doc_a, doc_b)
 GROUP BY n_bands
+"""
+
+
+#: Operating threshold for the registered sketch-rescore twin.  The
+#: rule (README "100 TB posture" table): the sketch path keeps a
+#: candidate pair iff its signature agreement estimates Jaccard at or
+#: above the threshold — n_bands ≥ ceil(threshold · 16) — and it is
+#: SAFE to swap in for the exact rescore on a corpus when
+#: `dedup_jaccard_calibration` shows the exact Jaccard mass
+#: concentrated at the agreement levels the estimate assigns it
+#: (mean exact Jaccard within the estimator's binomial CI per level).
+#: At the production near-dup threshold 0.05 candidacy itself is the
+#: filter (any shared band ⇒ est 1/16 = 0.0625 ≥ 0.05); 0.25 is the
+#: lowest operating point where the sketch filter prunes candidates,
+#: so the registration hash-checks the pruning rule itself.
+SKETCH_THRESHOLD = 0.25
+
+
+def lsh_near_dup_sketch(docs: DataFrame, n: int = 3,
+                        threshold: float = SKETCH_THRESHOLD,
+                        rows_per_band: int = LSH_ROWS_PER_BAND,
+                        max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                        ) -> DataFrame:
+    """Sketch-only near-dup scoring: LSH candidates scored by MinHash
+    signature agreement — ZERO shingle-array transport.
+
+    The exact path (:func:`lsh_near_dup`) ships each candidate's two
+    shingle-hash sets (~400 B each on the probe fixture) through the
+    rescore shuffle — measured 46 GB at the 625× tier for 109 M
+    candidates (SURVEY §8.11, the round-10 transport-floor finding).
+    This path scores candidates from the band-agreement count the
+    candidate stream ALREADY carries: at r=1, ``n_bands`` of 16
+    matching signature components is a binomial estimator of Jaccard
+    (E[n_bands/16] = J), so the rescore becomes a filter on the
+    candidate aggregate — no join back to the sets, no array
+    transport, and the shingle sets themselves are traversed once
+    (``pin=False``) and never pinned.
+
+    When is the swap safe?  Read `dedup_jaccard_calibration` for the
+    corpus first: if the exact Jaccard mass sits where the agreement
+    level puts it at the operating threshold, sketch scoring keeps
+    the same pair population the exact rescore would (the 16-sample
+    estimator's coarseness — 1/16 steps — is the price; the
+    calibration table quantifies it per corpus).
+
+    Output: (doc_a, doc_b, n_bands, est_jaccard) for candidates with
+    est_jaccard ≥ threshold, i.e. n_bands ≥ ceil(threshold · 16).
+    """
+    n_bands_total = len(MINHASH_A) // rows_per_band
+    min_bands = max(1, math.ceil(threshold * n_bands_total))
+    cand = minhash_candidates(
+        docs, n, rows_per_band=rows_per_band, sets=None,
+        max_bucket=max_bucket, pin=False,
+    )
+    return (
+        cand.filter(F.col("n_bands") >= min_bands)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.round(F.col("n_bands") / F.lit(n_bands_total), 6)
+            .alias("est_jaccard"),
+        )
+    )
+
+
+def q_lsh_near_dup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket=None EXPLICITLY — exact oracle-twin semantics (the
+    # guard's drop path is hash-checked by dedup_lsh_neardup_guarded).
+    return lsh_near_dup_sketch(table(spark, sf_dir, "documents"),
+                               max_bucket=None)
+
+
+# Same nbands CTE as the calibration oracle; pairs/common/shl go
+# unreferenced and are pruned by DuckDB, so the oracle never touches
+# shingle lists after signature construction either.
+ORACLE_LSH_SKETCH = f"""
+WITH {lsh_pairs_sql(0.0)},
+nbands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_bands,
+       round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6)
+           AS est_jaccard
+FROM nbands
+WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
 """
 
 
@@ -1437,6 +1547,11 @@ QUERIES = [
      "MinHash signature-agreement level — the measured basis for "
      "replacing the rescore's array transport with the zero-transport "
      "signature estimate."),
+    ("dedup_lsh_neardup_sketch", q_lsh_near_dup_sketch, ORACLE_LSH_SKETCH,
+     "E2 sketch-only rescore (round 11): LSH candidates scored by "
+     "MinHash signature agreement — the zero-transport swap for the "
+     "exact rescore's measured 46 GB-at-625x shingle-array shuffle, "
+     "justified per-corpus by dedup_jaccard_calibration."),
     ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
      "ExactSubstr-style cross-doc repeated token-window audit "
      "(rolling-hash windows, no pair join / suffix array)."),

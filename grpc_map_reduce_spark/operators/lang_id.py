@@ -45,6 +45,8 @@ previous shape):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -126,9 +128,184 @@ def classify_langs(docs: DataFrame, profiles: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Vectorized code path (round 11).  The Column-expression formulation
+# above stays as the JVM-only reference twin, but its constant was the
+# most expensive thing on the 3125× probe board: 705 s for 15.6 M
+# docs, exactly linear, all of it Spark-4 INTERPRETED evaluation of
+# the `transform(sequence(...), i -> substring(t,i,3))` lambda (HOFs
+# run outside whole-stage codegen, with a per-comparison collation
+# fetch — SURVEY §8.11).  Round 10 measured the obvious alternative
+# (an Arrow UDF emitting trigram STRINGS) SLOWER — output ~3× the
+# input text through Arrow.  This formulation inverts that shape:
+# Python sees the text ONCE per pass and emits nearly nothing.
+#
+#   * A trigram is packed into ONE int64: three 21-bit codepoints,
+#     (cp1<<42)|(cp2<<21)|cp3.  For equal-length strings this packing
+#     is ORDER-PRESERVING vs UTF8_BINARY / DuckDB byte order, so the
+#     profile tie-break (count DESC, trigram ASC) and therefore every
+#     downstream result is bit-identical to the string formulation —
+#     the DuckDB oracle is unchanged.
+#   * Extraction is numpy, whole-batch: the batch's lowered texts are
+#     joined, decoded to a codepoint array once (utf-32), and all
+#     windows are three shifted vector ops; windows spanning doc
+#     boundaries are masked out.  No per-row Python loop touches
+#     characters.
+#   * Profile pass emits per-batch (lang, code, partial count) — the
+#     shuffle is bounded by batches × trigram vocabulary, never the
+#     occurrence stream.
+#   * Classify pass emits the FINAL five output columns (argmax done
+#     in the batch against the ≤ langs×K broadcast profile, langs
+#     ordered DESC so numpy's first-max argmax reproduces
+#     max(struct(score, lang))) — one map-only pass, zero shuffles,
+#     zero joins in the registered plan.
+#   * The profile itself (≤ n_langs × K rows, bounded by
+#     construction) is collected at plan-build time and shipped in
+#     the UDF closure — same bounded-driver-scalar idiom as the BPE
+#     merge table (vocab.py).
+#
+# Measured (fresh sessions, 8 GiB cap): 705.4 s → see SURVEY §8.11
+# round-11 row for the before/after at 125× and 3125×.
+
+
+def _batch_trigram_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All trigram codes for a batch of (already lowered) texts.
+
+    Returns ``(codes, doc_idx)`` — int64 packed codes for every
+    3-codepoint window that lies entirely inside one text, and the
+    batch-row index each window belongs to."""
+    if not texts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    joined = "".join(texts)
+    if len(joined) < 3:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    codes = (cps[:-2] << 42) | (cps[1:-1] << 21) | cps[2:]
+    doc_of_pos = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    valid = doc_of_pos[:-2] == doc_of_pos[2:]
+    return codes[valid], doc_of_pos[:-2][valid]
+
+
+def lang_profile_codes(docs: DataFrame,
+                       k: int = LANG_PROFILE_K) -> DataFrame:
+    """(lang, code) — `lang_profiles` with packed-int64 trigrams.
+
+    Same top-``k``-by-count, ties-by-trigram profile (packing is
+    order-preserving), but counting runs vectorized in Arrow batches
+    and the shuffle carries (lang, code, partial-count) rows bounded
+    by batches × vocabulary instead of the occurrence stream."""
+    from pyspark.sql import Window
+
+    def partials(batches):
+        for pdf in batches:
+            langs_out: list[str] = []
+            codes_out: list[np.ndarray] = []
+            cnts_out: list[np.ndarray] = []
+            for lang, grp in pdf.groupby("lang"):
+                codes, _ = _batch_trigram_codes(
+                    [t.lower() for t in grp["text"]]
+                )
+                if codes.size:
+                    u, c = np.unique(codes, return_counts=True)
+                    langs_out.extend([lang] * len(u))
+                    codes_out.append(u)
+                    cnts_out.append(c)
+            yield pd.DataFrame({
+                "lang": pd.Series(langs_out, dtype=object),
+                "code": np.concatenate(codes_out)
+                if codes_out else np.empty(0, dtype=np.int64),
+                "cnt": np.concatenate(cnts_out).astype(np.int64)
+                if cnts_out else np.empty(0, dtype=np.int64),
+            })
+
+    counts = (
+        spread(docs).filter(F.length("text") >= 3)
+        .select("lang", "text")
+        .mapInPandas(partials, "lang string, code long, cnt long")
+        .groupBy("lang", "code")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "code")
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("lang", "code")
+    )
+
+
+def classify_langs_codes(docs: DataFrame,
+                         profile: list[tuple[str, int]]) -> DataFrame:
+    """`classify_langs` with the ≤ langs×K packed profile in the UDF
+    closure: ONE map-only pass emitting the final five columns —
+    scoring, argmax, and the 'und' totality rule all happen inside
+    the batch, so the registered plan has zero shuffles and zero
+    joins (at 100 TB: scan → repartition → MapInPandas, perfectly
+    data-parallel)."""
+    langs = sorted({lang for lang, _ in profile}, reverse=True)
+    assert len(langs) <= 63, "bitmask packing supports <= 63 languages"
+    li_of = {lang: i for i, lang in enumerate(langs)}
+    code_mask: dict[int, int] = {}
+    for lang, code in profile:
+        code_mask[code] = code_mask.get(code, 0) | (1 << li_of[lang])
+    prof_codes = np.array(sorted(code_mask), dtype=np.int64)
+    prof_mask = np.array([code_mask[c] for c in sorted(code_mask)],
+                         dtype=np.int64)
+    lang_arr = np.array(langs, dtype=object)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            codes, doc_idx = _batch_trigram_codes(
+                [("" if t is None else t).lower() for t in pdf["text"]]
+            )
+            scores = np.zeros((max(len(langs), 1), n), dtype=np.int64)
+            if codes.size and prof_codes.size:
+                pos = np.searchsorted(prof_codes, codes)
+                pos = np.minimum(pos, len(prof_codes) - 1)
+                hit = prof_codes[pos] == codes
+                masks = prof_mask[pos[hit]]
+                hdoc = doc_idx[hit]
+                for li in range(len(langs)):
+                    sel = (masks >> li) & 1
+                    scores[li] = np.bincount(
+                        hdoc[sel.astype(bool)], minlength=n
+                    )
+            best_li = scores.argmax(axis=0)  # first max = largest lang
+            best_sc = scores[best_li, np.arange(n)]
+            if langs:
+                pred = np.where(best_sc > 0, lang_arr[best_li], "und")
+            else:
+                pred = np.full(n, "und", dtype=object)
+            lang_vals = pdf["lang"].to_numpy(dtype=object)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "lang": lang_vals,
+                "pred_lang": pred,
+                "score": best_sc,
+                "is_correct": (lang_vals == pred).astype(bool),
+            })
+
+    return spread(docs, "doc_id").select("doc_id", "lang", "text").mapInPandas(
+        score,
+        "doc_id long, lang string, pred_lang string, score long, "
+        "is_correct boolean",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return classify_langs(docs, lang_profiles(docs))
+    # Bounded-by-construction driver scalar (≤ n_langs × K rows, like
+    # vocab.py's BPE merge table): the profile job runs eagerly at
+    # plan-build time; the returned plan is the single map-only
+    # classify pass.
+    profile = [
+        (r["lang"], r["code"]) for r in lang_profile_codes(docs).collect()
+    ]
+    return classify_langs_codes(docs, profile)
 
 
 ORACLE_LANG_ID = f"""
@@ -173,6 +350,8 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 
 QUERIES = [
     ("docs_lang_id", q_lang_id, ORACLE_LANG_ID,
-     "Char-trigram language ID: broadcast top-K per-lang profiles, "
-     "integer hit-count scoring, deterministic argmax."),
+     "Char-trigram language ID: packed-int64 trigram codes, "
+     "vectorized Arrow batch scoring against the bounded profile, "
+     "deterministic argmax in one map-only pass (round 11; the "
+     "string/HOF formulation stays as the JVM-only reference twin)."),
 ]

@@ -36,10 +36,15 @@ DEFAULT_CONF: dict[str, str] = {
     # ~1.4 GiB through each of 32 sort tasks and spilled past the
     # host's disk (SURVEY §8, round 10).  Over-provision the INITIAL
     # post-shuffle partition count and let AQE coalesce small
-    # shuffles back down to the advisory size — partition width then
-    # tracks actual shuffle volume instead of a static conf.  512 is
-    # 16x the local core count; a real cluster would raise it with
-    # the executor fleet.
+    # shuffles back down (with the default parallelismFirst=true AQE
+    # coalesces toward default parallelism, not all the way to the
+    # 64 MiB advisory size — deliberate: one partition per core keeps
+    # every core busy on small shuffles) — partition width then
+    # tracks actual shuffle volume instead of a static conf.  This is
+    # the pre-start FLOOR; get_spark() re-derives it from the live
+    # executor fleet (16 x defaultParallelism, min 512) right after
+    # session build, so the 625x fix travels to a real cluster
+    # without anyone reading a comment.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # Dimension tables (region/nation/customer/supplier/part at any
     # realistic SF ratio) should broadcast rather than shuffle.
@@ -126,4 +131,16 @@ def get_spark(app_name: str = "grpc-map-reduce-spark", *, cpus: int | str | None
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Derive the AQE initial shuffle width from the LIVE executor
+    # fleet (a runtime SQL conf, so it can be set post-start): 16 x
+    # defaultParallelism, floored at the 512 the 625x tier validated.
+    # A literal would silently under-provision the moment the fleet
+    # grows past 32 cores — the exact way the round-10 static-width
+    # cliff would come back on a real cluster.  An explicit
+    # extra_conf value wins (probes pin widths deliberately).
+    width_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    if width_key not in (extra_conf or {}):
+        width = max(512, 16 * spark.sparkContext.defaultParallelism)
+        spark.conf.set(width_key, str(width))
+    return spark

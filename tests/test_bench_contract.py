@@ -11,17 +11,20 @@ import subprocess
 import sys
 
 
-def test_bench_emits_one_valid_json_line_with_warm_medians():
+def test_bench_emits_one_valid_json_line_with_warm_mins():
     """Contract + methodology gate: the harness MUST warm up each
-    query once and report the median of N timed repeats — a single
-    cold measurement manufactured phantom 2–6x regressions in two
-    consecutive rounds (VERDICT r4)."""
+    query once and report the min over N passes of timed repeats — a
+    single cold measurement manufactured phantom 2–6x regressions in
+    two consecutive rounds (VERDICT r4), and per-query medians of
+    consecutive runs were still load-correlated enough to flag 10
+    phantom regressions in one round (VERDICT r10)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_ONLY="wordcount,inverted_index",
         SPARK_GRAFT_BENCH_REPEATS="2",
+        SPARK_GRAFT_BENCH_PASSES="2",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -36,6 +39,7 @@ def test_bench_emits_one_valid_json_line_with_warm_medians():
     tail = json.loads(lines[-1])
     assert set(tail) == {
         "metric", "value", "unit", "sf", "n_queries", "repeats",
+        "passes", "pass_totals", "spread_pct", "loadavg",
         "cold_over_warm", "slowest", "regressed",
     }
     assert len(lines[-1]) < 2000, "compact summary must fit the 2 KB tail"
@@ -43,18 +47,25 @@ def test_bench_emits_one_valid_json_line_with_warm_medians():
     out = json.loads(lines[-2])
     assert set(out) == {
         "metric", "value", "unit", "queries", "queries_cold",
-        "cold_minus_warm", "cold_over_warm", "repeats", "sf"
+        "cold_minus_warm", "cold_over_warm", "repeats", "passes",
+        "pass_totals", "spread_pct", "loadavg", "sf",
     }
     assert tail["value"] == out["value"]
     assert set(tail["slowest"]) <= set(out["queries"])
     assert out["unit"] == "sec" and out["sf"] == 0.001
     assert set(out["queries"]) == {"wordcount", "inverted_index"}
-    # warm-up + median discipline: every query has BOTH a cold number
-    # and a warm median, and the total is the sum of warm medians
+    # warm-up + min-over-passes discipline: every query has BOTH a
+    # cold number and a warm min, the total is the sum of warm mins,
+    # and the noise-evidence fields are self-consistent.
     assert set(out["queries_cold"]) == set(out["queries"])
     assert set(out["cold_minus_warm"]) == set(out["queries"])
-    assert out["repeats"] == 2
+    assert out["repeats"] == 2 and out["passes"] == 2
+    assert len(out["pass_totals"]) == 2
+    assert out["spread_pct"] >= 0
+    assert len(out["loadavg"]) == 2
     assert out["value"] == round(sum(out["queries"].values()), 3) > 0
+    # the reported min can never exceed either pass's own min-sum
+    assert out["value"] <= min(out["pass_totals"]) + 1e-6
     for name, warm in out["queries"].items():
         assert warm > 0 and out["queries_cold"][name] > 0
         assert out["cold_minus_warm"][name] == round(
@@ -75,6 +86,11 @@ def test_inventory_cold_total_within_budget():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_REPEATS="1",
+        # one pass: this gate compares cold vs warm, not pass-to-pass
+        # noise, and min-of-passes warm numbers would tighten the
+        # denominator for free (the 1.5x budget is calibrated to a
+        # single warm run per query).
+        SPARK_GRAFT_BENCH_PASSES="1",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],

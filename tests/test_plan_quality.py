@@ -414,18 +414,20 @@ def test_kmeans_corpus_never_shuffled(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_lang_id_profile_broadcast_no_global_sort(spark, sf_dir):
+def test_lang_id_single_map_pass_no_join_no_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_lang_id")
-    # the n_langs×K profile probe must broadcast into the trigram
-    # stream — the corpus-sized side never shuffles for the probe
-    assert "BroadcastHashJoin Inner" in plan
-    # the only sort-merge join allowed is the final totality join of
-    # two doc-keyed tables (primary-key equi-join, co-partitionable
-    # at scale); the probe itself must never degrade to SMJ
-    assert "SortMergeJoin LeftOuter" in plan or "BroadcastHashJoin LeftOuter" in plan
-    # no global sort anywhere (profile ranking is per-lang
-    # WindowGroupLimit, argmax is max(struct))
+    # round 11: the registered plan is ONE map-only Arrow pass — the
+    # ≤ langs×K profile rides in the UDF closure, so there is no join
+    # of any kind and no shuffle after the spread repartition
+    assert "MapInPandas" in plan
+    assert "Join" not in plan, plan
+    # no global sort anywhere (profile ranking happened in the
+    # bounded plan-build job; argmax is in-batch)
     assert "rangepartitioning" not in plan
+    # exactly one exchange: the spread() repartition that fans the
+    # handful of parquet files across cores
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
 def test_filtered_ann_pushes_label_predicate(spark, sf_dir):

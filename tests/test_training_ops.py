@@ -183,6 +183,31 @@ def test_lang_id_profiles_and_totality(spark, sf_dir):
     assert out.filter(~F.col("pred_lang").isin(*langs, "und")).count() == 0
 
 
+def test_lang_id_code_path_matches_string_path(spark, sf_dir):
+    """The packed-int64 vectorized formulation (the registered query,
+    round 11) must be row-identical to the string/HOF reference twin —
+    including profile tie-breaks, which is exactly what the
+    order-preserving codepoint packing guarantees."""
+    from grpc_map_reduce_spark.operators.lang_id import (
+        classify_langs,
+        classify_langs_codes,
+        lang_profile_codes,
+        lang_profiles,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    ref = {r["doc_id"]: (r["lang"], r["pred_lang"], r["score"],
+                         r["is_correct"])
+           for r in classify_langs(docs, lang_profiles(docs)).collect()}
+    profile = [(r["lang"], r["code"])
+               for r in lang_profile_codes(docs).collect()]
+    got = {r["doc_id"]: (r["lang"], r["pred_lang"], r["score"],
+                         r["is_correct"])
+           for r in classify_langs_codes(docs, profile).collect()}
+    assert got == ref
+
+
 def test_lang_id_short_doc_gets_und(spark):
     from grpc_map_reduce_spark.operators.lang_id import (
         classify_langs,

@@ -482,6 +482,47 @@ def _session_alive(spark) -> bool:
         return False
 
 
+def _rebuild_session(spark, driver_memory: str, warm_probe):
+    """Replace a broken probe session with a FRESH JVM, warmed up.
+
+    ``spark.stop()`` alone reuses the live py4j gateway, so the next
+    ``getOrCreate`` lands in the same (possibly OOM-poisoned) JVM and
+    the ``spark.driver.memory`` extra_conf is a silent no-op (static
+    conf, read at JVM launch).  Shutting the gateway down forces a
+    brand-new JVM — same recipe as bench.recycle_jvm.  The warmup
+    noop re-runs so the first post-restart probe isn't charged for
+    session/codegen/Arrow-worker spin-up (ADVICE r10).  Raises if the
+    rebuild itself fails; the caller turns that into a fatal JSON
+    line instead of aborting the sweep summary.
+    """
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    fresh = get_spark(
+        "scaling-probe",
+        extra_conf={"spark.driver.memory": driver_memory},
+    )
+    fresh.sparkContext.setLogLevel("ERROR")
+    warm_probe.spark_fn(fresh, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return fresh
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,5,25")
@@ -648,22 +689,33 @@ def main() -> None:
                 if not _session_alive(spark):
                     print(json.dumps({"session_restart_after": name,
                                       "mult": mult}), flush=True)
+                    # The rebuild itself can raise — the restart
+                    # fires exactly when the JVM/py4j gateway may be
+                    # dead (ADVICE r10).  Shut the gateway down so
+                    # getOrCreate launches a FRESH JVM (driver.memory
+                    # is a static conf — a no-op on a surviving JVM,
+                    # like bench.recycle_jvm), and never let a failed
+                    # rebuild abort the sweep before the summary.
                     try:
-                        spark.stop()
-                    except Exception:
-                        pass
-                    spark = get_spark(
-                        "scaling-probe",
-                        extra_conf={
-                            "spark.driver.memory": args.driver_memory},
-                    )
-                    spark.sparkContext.setLogLevel("ERROR")
+                        spark = _rebuild_session(
+                            spark, args.driver_memory, qs[probes[0]],
+                        )
+                    except Exception as rexc:
+                        print(json.dumps({
+                            "fatal_session_rebuild": type(rexc).__name__,
+                            "after": name, "mult": mult}), flush=True)
+                        spark = None
+                    if spark is None:
+                        break
                     sc = spark.sparkContext
                     jvm = sc._jvm
             finally:
                 if timer is not None:
                     timer.cancel()
-                    sc.setJobGroup("", "")
+                    try:
+                        sc.setJobGroup("", "")
+                    except Exception:
+                        pass  # gateway may be gone; summary still prints
             pk = _peak_heap_mb(jvm)
             if dt is not None:
                 results[name][mult] = dt
@@ -675,6 +727,8 @@ def main() -> None:
             # later probes aren't timed under earlier probes' storage
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist(True)
+        if spark is None:  # fatal rebuild — fall through to the summary
+            break
 
     base = mults[0]
     summary = {
@@ -709,7 +763,7 @@ def main() -> None:
     print(json.dumps({"sweep_flags": flags}))
     # --hot-cluster drop accounting: what the guard dropped, and that
     # it actually fired on the mega-cluster (assert, not just report).
-    if args.hot_cluster:
+    if args.hot_cluster and spark is not None:
         from grpc_map_reduce_spark.operators.dedup import (
             LSH_MAX_BUCKET_DEFAULT,
             lsh_hot_buckets,
@@ -736,7 +790,8 @@ def main() -> None:
             "the guard threshold")
         assert hot["n_buckets"] and hot["max_sz"] >= n_template, (
             "guard did not see the mega-cluster's bucket")
-    spark.stop()
+    if spark is not None:
+        spark.stop()
 
 
 if __name__ == "__main__":
