@@ -17,6 +17,7 @@ a configuration tuned for scale-out execution:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -129,6 +130,16 @@ def get_spark(app_name: str = "grpc-map-reduce-spark", *, cpus: int | str | None
     builder = SparkSession.builder.master(master).appName(app_name)
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)
+    # local-cluster[n,cores,mem]'s third argument sizes the WORKER,
+    # not the executor JVM — executors silently run at the 1 GiB
+    # spark.executor.memory default and a probe-scale broadcast OOMs
+    # them (measured round 11: 268 MiB shingle-set broadcast killed
+    # every 8192 MiB-worker executor with exit 52).  Derive executor
+    # heap = worker memory so the multi-JVM tiers mean what their
+    # master string says; an explicit extra_conf still wins.
+    m = re.match(r"local-cluster\[\d+,\d+,(\d+)\]", master)
+    if m and "spark.executor.memory" not in (extra_conf or {}):
+        builder = builder.config("spark.executor.memory", f"{m.group(1)}m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
