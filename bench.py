@@ -14,10 +14,10 @@ Truncation discipline (round 7): the driver keeps only the last
 ~8 KB — BENCH_r05/r06 both recorded ``parsed: null`` because the
 tail landed mid-map.  The harness therefore ENDS with one compact
 line (< 1 KB) carrying the headline number, the top-10 warm
-mins, and any >= 1.3x warm regressions vs the previous full run
-(snapshot at tools/bench_prev.json, rewritten after each full
-inventory run) — so the driver's tail always parses and always
-names the slow queries.
+mins, and warm regressions (>= 1.3x AND >= 0.5 s slower) vs the
+previous full run (snapshot at tools/bench_prev_sf*.json, rewritten
+after each full inventory run) — so the driver's tail always parses
+and always names the slow queries.
 
 Measurement discipline (round 5, re-armored round 11): per query,
 ONE untimed-in-spirit warm-up execution (reported separately as
@@ -262,7 +262,14 @@ def main() -> None:
             prev = json.load(fh).get("queries", {})
         for n, warm in timings.items():
             p = prev.get(n)
-            if p and p > 0.05 and warm / p >= 1.3:
+            # Ratio alone amplifies jitter on sub-second queries: the
+            # round-11 no-change rerun still flagged 4 names whose
+            # absolute deltas were 0.13–0.47 s (min-of-4 wobble on
+            # 0.1–0.9 s queries under varying host load).  Require a
+            # 0.5 s absolute delta too — a regression that matters at
+            # inventory scale (~160 s total) always clears it, and a
+            # 0.2 s query must triple before it can flag.
+            if p and p > 0.05 and warm / p >= 1.3 and warm - p >= 0.5:
                 regressed[n] = round(warm / p, 2)
         # keep the compact line compact: worst 10 only
         regressed = dict(
