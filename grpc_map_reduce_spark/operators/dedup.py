@@ -1272,6 +1272,111 @@ WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROW
 """
 
 
+def q_lsh_near_dup_sketch_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard-ON twin of `dedup_lsh_neardup_sketch`: the sketch scoring
+    composed with the hot-bucket guard REGISTERED AND FIRING (cap 4,
+    like the exact path's guarded twin) — dropping a bucket removes
+    its band-agreement contributions, so the guarded sketch scores
+    differ from simply filtering the unguarded output.  That
+    composition is what this registration hash-checks."""
+    return lsh_near_dup_sketch(table(spark, sf_dir, "documents"),
+                               max_bucket=GUARD_DEMO_BUCKET)
+
+
+# nbands over the GUARDED `bands` CTE (lsh_pairs_sql's max_bucket
+# HAVING-filter) — agreement counts see only surviving buckets,
+# mirroring the Spark side's pre-pair-join broadcast anti-join.
+ORACLE_LSH_SKETCH_GUARDED = f"""
+WITH {lsh_pairs_sql(0.0, max_bucket=GUARD_DEMO_BUCKET)},
+nbands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_bands,
+       round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6)
+           AS est_jaccard
+FROM nbands
+WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+"""
+
+
+def sketch_confusion(docs: DataFrame, n: int = 3,
+                     threshold: float = SKETCH_THRESHOLD,
+                     rows_per_band: int = LSH_ROWS_PER_BAND,
+                     ) -> DataFrame:
+    """The sketch-safety decision procedure as a query: the 2×2
+    confusion of sketch-kept vs exact-kept over all LSH candidates at
+    one operating threshold — (sketch_kept, exact_kept, n_pairs).
+
+    `dedup_jaccard_calibration` gives the per-level Jaccard mass;
+    this collapses it to the number an operator actually decides on:
+    recall = TT/(TT+FT) and precision = TT/(TT+TF) of the sketch
+    path vs the exact rescore at the SAME threshold.  Run it on a
+    corpus sample before swapping `lsh_near_dup` for
+    `lsh_near_dup_sketch` (README 100 TB table rule); at the
+    registered 0.25 point the fixture reads recall 1.00 /
+    precision 0.926.  Work: one rescored candidate pass (this is a
+    calibration-time query — the whole point is to pay the exact
+    rescore ONCE on a sample, not forever on the corpus); output is
+    ≤ 4 rows.
+    """
+    n_bands_total = len(MINHASH_A) // rows_per_band
+    min_bands = max(1, math.ceil(threshold * n_bands_total))
+    sets = _shingle_sets(docs, n)
+    cand = minhash_candidates(
+        docs, n, rows_per_band=rows_per_band, sets=sets, max_bucket=None
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy(
+            (F.col("n_bands") >= min_bands).alias("sketch_kept"),
+            (F.col("jaccard") >= threshold).alias("exact_kept"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_sketch_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_confusion(table(spark, sf_dir, "documents"))
+
+
+ORACLE_SKETCH_CONFUSION = f"""
+WITH {lsh_pairs_sql(0.0)},
+nbands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+           AS sketch_kept,
+       round(n_common * 1.0 / (na + nb - n_common), 6) >= {SKETCH_THRESHOLD}
+           AS exact_kept,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM nbands JOIN common USING (doc_a, doc_b)
+GROUP BY 1, 2
+"""
+
+
 def q_hot_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The guard's drop-accounting companion (`lsh_hot_buckets`) as a
     registered query: (band_idx, key, sz) for every band bucket the
@@ -1552,6 +1657,17 @@ QUERIES = [
      "MinHash signature agreement — the zero-transport swap for the "
      "exact rescore's measured 46 GB-at-625x shingle-array shuffle, "
      "justified per-corpus by dedup_jaccard_calibration."),
+    ("dedup_lsh_neardup_sketch_guarded", q_lsh_near_dup_sketch_guarded,
+     ORACLE_LSH_SKETCH_GUARDED,
+     "E2 guard-ON sketch twin (round 11): hot-bucket drop composed "
+     "with signature-agreement scoring — dropped buckets remove "
+     "their agreement contributions, hash-checked (cap 4 so fixture "
+     "buckets are hot)."),
+    ("dedup_sketch_confusion", q_sketch_confusion, ORACLE_SKETCH_CONFUSION,
+     "Sketch-safety decision procedure (round 11): 2x2 sketch-kept "
+     "vs exact-kept confusion over all LSH candidates at the "
+     "operating threshold — the number the README rule says to read "
+     "before swapping the exact rescore for the sketch path."),
     ("dedup_repeated_spans", q_repeated_spans, ORACLE_REPEATED_SPANS,
      "ExactSubstr-style cross-doc repeated token-window audit "
      "(rolling-hash windows, no pair join / suffix array)."),
