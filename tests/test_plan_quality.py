@@ -414,7 +414,24 @@ def test_kmeans_corpus_never_shuffled(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_lang_id_single_map_pass_no_join_no_sort(spark, sf_dir):
+def test_sketch_rescore_has_zero_array_transport(spark, sf_dir):
+    """The point of the sketch path (round 11): candidates are scored
+    from the signature agreement the candidate aggregate already
+    carries — no shingle-set array may ever join back to a pair.  The
+    exact path's rescore transport (measured 46 GB at 625×, and a
+    disk-exhaustion death at that tier) must be structurally absent,
+    not just small."""
+    plan = _plan(spark, sf_dir, "dedup_lsh_neardup_sketch")
+    # no exact-rescore machinery anywhere in the plan
+    assert "array_intersect" not in plan, plan
+    # exactly ONE join node — the band-bucket self-join that generates
+    # candidates; the exact path has three (bands + two set re-joins).
+    # Count the numbered detail headers so each node counts once.
+    join_re = r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+    assert len(re.findall(join_re, plan)) == 1, plan
+    exact = _plan(spark, sf_dir, "dedup_lsh_neardup")
+    assert "array_intersect" in exact  # the twin still pays it
+    assert len(re.findall(join_re, exact)) == 3, exact
     plan = _plan(spark, sf_dir, "docs_lang_id")
     # round 11: the registered plan is ONE map-only Arrow pass — the
     # ≤ langs×K profile rides in the UDF closure, so there is no join
