@@ -27,12 +27,15 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.dedup import (
-    LSH_MAX_BUCKET_DEFAULT, LSH_NEAR_DUP_THRESHOLD, lsh_near_dup,
+    LSH_MAX_BUCKET_DEFAULT, LSH_NEAR_DUP_THRESHOLD, LSH_ROWS_PER_BAND,
+    MINHASH_A, SKETCH_THRESHOLD, lsh_near_dup, lsh_near_dup_sketch,
     lsh_pairs_sql)
 from grpc_map_reduce_spark.operators.sketches import SPLIT_TRAIN_PCT
 from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL, iter_checkpoint
@@ -931,6 +934,136 @@ FROM l{LPA_ITERS} l JOIN sizes s USING (label)
 ORACLE_LPA = _lpa_oracle()
 
 
+# --------------------------------------------------------------------------
+# Sketch-edge graph twins (round 11): the rescore decision propagates
+# into the graph family.  dedup_clusters / leakage_safe_split feed CC
+# from the EXACT rescore, whose per-candidate shingle-array transport
+# is the measured 625× disk-killer (SURVEY §8.12, sketch_probe) — but
+# nothing in the graph algorithms needs the exact score: CC consumes
+# edge ENDPOINTS only.  These twins build the identical star-algorithm
+# chain from `lsh_near_dup_sketch` edges at the calibrated 0.25
+# operating point (fixture recall 1.00 / precision 0.926 vs exact at
+# the same threshold — `dedup_sketch_confusion`), so edge generation
+# ships zero arrays and the whole chain's transport is the band
+# explode plus the tiny edge set.  Guard ON on both sides (production
+# posture; the oracle mirrors it through lsh_pairs_sql's HAVING gate).
+_SKETCH_MIN_BANDS = max(
+    1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))
+
+
+def _sketch_edges(docs: DataFrame, n: int = 3) -> DataFrame:
+    return lsh_near_dup_sketch(
+        docs, n=n, threshold=SKETCH_THRESHOLD,
+        max_bucket=LSH_MAX_BUCKET_DEFAULT,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+
+
+def dedup_clusters_sketch(docs: DataFrame, n: int = 3) -> DataFrame:
+    """`dedup_clusters` with zero-transport edge generation: CC over
+    signature-agreement edges (est Jaccard ≥ 0.25) instead of
+    exact-rescored ones.  Same total-assignment contract: one row per
+    doc, cluster_id = min doc_id of its component."""
+    cc = connected_components(_sketch_edges(docs, n))
+    return (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def q_dedup_clusters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters_sketch(table(spark, sf_dir, "documents"))
+
+
+def q_leakage_safe_split_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship split report over sketch clusters: the 625×-proven
+    chain with its one remaining array transport removed.  Identical
+    split rule (md5 of cluster_id), identical report columns."""
+    docs = table(spark, sf_dir, "documents")
+    assign = dedup_clusters_sketch(docs)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    per_doc = (
+        docs.select("doc_id", "n_chars")
+        .join(assign, "doc_id")
+        .withColumn(
+            "split",
+            F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    return per_doc.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# Shared fragment for the sketch-edge oracles: agreement counts over
+# the GUARDED bands CTE, thresholded at the 0.25 operating point,
+# symmetrically closed.  pairs/common/shl from lsh_pairs_sql go
+# unreferenced and are pruned by DuckDB.
+_SKETCH_EDGES_SQL = f"""nbands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM nbands
+    WHERE n_bands >= {_SKETCH_MIN_BANDS}
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM nbands
+    WHERE n_bands >= {_SKETCH_MIN_BANDS}
+)"""
+
+
+ORACLE_DEDUP_CLUSTERS_SKETCH = f"""
+WITH RECURSIVE {lsh_pairs_sql(0.0, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
+{_SKETCH_EDGES_SQL},
+reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.src AS id, reach.r AS r
+    FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+ORACLE_LEAKAGE_SPLIT_SKETCH = f"""
+WITH RECURSIVE {lsh_pairs_sql(0.0, max_bucket=LSH_MAX_BUCKET_DEFAULT)},
+{_SKETCH_EDGES_SQL},
+reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.src AS id, reach.r AS r
+    FROM edges e JOIN reach ON e.dst = reach.id
+),
+clusters AS (
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+labeled AS (
+    SELECT d.doc_id, d.n_chars, c.cluster_id,
+           CASE WHEN (('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100) < {SPLIT_TRAIN_PCT}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d JOIN clusters c USING (doc_id)
+)
+SELECT split,
+       count(*)                     AS n_docs,
+       count(DISTINCT cluster_id)   AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM labeled
+GROUP BY split
+"""
+
+
 QUERIES = [
     ("dedup_communities_lpa", q_label_propagation, ORACLE_LPA,
      "Synchronous label-propagation communities over the near-dup "
@@ -955,4 +1088,14 @@ QUERIES = [
      "Near-dup pairs bucketed by their endpoints' doc-level splits: "
      "the train|test cell is the leaked-pair count a cluster-hash "
      "split eliminates."),
+    ("dedup_clusters_sketch", q_dedup_clusters_sketch,
+     ORACLE_DEDUP_CLUSTERS_SKETCH,
+     "Sketch-edge CC twin (round 11): the cluster assignment fed by "
+     "signature-agreement edges at the calibrated 0.25 point — the "
+     "graph family with its exact-rescore array transport removed."),
+    ("docs_leakage_safe_split_sketch", q_leakage_safe_split_sketch,
+     ORACLE_LEAKAGE_SPLIT_SKETCH,
+     "Flagship split report over sketch clusters (round 11): the "
+     "625x-proven leakage-safe chain at zero edge-gen transport, "
+     "same split rule and report columns."),
 ]

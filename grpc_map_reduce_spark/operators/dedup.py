@@ -1377,6 +1377,127 @@ GROUP BY 1, 2
 """
 
 
+#: Candidate-pair budget for the AUTO rescore planner.  Expressed in
+#: census pair-emissions (sum of sz·(sz−1)/2 over band buckets — the
+#: number `dedup_band_volume_census` reports, an upper bound on
+#: distinct candidates that costs O(docs × bands) to compute, never
+#: O(pairs)).  The measured regimes it separates (SURVEY §8.11–8.12):
+#: 21.7 M emissions at the 125× tier rescored fine (the sets still
+#: fit a 268 MiB broadcast), 109.4 M at 625× put ~46 GB of shingle
+#: arrays through one shuffle and died on disk — so the default sits
+#: between the last-known-good and first-known-dead points, ~1.5× the
+#: good side.  At fixture scale (sf0.1 ≈ 170 k emissions) the planner
+#: picks exact; every probe tier ≥ 625× picks sketch.
+AUTO_PAIR_BUDGET = 32_000_000
+
+
+def lsh_near_dup_auto(docs: DataFrame, n: int = 3,
+                      threshold: float = SKETCH_THRESHOLD,
+                      rows_per_band: int = LSH_ROWS_PER_BAND,
+                      max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                      pair_budget: int = AUTO_PAIR_BUDGET,
+                      ) -> DataFrame:
+    """Stats-driven rescore planning: the engine reads the band census
+    and picks the exact-array rescore or the zero-transport sketch
+    scoring itself — AQE in spirit, applied to a strategy Catalyst
+    cannot see (the choice changes the OUTPUT estimator, not just the
+    physical plan, so it must live here, above the optimizer, keyed on
+    corpus statistics).
+
+    Round 10 built the decision table (`dedup_jaccard_calibration`),
+    round 11 built the decided path (`lsh_near_dup_sketch`) and the
+    decision procedure (`sketch_confusion`); this closes the loop by
+    making the decision itself part of the operator: a one-row census
+    aggregate (band-bucket size histogram — O(docs × bands), no pair
+    join, sets never materialized) measures the rescore volume the
+    corpus is about to generate, and the branch is chosen by
+    ``pair_budget``.  The driver-side action is a single scalar
+    (bounded by construction) — the same ANALYZE-style stats
+    collection AQE does between stages; amortize it by persisting the
+    census alongside the corpus, exactly as `dedup_band_volume_census`
+    is registered for.
+
+    Both branches run at the SAME ``threshold`` so the choice is an
+    accuracy/transport trade on one question, quantified per corpus by
+    `dedup_sketch_confusion` (fixture @0.25: recall 1.00, precision
+    0.926).  Output: (doc_a, doc_b, score, used_sketch) — score is the
+    exact Jaccard or the signature estimate; used_sketch records the
+    planner's choice, so downstream consumers (and the oracle hash)
+    see WHICH estimator produced every row.
+
+    Deterministic given the data: the census is exact arithmetic, so
+    the same corpus always picks the same branch — which is what makes
+    the mode oracle-checkable (the DuckDB twin replays the census sum
+    and gates each branch on the same comparison).
+    """
+    census = band_volume_census(
+        docs, n, rows_per_band,
+        max_bucket=max_bucket if max_bucket is not None
+        else LSH_MAX_BUCKET_DEFAULT,
+    )
+    if max_bucket is not None:
+        # The guarded chain drops hot buckets before pair generation,
+        # so only in-guard buckets contribute rescore volume.
+        census = census.filter("in_guard")
+    total = census.agg(F.sum("cand_pairs").alias("t")).first()["t"] or 0
+    if total > pair_budget:
+        out = lsh_near_dup_sketch(docs, n, threshold, rows_per_band,
+                                  max_bucket)
+        return out.select(
+            "doc_a", "doc_b",
+            F.col("est_jaccard").alias("score"),
+            F.lit(True).alias("used_sketch"),
+        )
+    out = lsh_near_dup(docs, n, threshold, rows_per_band, max_bucket)
+    return out.select(
+        "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
+        F.lit(False).alias("used_sketch"),
+    )
+
+
+def q_lsh_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket=None EXPLICITLY — exact oracle-twin semantics on both
+    # branches AND on the census the planner reads.
+    return lsh_near_dup_auto(table(spark, sf_dir, "documents"),
+                             max_bucket=None)
+
+
+# The oracle replays the planner: the census sum over bands_all gates
+# each branch via a scalar subquery, so DuckDB takes the same branch
+# the Spark planner takes on the same data — the decision itself is
+# inside the hash.  lsh_pairs_sql(SKETCH_THRESHOLD) supplies the
+# exact branch's `pairs`; the sketch branch reuses the nbands CTE.
+ORACLE_LSH_AUTO = f"""
+WITH {lsh_pairs_sql(SKETCH_THRESHOLD)},
+sizes AS (
+    SELECT band_idx, key, count(*) AS sz FROM bands_all GROUP BY 1, 2
+),
+decision AS (
+    SELECT coalesce(sum(sz * (sz - 1) // 2), 0) > {AUTO_PAIR_BUDGET}
+        AS use_sketch
+    FROM sizes
+),
+nbands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6) AS score,
+       TRUE AS used_sketch
+FROM nbands
+WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+  AND (SELECT use_sketch FROM decision)
+UNION ALL
+SELECT doc_a, doc_b, jaccard AS score, FALSE AS used_sketch
+FROM pairs
+WHERE NOT (SELECT use_sketch FROM decision)
+"""
+
+
 def q_hot_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The guard's drop-accounting companion (`lsh_hot_buckets`) as a
     registered query: (band_idx, key, sz) for every band bucket the
@@ -1663,6 +1784,12 @@ QUERIES = [
      "with signature-agreement scoring — dropped buckets remove "
      "their agreement contributions, hash-checked (cap 4 so fixture "
      "buckets are hot)."),
+    ("dedup_lsh_neardup_auto", q_lsh_near_dup_auto, ORACLE_LSH_AUTO,
+     "Stats-driven rescore planning (round 11): the engine reads the "
+     "band census and picks exact-array vs zero-transport sketch "
+     "scoring itself, deterministically — the decision is replayed "
+     "inside the DuckDB oracle, so the planner's choice is part of "
+     "the hash."),
     ("dedup_sketch_confusion", q_sketch_confusion, ORACLE_SKETCH_CONFUSION,
      "Sketch-safety decision procedure (round 11): 2x2 sketch-kept "
      "vs exact-kept confusion over all LSH candidates at the "

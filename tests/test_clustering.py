@@ -231,3 +231,26 @@ def test_triangle_wedge_batching_invariant(spark, sf_dir):
     auto = {tuple(r) for r in
             triangle_counts(edges, edges_unique=True).collect()}
     assert auto == base
+
+
+def test_sketch_edge_clusters_are_a_total_consistent_assignment(spark, sf_dir):
+    """The sketch-edge CC twin must keep the dedup_clusters contract:
+    one row per document, cluster_id = min doc_id of the component,
+    and both endpoints of every sketch edge share a cluster."""
+    from grpc_map_reduce_spark.operators.clustering import (
+        _sketch_edges,
+        dedup_clusters_sketch,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup_clusters_sketch(docs).collect()}
+    assert len(assign) == docs.count(), "assignment must be total"
+    assert all(cid <= did for did, cid in assign.items())
+    edges = _sketch_edges(docs).collect()
+    assert edges, "fixture must produce sketch edges at 0.25"
+    for e in edges:
+        assert assign[e.src] == assign[e.dst], (
+            f"edge ({e.src},{e.dst}) straddles clusters"
+        )

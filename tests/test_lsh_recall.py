@@ -183,3 +183,50 @@ def test_split_contamination_cells_partition_the_pair_set(spark, sf_dir):
     assert sum(r["n_pairs"] for r in cells) == n_pairs
     for r in cells:
         assert r["split_a"] <= r["split_b"]
+
+
+def test_auto_planner_picks_exact_under_budget_and_matches(spark, sf_dir):
+    """At fixture volume the census total sits far under the pair
+    budget, so the auto mode must take the exact branch (used_sketch
+    False on every row) and reproduce lsh_near_dup at the same
+    threshold, column-for-column."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        SKETCH_THRESHOLD,
+        lsh_near_dup_auto,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    got = lsh_near_dup_auto(docs, max_bucket=None).collect()
+    assert got, "fixture must produce near-dup pairs"
+    assert all(not r.used_sketch for r in got)
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_near_dup(
+            docs, threshold=SKETCH_THRESHOLD, max_bucket=None
+        ).collect()
+    }
+    assert {(r.doc_a, r.doc_b): r.score for r in got} == want
+
+
+def test_auto_planner_flips_to_sketch_over_budget(spark, sf_dir):
+    """Forcing the budget to zero must flip the SAME corpus onto the
+    sketch branch: used_sketch True everywhere, scores equal to the
+    signature estimate, and zero array transport in the executed plan
+    (no array_intersect downstream of the decision)."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        lsh_near_dup_auto,
+        lsh_near_dup_sketch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    auto = lsh_near_dup_auto(docs, max_bucket=None, pair_budget=0)
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" not in plan, (
+        "sketch branch must not ship shingle arrays"
+    )
+    got = {(r.doc_a, r.doc_b): r.score for r in auto.collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in lsh_near_dup_sketch(docs, max_bucket=None).collect()
+    }
+    assert got == want

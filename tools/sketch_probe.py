@@ -65,7 +65,8 @@ def shuffle_totals(df) -> dict[str, int]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--path", choices=["exact", "sketch"], required=True)
+    ap.add_argument("--path", choices=["exact", "sketch", "auto"],
+                    required=True)
     ap.add_argument("--mult", type=int, default=625)
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--threshold", type=float, default=None,
@@ -88,32 +89,50 @@ def main() -> None:
 
     from grpc_map_reduce_spark.operators.dedup import (
         lsh_near_dup,
+        lsh_near_dup_auto,
         lsh_near_dup_sketch,
     )
-
-    kw = {} if args.threshold is None else {"threshold": args.threshold}
-    if args.path == "exact":
-        out = lsh_near_dup(docs, **kw)  # guard ON (production default)
-    else:
-        out = lsh_near_dup_sketch(docs, **kw)
 
     # Wrap in a count aggregate and collect THAT df: collect()
     # executes the df's own QueryExecution, so its executed plan (and
     # every exchange's metrics) stays reachable — the same idiom as
     # plans/runtime_witness.py.  (A noop write or .count() would run
     # a separate QueryExecution whose metrics we can't reach.)
+    # Construction is INSIDE the timer: lazy for exact/sketch (~ms),
+    # but the auto path's planner census runs a real job at build
+    # time and its cost belongs in the measured wall.
     from pyspark.sql import functions as F
 
-    out = out.groupBy().agg(F.count("*").alias("n"))
+    kw = {} if args.threshold is None else {"threshold": args.threshold}
     t0 = time.perf_counter()
-    n_rows = out.collect()[0]["n"]
+    used_sketch = None
+    if args.path == "exact":
+        out = lsh_near_dup(docs, **kw)  # guard ON (production default)
+        aggs = [F.count("*").alias("n")]
+    elif args.path == "sketch":
+        out = lsh_near_dup_sketch(docs, **kw)
+        aggs = [F.count("*").alias("n")]
+    else:
+        out = lsh_near_dup_auto(docs, **kw)  # guard ON, planner decides
+        aggs = [F.count("*").alias("n"),
+                F.max("used_sketch").alias("sk")]
+    out = out.groupBy().agg(*aggs)
+    row = out.collect()[0]
     wall = round(time.perf_counter() - t0, 3)
+    n_rows = row["n"]
+    if args.path == "auto":
+        used_sketch = bool(row["sk"]) if n_rows else None
 
     rec = {
         "path": args.path, "mult": args.mult,
         "threshold": args.threshold, "sec": wall, "rows": n_rows,
         "heap_max_mb": heap_max_mb,
     }
+    if args.path == "auto":
+        # shuffle totals below cover only the FINAL execution (the
+        # planner census ran as its own job) — wall is the
+        # load-bearing number; the branch taken is the finding.
+        rec["used_sketch"] = used_sketch
     rec.update(shuffle_totals(out))
     rec["shuffle_gb_written"] = round(
         rec["shuffle_bytes_written"] / 1e9, 2)
