@@ -526,7 +526,18 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
     """
     exploded = _band_rows(docs, n, rows_per_band, sets, pin=pin)
     if max_bucket is not None:
-        exploded = exploded.localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
+        # The guard traverses the band rows twice (hot-bucket aggregate
+        # + the anti-joined pair join), so pinning pays — EXCEPT at the
+        # volumes the sketch path exists for: the pinned frame is
+        # O(docs × bands) deserialized rows (~250 M at the 3125× tier)
+        # and materializing it OOMs an 8 GiB heap in the scan stage
+        # (measured round 11).  ``pin=False`` callers therefore
+        # recompute the rows instead — signatures are deterministic
+        # (md5-derived), so both traversals see identical buckets, and
+        # two map-side passes beat one un-cacheable materialization.
+        if pin:
+            exploded = exploded.localCheckpoint(
+                eager=False, storageLevel=PIN_LEVEL)
         hot = (
             exploded.groupBy("band_idx", "key")
             .agg(F.count("*").alias("sz"))
@@ -861,6 +872,76 @@ def incremental_scored_pairs(docs: DataFrame, n: int = 3,
         .filter(F.col("jaccard") >= threshold)
     )
     return scored.select("doc_id", "match_id", "jaccard")
+
+
+def incremental_sketch_pairs(docs: DataFrame, n: int = 3,
+                             threshold: float | None = None,
+                             rows_per_band: int = LSH_ROWS_PER_BAND
+                             ) -> DataFrame:
+    """(doc_id, match_id, n_bands, est_jaccard): every incoming-side
+    doc's corpus-side candidates scored by SIGNATURE AGREEMENT — the
+    sketch decision applied to the incremental (shard-vs-corpus)
+    shape.
+
+    `incremental_scored_pairs` joins each cross-side candidate back to
+    BOTH shingle-set arrays for the exact rescore — per-candidate
+    transport proportional to document size, the same floor the batch
+    sketch path removed (SURVEY §8.12).  Here the cross-side band join
+    IS the scorer: counting matching band buckets per (incoming,
+    corpus) pair gives the MinHash agreement estimate at zero set
+    transport, and the shingle sets are never materialized at all
+    (``pin=False`` signatures only).  Work: one one-sided band join —
+    never corpus×corpus — plus a pair-keyed count.
+
+    ``threshold`` defaults to :data:`SKETCH_THRESHOLD` (the calibrated
+    operating point); pass the rescore threshold 0.05 only if a
+    downstream exact rescore follows (at 0.05 the filter is vacuous —
+    candidacy itself implies est 1/16 ≥ 0.05)."""
+    if threshold is None:
+        threshold = SKETCH_THRESHOLD
+    r = rows_per_band
+    n_bands_total = len(MINHASH_A) // r
+    min_bands = max(1, math.ceil(threshold * n_bands_total))
+    sig = minhash_signatures(docs, n, pin=False)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
+                ).alias("key"),
+            )
+            for j in range(n_bands_total)
+        ]
+    )
+    exploded = (
+        sig.select("doc_id", F.explode(bands).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.key").alias("key"),
+            _side_is_corpus(F.col("doc_id")).alias("is_corpus"),
+        )
+    )
+    inc = exploded.filter(~F.col("is_corpus")).select("doc_id", "band_idx", "key")
+    cor = exploded.filter(F.col("is_corpus")).select(
+        F.col("doc_id").alias("match_id"), "band_idx", "key"
+    )
+    return (
+        inc.join(cor, ["band_idx", "key"])
+        .groupBy("doc_id", "match_id")
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+        .select(
+            "doc_id", "match_id", "n_bands",
+            F.round(F.col("n_bands") / F.lit(n_bands_total), 6)
+            .alias("est_jaccard"),
+        )
+    )
+
+
+def q_incremental_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_sketch_pairs(table(spark, sf_dir, "documents"))
 
 
 def incremental_dedup(docs: DataFrame, n: int = 3,
@@ -1571,6 +1652,33 @@ WHERE NOT d.is_corpus
 """
 
 
+# bands (unguarded) from the shared fragment; cross-side agreement
+# count re-keyed (incoming, corpus) exactly like the Spark one-sided
+# join.  pairs/common/shl go unreferenced and are pruned.
+ORACLE_INCREMENTAL_SKETCH = f"""
+WITH {lsh_pairs_sql(0.0)},
+side AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+               < {INCR_CORPUS_PCT} AS is_corpus
+    FROM documents
+),
+nb AS (
+    SELECT i.doc_id AS doc_id, c.doc_id AS match_id, count(*) AS n_bands
+    FROM bands i
+    JOIN side si ON si.doc_id = i.doc_id AND NOT si.is_corpus
+    JOIN bands c ON c.band_idx = i.band_idx AND c.key = i.key
+    JOIN side sc ON sc.doc_id = c.doc_id AND sc.is_corpus
+    GROUP BY 1, 2
+)
+SELECT doc_id, match_id, n_bands,
+       round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6)
+           AS est_jaccard
+FROM nb
+WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+"""
+
+
 # --------------------------------------------------------------------------
 # ExactSubstr-style repeated-span audit (Lee et al., "Deduplicating
 # Training Data Makes Language Models Better", ACL'22): token windows
@@ -1802,4 +1910,9 @@ QUERIES = [
      "Incremental shard-vs-corpus dedup: one-sided LSH band join "
      "(never corpus x corpus), exact rescore, best-match per incoming "
      "doc, total output."),
+    ("dedup_incremental_sketch", q_incremental_sketch_pairs,
+     ORACLE_INCREMENTAL_SKETCH,
+     "Sketch-mode incremental dedup (round 11): cross-side candidates "
+     "scored by signature agreement from the one-sided band join "
+     "itself — shingle sets never materialized, zero set transport."),
 ]

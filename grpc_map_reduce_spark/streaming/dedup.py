@@ -30,6 +30,8 @@ tests/test_streaming.py).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +42,7 @@ from grpc_map_reduce_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    SKETCH_THRESHOLD,
     _shingle_sets,
     _side_is_corpus,
     minhash_signatures,
@@ -196,6 +199,125 @@ def streaming_incremental_dedup(doc_stream: DataFrame, buckets: DataFrame,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "match_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch-mode twin (round 11): the rescore decision propagates into
+# the streaming engine.  The exact twin above joins every candidate to
+# the corpus SHINGLE-SET table (`corpus_sets`) — per-candidate
+# transport proportional to document size, the same floor the batch
+# sketch path removed.  Here the score is MinHash signature agreement
+# computed from FIXED-WIDTH arrays: the stream row carries its own 16
+# signature components (already in the map-only struct), the corpus
+# side a (match_id, 16-long array) table, and the agreement count is
+# pure column math after the stream-static join — transport per
+# candidate is 16 longs regardless of document length, and the corpus
+# shingle sets are never read.  At r=1 the number of equal signature
+# components IS the number of shared band buckets, so this equals the
+# batch `incremental_sketch_pairs` score exactly (parity-gated).
+
+
+def corpus_sketch_index(docs: DataFrame, n: int = 3,
+                        rows_per_band: int = LSH_ROWS_PER_BAND
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Static corpus side for the sketch-mode stream: ``buckets
+    (band_idx, key, match_id)`` and ``sigs (match_id, _sigb:
+    array<long>)`` — built from ``pin=False`` signatures, no shingle
+    sets ever materialized (the whole point of the mode)."""
+    r = rows_per_band
+    corpus = docs.filter(_side_is_corpus(F.col("doc_id")))
+    sig = minhash_signatures(corpus, n, pin=False)
+    n_bands = len(MINHASH_A) // r
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col("doc_id").alias("match_id"), F.explode(bands).alias("b")
+    ).select("match_id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.key").alias("key"))
+    sigs = sig.select(
+        F.col("doc_id").alias("match_id"),
+        F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_A))])
+        .alias("_sigb"),
+    )
+    return buckets, sigs
+
+
+def streaming_incremental_dedup_sketch(
+        doc_stream: DataFrame, buckets: DataFrame, corpus_sigs: DataFrame,
+        n: int = 3, threshold: float = SKETCH_THRESHOLD,
+        rows_per_band: int = LSH_ROWS_PER_BAND,
+        ts_col: str | None = None,
+        dedup_within: str = "1 hour") -> DataFrame:
+    """(doc_id, match_id, n_bands, est_jaccard) appended per
+    micro-batch: each streamed doc's corpus candidates at signature
+    agreement ≥ ``threshold``.  Same watermark/dedup-state contract as
+    :func:`streaming_incremental_dedup`; the agreement count is
+    recomputed from the two signature arrays AFTER the candidate
+    dedup (the dedup collapses multi-band matches to one row, so the
+    band join can't be counted — the arrays can, and at r=1 the two
+    numbers are identical)."""
+    r = rows_per_band
+    n_bands_total = len(MINHASH_A) // r
+    min_bands = max(1, math.ceil(threshold * n_bands_total))
+    if ts_col is not None:
+        doc_stream = doc_stream.withWatermark(ts_col, dedup_within)
+    ts_cols = [ts_col] if ts_col is not None else []
+    enriched = (
+        doc_stream.select(
+            "doc_id", *ts_cols, minhash_struct_udf(n)("text").alias("ms")
+        )
+        .filter(F.size("ms.sh_set") > 0)
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[F.element_at("ms.sigs", j * r + k + 1) for k in range(r)],
+                ).alias("key"),
+            )
+            for j in range(n_bands_total)
+        ]
+    )
+    exp = enriched.select(
+        "doc_id", *ts_cols, F.col("ms.sigs").alias("_siga"),
+        F.explode(bands).alias("b")
+    ).select("doc_id", *ts_cols, "_siga",
+             F.col("b.band_idx").alias("band_idx"),
+             F.col("b.key").alias("key"))
+    joined = exp.join(buckets, ["band_idx", "key"])  # stream-static
+    if ts_col is not None:
+        cand = joined.dropDuplicatesWithinWatermark(
+            ["doc_id", "match_id"]
+        ).drop(ts_col)
+    else:
+        cand = joined.dropDuplicates(["doc_id", "match_id"])
+    agree = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda a, b: a == b),
+            lambda x: x,
+        )
+    ).cast("long")
+    return (
+        cand.join(corpus_sigs, "match_id")  # stream-static, 16 longs
+        .withColumn("n_bands", agree)
+        .filter(F.col("n_bands") >= min_bands)
+        .select(
+            "doc_id", "match_id", "n_bands",
+            F.round(F.col("n_bands") / F.lit(n_bands_total), 6)
+            .alias("est_jaccard"),
+        )
     )
 
 

@@ -786,3 +786,48 @@ def test_streaming_embedding_dedup_watermarked_state_expires(
     assert final < max(2, peak // 2), (
         f"state rows did not drop (peak {peak}, final {final}): {batches}"
     )
+
+
+def test_streaming_sketch_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Sketch-mode streaming twin (round 11): the incoming split
+    streamed file-by-file against the signature-only corpus index must
+    produce exactly the batch cross-side sketch scores
+    (operators/dedup.incremental_sketch_pairs) — agreement recomputed
+    from the fixed-width arrays equals the band-join count at r=1."""
+    from grpc_map_reduce_spark.operators.dedup import (
+        _side_is_corpus,
+        incremental_sketch_pairs,
+    )
+    from grpc_map_reduce_spark.streaming.dedup import (
+        corpus_sketch_index,
+        streaming_incremental_dedup_sketch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(~_side_is_corpus(F.col("doc_id")))
+    src = str(tmp_path / "incoming_docs_sketch")
+    incoming.repartition(4).write.parquet(src)
+
+    buckets, sigs = corpus_sketch_index(docs)
+    buckets = buckets.localCheckpoint()
+    sigs = sigs.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(
+        streaming_incremental_dedup_sketch(stream, buckets, sigs),
+        "stream_incr_sketch",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.match_id, r.n_bands, r.est_jaccard)
+        for r in spark.table("stream_incr_sketch").collect()
+    }
+    want = {
+        (r.doc_id, r.match_id, r.n_bands, r.est_jaccard)
+        for r in incremental_sketch_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
