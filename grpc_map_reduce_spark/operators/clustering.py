@@ -27,16 +27,13 @@ Scale notes:
 
 from __future__ import annotations
 
-import math
-
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.dedup import (
-    LSH_MAX_BUCKET_DEFAULT, LSH_NEAR_DUP_THRESHOLD, LSH_ROWS_PER_BAND,
-    MINHASH_A, SKETCH_THRESHOLD, lsh_near_dup, lsh_near_dup_sketch,
-    lsh_pairs_sql)
+    LSH_MAX_BUCKET_DEFAULT, LSH_NEAR_DUP_THRESHOLD, SKETCH_MIN_BANDS,
+    SKETCH_THRESHOLD, lsh_near_dup, lsh_near_dup_sketch, lsh_pairs_sql)
 from grpc_map_reduce_spark.operators.sketches import SPLIT_TRAIN_PCT
 from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL, iter_checkpoint
 from grpc_map_reduce_spark.sources.tables import table
@@ -118,7 +115,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 
 
 def dedup_clusters(docs: DataFrame, threshold: float = CLUSTER_JACCARD_THRESHOLD,
-                   n: int = 3) -> DataFrame:
+                   n: int = 3, edges: DataFrame | None = None) -> DataFrame:
     """Every document's dedup cluster id (min doc_id of its component).
 
     Documents with no near-dup partner form singleton clusters of
@@ -131,10 +128,16 @@ def dedup_clusters(docs: DataFrame, threshold: float = CLUSTER_JACCARD_THRESHOLD
     DuckDB oracle applies the identical candidate restriction.  The
     final assignment join is a plain shuffle join — ``cc`` is O(duped
     docs) and must NOT be broadcast at scale.
+
+    ``edges`` swaps the edge source (``(src, dst)`` columns) while
+    keeping the assignment mechanism — the sketch-edge twin passes
+    signature-agreement edges here instead of duplicating the CC /
+    join / coalesce contract (round-11 review).
     """
-    edges = lsh_near_dup(docs, n=n, threshold=threshold).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    if edges is None:
+        edges = lsh_near_dup(docs, n=n, threshold=threshold).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
     cc = connected_components(edges)
     return (
         docs.select("doc_id")
@@ -190,12 +193,16 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 def leakage_safe_split(docs: DataFrame,
                        threshold: float = CLUSTER_JACCARD_THRESHOLD,
                        n: int = 3,
-                       train_pct: int = SPLIT_TRAIN_PCT) -> DataFrame:
+                       train_pct: int = SPLIT_TRAIN_PCT,
+                       assign: DataFrame | None = None) -> DataFrame:
     """Per-doc (doc_id, n_chars, cluster_id, split) with the split
     decided by ``md5(cluster_id) % 100 < train_pct`` — deterministic,
     engine-replayable, and constant within each near-dup cluster, so
-    no cluster ever straddles train/test."""
-    assign = dedup_clusters(docs, threshold=threshold, n=n)
+    no cluster ever straddles train/test.  ``assign`` swaps the
+    cluster-assignment source (sketch twin) while keeping the one
+    split rule."""
+    if assign is None:
+        assign = dedup_clusters(docs, threshold=threshold, n=n)
     bucket = F.conv(
         F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % 100
@@ -209,16 +216,20 @@ def leakage_safe_split(docs: DataFrame,
     )
 
 
-def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split report: doc/cluster/char counts per side — the numbers a
-    pipeline checks before committing a split (ratio near target,
-    clusters never straddling by construction)."""
-    per_doc = leakage_safe_split(table(spark, sf_dir, "documents"))
+def _split_report(per_doc: DataFrame) -> DataFrame:
+    """The split-report aggregate both leakage twins share."""
     return per_doc.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split report: doc/cluster/char counts per side — the numbers a
+    pipeline checks before committing a split (ratio near target,
+    clusters never straddling by construction)."""
+    return _split_report(leakage_safe_split(table(spark, sf_dir, "documents")))
 
 
 # Same recursive-CTE cluster assignment as ORACLE_DEDUP_CLUSTERS, then
@@ -947,10 +958,6 @@ ORACLE_LPA = _lpa_oracle()
 # ships zero arrays and the whole chain's transport is the band
 # explode plus the tiny edge set.  Guard ON on both sides (production
 # posture; the oracle mirrors it through lsh_pairs_sql's HAVING gate).
-_SKETCH_MIN_BANDS = max(
-    1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))
-
-
 def _sketch_edges(docs: DataFrame, n: int = 3) -> DataFrame:
     return lsh_near_dup_sketch(
         docs, n=n, threshold=SKETCH_THRESHOLD,
@@ -961,17 +968,9 @@ def _sketch_edges(docs: DataFrame, n: int = 3) -> DataFrame:
 def dedup_clusters_sketch(docs: DataFrame, n: int = 3) -> DataFrame:
     """`dedup_clusters` with zero-transport edge generation: CC over
     signature-agreement edges (est Jaccard ≥ 0.25) instead of
-    exact-rescored ones.  Same total-assignment contract: one row per
-    doc, cluster_id = min doc_id of its component."""
-    cc = connected_components(_sketch_edges(docs, n))
-    return (
-        docs.select("doc_id")
-        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
-        )
-    )
+    exact-rescored ones.  Same total-assignment contract — same
+    mechanism too: only the ``edges`` source differs."""
+    return dedup_clusters(docs, n=n, edges=_sketch_edges(docs, n))
 
 
 def q_dedup_clusters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,27 +979,11 @@ def q_dedup_clusters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_leakage_safe_split_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship split report over sketch clusters: the 625×-proven
-    chain with its one remaining array transport removed.  Identical
-    split rule (md5 of cluster_id), identical report columns."""
+    chain with its one remaining array transport removed.  One split
+    rule, one report aggregate — shared with the exact twin."""
     docs = table(spark, sf_dir, "documents")
-    assign = dedup_clusters_sketch(docs)
-    bucket = F.conv(
-        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") % 100
-    per_doc = (
-        docs.select("doc_id", "n_chars")
-        .join(assign, "doc_id")
-        .withColumn(
-            "split",
-            F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-            .otherwise(F.lit("test")),
-        )
-    )
-    return per_doc.groupBy("split").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("cluster_id").alias("n_clusters"),
-        F.sum("n_chars").alias("total_chars"),
-    )
+    return _split_report(
+        leakage_safe_split(docs, assign=dedup_clusters_sketch(docs)))
 
 
 # Shared fragment for the sketch-edge oracles: agreement counts over
@@ -1016,10 +999,10 @@ _SKETCH_EDGES_SQL = f"""nbands AS (
 ),
 edges AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM nbands
-    WHERE n_bands >= {_SKETCH_MIN_BANDS}
+    WHERE n_bands >= {SKETCH_MIN_BANDS}
     UNION
     SELECT doc_b AS src, doc_a AS dst FROM nbands
-    WHERE n_bands >= {_SKETCH_MIN_BANDS}
+    WHERE n_bands >= {SKETCH_MIN_BANDS}
 )"""
 
 

@@ -457,24 +457,39 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 LSH_MAX_BUCKET_DEFAULT = 1000
 
 
-def _band_rows(docs: DataFrame, n: int, rows_per_band: int,
-               sets: DataFrame | None, pin: bool = True) -> DataFrame:
-    """(doc_id, band_idx, key): one row per doc per LSH band."""
+def band_key_structs(components, rows_per_band: int) -> F.Column:
+    """``array<struct<band_idx, key>>`` from the 16 signature-component
+    columns — THE band-key format, single-sourced (round-11 review):
+    every band-bucket producer (batch ``_band_rows``, the incremental
+    split, the streaming corpus index, the stream-side key derivation)
+    must build keys through this expression, or stream-vs-batch and
+    Spark-vs-oracle bucket parity silently breaks on a format drift.
+
+    ``components`` is the list of 16 component Columns (``m0..m15``
+    for batch frames, ``element_at(sigs, i+1)`` for a stream's
+    signature array)."""
     r = rows_per_band
     assert len(MINHASH_A) % r == 0, "rows_per_band must divide 16"
-    sig = minhash_signatures(docs, n, sets=sets, pin=pin)
     n_bands = len(MINHASH_A) // r
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(j).alias("band_idx"),
                 F.concat_ws(
-                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
+                    "_", *[components[j * r + k] for k in range(r)]
                 ).alias("key"),
             )
             for j in range(n_bands)
         ]
     )
+
+
+def _band_rows(docs: DataFrame, n: int, rows_per_band: int,
+               sets: DataFrame | None, pin: bool = True) -> DataFrame:
+    """(doc_id, band_idx, key): one row per doc per LSH band."""
+    sig = minhash_signatures(docs, n, sets=sets, pin=pin)
+    bands = band_key_structs(
+        [F.col(f"m{i}") for i in range(len(MINHASH_A))], rows_per_band)
     return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key")
     )
@@ -899,29 +914,10 @@ def incremental_sketch_pairs(docs: DataFrame, n: int = 3,
     candidacy itself implies est 1/16 ≥ 0.05)."""
     if threshold is None:
         threshold = SKETCH_THRESHOLD
-    r = rows_per_band
-    n_bands_total = len(MINHASH_A) // r
+    n_bands_total = len(MINHASH_A) // rows_per_band
     min_bands = max(1, math.ceil(threshold * n_bands_total))
-    sig = minhash_signatures(docs, n, pin=False)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
-                ).alias("key"),
-            )
-            for j in range(n_bands_total)
-        ]
-    )
-    exploded = (
-        sig.select("doc_id", F.explode(bands).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.key").alias("key"),
-            _side_is_corpus(F.col("doc_id")).alias("is_corpus"),
-        )
+    exploded = _band_rows(docs, n, rows_per_band, None, pin=False).withColumn(
+        "is_corpus", _side_is_corpus(F.col("doc_id"))
     )
     inc = exploded.filter(~F.col("is_corpus")).select("doc_id", "band_idx", "key")
     cor = exploded.filter(F.col("is_corpus")).select(
@@ -1277,6 +1273,14 @@ GROUP BY n_bands
 #: so the registration hash-checks the pruning rule itself.
 SKETCH_THRESHOLD = 0.25
 
+#: The operating point as a band count — ``ceil(threshold · 16)`` at
+#: the registered r=1 banding.  Single-sourced (round-11 review):
+#: the sketch oracles, the auto-planner oracle, the incremental
+#: sketch oracle, and the clustering sketch-edge twins all read THIS
+#: constant instead of re-deriving the formula.
+SKETCH_MIN_BANDS = max(
+    1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))
+
 
 def lsh_near_dup_sketch(docs: DataFrame, n: int = 3,
                         threshold: float = SKETCH_THRESHOLD,
@@ -1349,7 +1353,7 @@ SELECT doc_a, doc_b, n_bands,
        round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6)
            AS est_jaccard
 FROM nbands
-WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+WHERE n_bands >= {SKETCH_MIN_BANDS}
 """
 
 
@@ -1380,7 +1384,7 @@ SELECT doc_a, doc_b, n_bands,
        round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6)
            AS est_jaccard
 FROM nbands
-WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+WHERE n_bands >= {SKETCH_MIN_BANDS}
 """
 
 
@@ -1448,7 +1452,7 @@ nbands AS (
                 AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
-SELECT n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+SELECT n_bands >= {SKETCH_MIN_BANDS}
            AS sketch_kept,
        round(n_common * 1.0 / (na + nb - n_common), 6) >= {SKETCH_THRESHOLD}
            AS exact_kept,
@@ -1477,6 +1481,7 @@ def lsh_near_dup_auto(docs: DataFrame, n: int = 3,
                       rows_per_band: int = LSH_ROWS_PER_BAND,
                       max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
                       pair_budget: int = AUTO_PAIR_BUDGET,
+                      decision: list | None = None,
                       ) -> DataFrame:
     """Stats-driven rescore planning: the engine reads the band census
     and picks the exact-array rescore or the zero-transport sketch
@@ -1521,6 +1526,12 @@ def lsh_near_dup_auto(docs: DataFrame, n: int = 3,
         # so only in-guard buckets contribute rescore volume.
         census = census.filter("in_guard")
     total = census.agg(F.sum("cand_pairs").alias("t")).first()["t"] or 0
+    if decision is not None:
+        # Observer hook (round-11 review): the branch taken is also a
+        # constant `used_sketch` column, but an EMPTY result carries no
+        # rows to read it from — probes/monitoring get the planner's
+        # choice directly instead of inferring it from output rows.
+        decision.append(total > pair_budget)
     if total > pair_budget:
         out = lsh_near_dup_sketch(docs, n, threshold, rows_per_band,
                                   max_bucket)
@@ -1570,7 +1581,7 @@ SELECT doc_a, doc_b,
        round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6) AS score,
        TRUE AS used_sketch
 FROM nbands
-WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+WHERE n_bands >= {SKETCH_MIN_BANDS}
   AND (SELECT use_sketch FROM decision)
 UNION ALL
 SELECT doc_a, doc_b, jaccard AS score, FALSE AS used_sketch
@@ -1675,7 +1686,7 @@ SELECT doc_id, match_id, n_bands,
        round(n_bands / {len(MINHASH_A) // LSH_ROWS_PER_BAND}.0, 6)
            AS est_jaccard
 FROM nb
-WHERE n_bands >= {max(1, math.ceil(SKETCH_THRESHOLD * (len(MINHASH_A) // LSH_ROWS_PER_BAND)))}
+WHERE n_bands >= {SKETCH_MIN_BANDS}
 """
 
 

@@ -45,8 +45,10 @@ from grpc_map_reduce_spark.operators.dedup import (
     SKETCH_THRESHOLD,
     _shingle_sets,
     _side_is_corpus,
+    band_key_structs,
     minhash_signatures,
 )
+from grpc_map_reduce_spark.plans.checkpoint import PIN_LEVEL
 
 
 def minhash_struct_udf(n: int = 3):
@@ -99,22 +101,11 @@ def corpus_index(docs: DataFrame, n: int = 3,
     ``buckets (band_idx, key, match_id)`` and ``sets (match_id,
     sh_set)``.  At scale both live as bucketed parquet, maintained
     incrementally as shards are accepted."""
-    r = rows_per_band
     corpus = docs.filter(_side_is_corpus(F.col("doc_id")))
     sets = _shingle_sets(corpus, n)
     sig = minhash_signatures(corpus, n, sets=sets)
-    n_bands = len(MINHASH_A) // r
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
-                ).alias("key"),
-            )
-            for j in range(n_bands)
-        ]
-    )
+    bands = band_key_structs(
+        [F.col(f"m{i}") for i in range(len(MINHASH_A))], rows_per_band)
     buckets = sig.select(
         F.col("doc_id").alias("match_id"), F.explode(bands).alias("b")
     ).select("match_id", F.col("b.band_idx").alias("band_idx"),
@@ -223,23 +214,21 @@ def corpus_sketch_index(docs: DataFrame, n: int = 3,
                         ) -> tuple[DataFrame, DataFrame]:
     """Static corpus side for the sketch-mode stream: ``buckets
     (band_idx, key, match_id)`` and ``sigs (match_id, _sigb:
-    array<long>)`` — built from ``pin=False`` signatures, no shingle
-    sets ever materialized (the whole point of the mode)."""
-    r = rows_per_band
+    array<long>)`` — no shingle sets ever materialized (the whole
+    point of the mode).
+
+    Both outputs are lazily pinned (round-11 review): stream-static
+    joins re-execute the static side's plan EVERY micro-batch, so an
+    unpinned index would re-run the corpus tokenization UDF per
+    trigger, twice.  The pinned frames are the two small fixed-width
+    products (band keys + 16-long signatures), not the shingle-array
+    frame whose pin was the 3125× OOM — at real scale both live as
+    bucketed parquet, exactly like the exact twin's index."""
     corpus = docs.filter(_side_is_corpus(F.col("doc_id")))
-    sig = minhash_signatures(corpus, n, pin=False)
-    n_bands = len(MINHASH_A) // r
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * r + k}") for k in range(r)]
-                ).alias("key"),
-            )
-            for j in range(n_bands)
-        ]
-    )
+    sig = minhash_signatures(corpus, n, pin=False).localCheckpoint(
+        eager=False, storageLevel=PIN_LEVEL)
+    bands = band_key_structs(
+        [F.col(f"m{i}") for i in range(len(MINHASH_A))], rows_per_band)
     buckets = sig.select(
         F.col("doc_id").alias("match_id"), F.explode(bands).alias("b")
     ).select("match_id", F.col("b.band_idx").alias("band_idx"),
@@ -266,8 +255,17 @@ def streaming_incremental_dedup_sketch(
     dedup (the dedup collapses multi-band matches to one row, so the
     band join can't be counted — the arrays can, and at r=1 the two
     numbers are identical)."""
-    r = rows_per_band
-    n_bands_total = len(MINHASH_A) // r
+    if rows_per_band != 1:
+        # At r>1 per-component agreement (what zip_with counts below)
+        # is NOT the shared-band count the batch twin and the
+        # estimator use: a pair sharing one 2-row band has agreement
+        # 2 but n_bands 1.  The registered banding is r=1; refuse the
+        # silent divergence instead of emitting a mislabeled estimate
+        # (round-11 review).
+        raise ValueError(
+            "streaming sketch twin supports rows_per_band=1 only "
+            "(signature agreement == shared-band count requires r=1)")
+    n_bands_total = len(MINHASH_A)
     min_bands = max(1, math.ceil(threshold * n_bands_total))
     if ts_col is not None:
         doc_stream = doc_stream.withWatermark(ts_col, dedup_within)
@@ -278,18 +276,8 @@ def streaming_incremental_dedup_sketch(
         )
         .filter(F.size("ms.sh_set") > 0)
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[F.element_at("ms.sigs", j * r + k + 1) for k in range(r)],
-                ).alias("key"),
-            )
-            for j in range(n_bands_total)
-        ]
-    )
+    bands = band_key_structs(
+        [F.element_at("ms.sigs", i + 1) for i in range(n_bands_total)], 1)
     exp = enriched.select(
         "doc_id", *ts_cols, F.col("ms.sigs").alias("_siga"),
         F.explode(bands).alias("b")

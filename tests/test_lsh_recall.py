@@ -219,7 +219,10 @@ def test_auto_planner_flips_to_sketch_over_budget(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
-    auto = lsh_near_dup_auto(docs, max_bucket=None, pair_budget=0)
+    dec: list = []
+    auto = lsh_near_dup_auto(docs, max_bucket=None, pair_budget=0,
+                             decision=dec)
+    assert dec == [True], "decision hook must report the sketch branch"
     plan = auto._jdf.queryExecution().optimizedPlan().toString()
     assert "array_intersect" not in plan, (
         "sketch branch must not ship shingle arrays"

@@ -808,9 +808,10 @@ def test_streaming_sketch_dedup_matches_batch(spark, sf_dir, tmp_path):
     src = str(tmp_path / "incoming_docs_sketch")
     incoming.repartition(4).write.parquet(src)
 
+    # no manual pinning: the index pins its shared signature frame
+    # itself (stream-static joins re-execute the static plan per
+    # micro-batch — see corpus_sketch_index)
     buckets, sigs = corpus_sketch_index(docs)
-    buckets = buckets.localCheckpoint()
-    sigs = sigs.localCheckpoint()
 
     stream = (
         spark.readStream.schema(docs.schema)

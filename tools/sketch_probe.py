@@ -105,23 +105,20 @@ def main() -> None:
 
     kw = {} if args.threshold is None else {"threshold": args.threshold}
     t0 = time.perf_counter()
-    used_sketch = None
+    decision: list = []
     if args.path == "exact":
         out = lsh_near_dup(docs, **kw)  # guard ON (production default)
-        aggs = [F.count("*").alias("n")]
     elif args.path == "sketch":
         out = lsh_near_dup_sketch(docs, **kw)
-        aggs = [F.count("*").alias("n")]
     else:
-        out = lsh_near_dup_auto(docs, **kw)  # guard ON, planner decides
-        aggs = [F.count("*").alias("n"),
-                F.max("used_sketch").alias("sk")]
-    out = out.groupBy().agg(*aggs)
+        # guard ON, planner decides; the decision hook reports the
+        # branch even when the chosen path returns zero rows
+        out = lsh_near_dup_auto(docs, decision=decision, **kw)
+    out = out.groupBy().agg(F.count("*").alias("n"))
     row = out.collect()[0]
     wall = round(time.perf_counter() - t0, 3)
     n_rows = row["n"]
-    if args.path == "auto":
-        used_sketch = bool(row["sk"]) if n_rows else None
+    used_sketch = decision[0] if decision else None
 
     rec = {
         "path": args.path, "mult": args.mult,
