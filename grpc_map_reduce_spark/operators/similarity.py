@@ -1274,6 +1274,63 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Scan budget for the AUTO ANN planner, in corpus×query pairs — the
+#: brute path's work is one |C|·|Q| matmul (streaming |C|·|Q|·dim
+#: multiply-adds through the block kernel); 50 M pairs × 64 dims ≈
+#: 3.2 G multiply-adds ≈ seconds on one executor's cores, and beyond
+#: it the IVF index's ~n_probe/n_lists scan fraction pays for its
+#: build.  Same shape as dedup.AUTO_PAIR_BUDGET: a measured-workload
+#: threshold, not a tuned magic number — the fixture sits far under
+#: it (exact brute answer), any production corpus×batch far over
+#: (index path).
+ANN_AUTO_SCAN_BUDGET = 50_000_000
+
+
+def ann_topk_auto(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                  scan_budget: int = ANN_AUTO_SCAN_BUDGET,
+                  decision: list | None = None,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> DataFrame:
+    """Stats-driven ANN strategy selection: the engine counts the
+    corpus and the query batch and picks exact brute-force or the IVF
+    index itself — the second instance of the planner pattern
+    `lsh_near_dup_auto` established for near-dup rescoring (dedup.py),
+    applied to the other approximate family.
+
+    The decision metric is the scanned-pair product |C|·|Q| (two
+    metadata-cheap counts, deterministic given the data); below
+    ``scan_budget`` the exact matmul is both faster AND exact, above
+    it the IVF path's n_probe/n_lists scan fraction wins and the
+    recall trade is taken knowingly (tests/test_ivf_recall.py gates
+    it ≥ 0.9 on the fixture).  Output: the shared
+    (query_id, neighbor_id, sim, rank) contract plus ``used_ivf`` —
+    the chosen estimator rides in the output and the branch is
+    replayed inside the DuckDB oracle, so the planner's choice is
+    hash-checked exactly like the rescore planner's.
+
+    ``decision`` is the same observer hook as the dedup planner:
+    probes read the branch even when the result is empty.
+    """
+    n_c = corpus.count()
+    n_q = queries.count()
+    use_ivf = n_c * n_q > scan_budget
+    if decision is not None:
+        decision.append(use_ivf)
+    if use_ivf:
+        out = ivf_topk(corpus, queries, k=k, n_lists=KMEANS_K,
+                       n_probe=IVF_N_PROBE, kmeans_iters=KMEANS_ITERS,
+                       id_col=id_col, vec_col=vec_col)
+    else:
+        out = cosine_topk(corpus, queries, k=k,
+                          id_col=id_col, vec_col=vec_col)
+    return out.withColumn("used_ivf", F.lit(use_ivf))
+
+
+def q_ann_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_topk_auto(emb, emb.filter(F.col("vec_id") < 8), k=IVF_TOP_K)
+
+
 # --------------------------------------------------------------------------
 # Pure-JVM vector math: higher-order array functions (transform /
 # zip_with / aggregate) keep per-element arithmetic inside codegen —
@@ -1513,6 +1570,73 @@ SELECT query_id, neighbor_id, sim,
                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
 FROM cand
 QUALIFY rank <= {IVF_TOP_K}
+"""
+
+
+# The ANN planner's oracle: both branch formulations verbatim (the
+# IVF chain over the shared kmeans fragment, the brute chain over raw
+# embeddings exactly as ORACLE_COSINE_TOPK), gated by the replayed
+# |C|·|Q| decision — DuckDB takes the same branch the Spark planner
+# takes on the same data.
+ORACLE_ANN_AUTO = f"""
+WITH {kmeans_assign_sql()},
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM norm WHERE vec_id < 8
+),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) AS rn
+        FROM q CROSS JOIN c{KMEANS_ITERS} c
+    ) WHERE rn <= {IVF_N_PROBE}
+),
+icand AS (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(n.v, q.qv), 6) AS sim
+    FROM probe p
+    JOIN final_assign fa ON fa.cid = p.cid
+    JOIN norm n ON n.vec_id = fa.vec_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE n.vec_id <> p.query_id
+),
+ivf_ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM icand
+),
+bf_pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+           CAST(unnest(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 8
+),
+bf_sims AS (
+    SELECT query_id, neighbor_id,
+           round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS sim
+    FROM bf_pairs GROUP BY 1, 2
+),
+bf_ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM bf_sims
+),
+decision AS (
+    SELECT (SELECT count(*) FROM embeddings)
+           * (SELECT count(*) FROM embeddings WHERE vec_id < 8)
+           > {ANN_AUTO_SCAN_BUDGET} AS use_ivf
+)
+SELECT query_id, neighbor_id, sim, rank, TRUE AS used_ivf
+FROM ivf_ranked
+WHERE rank <= {IVF_TOP_K} AND (SELECT use_ivf FROM decision)
+UNION ALL
+SELECT query_id, neighbor_id, sim, rank, FALSE AS used_ivf
+FROM bf_ranked
+WHERE rank <= {IVF_TOP_K} AND NOT (SELECT use_ivf FROM decision)
 """
 
 
@@ -2065,6 +2189,12 @@ QUERIES = [
      "E2 IVF-indexed approximate top-k (scale path): the oracle "
      "replays index build, probe, and rescore on the shared "
      "kmeans_assign_sql fragment; + recall test."),
+    ("ann_auto_topk", q_ann_topk_auto, ORACLE_ANN_AUTO,
+     "Stats-driven ANN strategy selection (round 11): the engine "
+     "counts corpus x queries and picks exact brute-force vs the IVF "
+     "index itself; the decision is replayed inside the oracle, so "
+     "the planner's choice is part of the hash (second instance of "
+     "the lsh_near_dup_auto planner pattern)."),
     ("embedding_lsh_recall_stress", q_embedding_lsh_recall_stress,
      ORACLE_EMB_LSH,
      "E2 LSH recall-calibration stress harness (renamed from "

@@ -112,3 +112,38 @@ def test_kmeans_assignment_structure(spark, sf_dir):
     b = {r.vec_id: (r.cluster, r.cluster_size)
          for r in embedding_kmeans(emb).collect()}
     assert a == b
+
+
+def test_ann_auto_planner_flips_between_exact_and_ivf(spark, sf_dir):
+    """The ANN strategy planner must take the brute-force branch at
+    fixture volume (used_ivf False, rows identical to cosine_topk)
+    and flip the SAME data onto the IVF branch when the scan budget
+    is forced to zero (used_ivf True, rows identical to ivf_topk),
+    reporting each choice through the decision hook."""
+    from pyspark.sql import functions as F
+
+    from grpc_map_reduce_spark.operators.similarity import (
+        IVF_TOP_K,
+        ann_topk_auto,
+        cosine_topk,
+        q_ivf_topk,
+    )
+    from grpc_map_reduce_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    dec: list = []
+    got = ann_topk_auto(emb, queries, k=IVF_TOP_K, decision=dec).collect()
+    assert dec == [False]
+    assert got and all(not r.used_ivf for r in got)
+    want = {tuple(r) for r in cosine_topk(emb, queries, k=IVF_TOP_K).collect()}
+    assert {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in got} == want
+
+    dec2: list = []
+    got2 = ann_topk_auto(emb, queries, k=IVF_TOP_K, scan_budget=0,
+                         decision=dec2).collect()
+    assert dec2 == [True]
+    assert got2 and all(r.used_ivf for r in got2)
+    want2 = {tuple(r) for r in q_ivf_topk(spark, sf_dir).collect()}
+    assert {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in got2} == want2

@@ -12,7 +12,7 @@ from grpc_map_reduce_spark import registry
 
 def test_registry_imports_and_is_full():
     qs = registry.all_queries()
-    assert len(qs) >= 174, f"registry shrank: only {len(qs)} queries"
+    assert len(qs) >= 175, f"registry shrank: only {len(qs)} queries"
     # Every entry must expose a callable and a str-or-None oracle.
     for q in qs.values():
         assert callable(q.spark_fn), q.name
@@ -25,7 +25,7 @@ def test_driver_contract_surface():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(queries) >= 174
+    assert len(queries) >= 175
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     assert callable(entry_mod.entry)
