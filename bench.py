@@ -157,10 +157,16 @@ def main() -> None:
             # warm already (same JVM, codegen + page cache live).
             n_runs = (1 + repeats) if p == 0 else repeats
             for _rep in range(n_runs):
+                # Label the jobs so the UI / event log attributes every
+                # stage to its query (guide §1.5); thread-local, reset
+                # after the timed region.
+                spark.sparkContext.setJobDescription(
+                    f"bench:{name}@pass{p}")
                 t0 = time.perf_counter()
                 df = q.spark_fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+                spark.sparkContext.setJobDescription(None)
                 # Untimed housekeeping between executions: drop the Python
                 # references to finished plans so the JVM ContextCleaner can
                 # release their localCheckpoint RDDs and broadcasts — without
