@@ -28,7 +28,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grpc_map_reduce_spark.operators.dedup import (
@@ -42,32 +42,53 @@ CLUSTER_JACCARD_THRESHOLD = 0.05  # probed at sf0.01: 27 LSH edges (was 29 exact
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    """Connect every neighbor v > u to min(N(u) ∪ {u}).
+
+    Round 12 (guide §2.4): the neighborhood min is a window over the
+    SAME partitioning the old ``groupBy(src) + join back on src``
+    needed — the window computes it in ONE exchange of ``sym`` where
+    the self-join shape paid two (the aggregate's and the probe
+    side's) plus the join itself.  Output rows are identical: same
+    min, same filter, same projection, same ``distinct()``."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
-    m = F.least(F.col("src"), F.col("min_nbr"))
+    w = Window.partitionBy("src")
+    m = F.least(F.col("src"), F.min("dst").over(w))
     return (
-        sym.join(mins, "src")
+        sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient edges downward, connect each neighborhood to its min."""
+    """Orient edges downward, connect each neighborhood to its min.
+
+    Same window rewrite as :func:`_large_star` (one exchange instead
+    of groupBy+join).  The old formulation emitted ``(src, m)`` once
+    per distinct src via the aggregate; here the explode emits it once
+    per row and the pre-existing ``distinct()`` collapses the copies —
+    the output SET (what CC consumes; every path through it ends in
+    distinct) is unchanged, and the union no longer evaluates the
+    neighborhood-min subtree twice."""
     d = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    w = Window.partitionBy("src")
     return (
-        d.join(mins, "src")
-        .select(F.col("dst").alias("v"), "m")
-        .union(mins.select(F.col("src").alias("v"), "m"))
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        d.withColumn("m", F.min("dst").over(w))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("v"), F.col("m")),
+                    F.struct(F.col("src").alias("v"), F.col("m")),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e.v") != F.col("e.m"))
+        .select(F.col("e.v").alias("src"), F.col("e.m").alias("dst"))
         .distinct()
     )
 

@@ -520,6 +520,7 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
                        sets: DataFrame | None = None,
                        max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
                        pin: bool = True,
+                       bands: DataFrame | None = None,
                        ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -533,46 +534,58 @@ def minhash_candidates(docs: DataFrame, n: int = 3,
     ``max_bucket`` is the scale skew guard, ON by default (see
     :data:`LSH_MAX_BUCKET_DEFAULT`): buckets larger than it are
     dropped — their members are by construction extremely similar and
-    are handled by the exact-dup pass; the hot-bucket list is tiny so
-    it broadcasts into an anti-join.  Pass ``max_bucket=None`` for
-    exact band-join semantics (the oracle-checked registrations do,
-    knowingly); :func:`lsh_hot_buckets` reports what a guarded run
-    drops.
+    are handled by the exact-dup pass; since round 12 the guard is a
+    free size filter on the bucket rows (no second traversal, no
+    anti-join).  Pass ``max_bucket=None`` for exact band-join
+    semantics (the oracle-checked registrations do, knowingly);
+    :func:`lsh_hot_buckets` reports what a guarded run drops.
+
+    ``bands`` (round 12) injects a precomputed band-rows frame
+    ((doc_id, band_idx, key), already materialized/pinned by the
+    caller) so a planner that ALREADY derived the band rows for its
+    census (``lsh_near_dup_auto``) does not pay the tokenize+minhash
+    pass a second time (VERDICT r11 item 2; guide §5 reuse).
     """
-    exploded = _band_rows(docs, n, rows_per_band, sets, pin=pin)
-    if max_bucket is not None:
-        # The guard traverses the band rows twice (hot-bucket aggregate
-        # + the anti-joined pair join), so pinning pays — EXCEPT at the
-        # volumes the sketch path exists for: the pinned frame is
-        # O(docs × bands) deserialized rows (~250 M at the 3125× tier)
-        # and materializing it OOMs an 8 GiB heap in the scan stage
-        # (measured round 11).  ``pin=False`` callers therefore
-        # recompute the rows instead — signatures are deterministic
-        # (md5-derived), so both traversals see identical buckets, and
-        # two map-side passes beat one un-cacheable materialization.
-        if pin:
-            exploded = exploded.localCheckpoint(
-                eager=False, storageLevel=PIN_LEVEL)
-        hot = (
-            exploded.groupBy("band_idx", "key")
-            .agg(F.count("*").alias("sz"))
-            .filter(F.col("sz") > max_bucket)
-            .select("band_idx", "key")
-        )
-        exploded = exploded.join(F.broadcast(hot), ["band_idx", "key"], "left_anti")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_bands"))
+    exploded = bands if bands is not None else _band_rows(
+        docs, n, rows_per_band, sets, pin=pin)
+    # Bucket-array pair generation (round 12, guide §2.2/§2.4): the
+    # old band self-join computed AND exchanged the band rows twice
+    # (once per join side) and paid a sort-merge sort on both — at
+    # sf0.1 the pair stage alone was ~1.1 s warm of the 2.9 s exact
+    # chain.  Collecting each bucket's members into ONE sorted array
+    # instead exchanges the band rows ONCE, needs no join at all, and
+    # enumerates each bucket's C(k,2) ordered pairs in-task with a
+    # streaming explode (same per-bucket colocation and fan-out the
+    # join had, bit-identical output: measured 157 084/157 084 pairs
+    # equal at sf0.1).  It also makes the hot-bucket guard FREE — a
+    # ``size(ms) <= max_bucket`` filter on the bucket row replaces the
+    # old second band-rows traversal + broadcast anti-join, so the
+    # round-11 guard-pin/recompute trade (pin OOMs the 8 GiB cap at
+    # 3125×; recompute costs a second tokenize pass) disappears: the
+    # band rows are traversed once, guard or no guard (``pin`` is
+    # kept for signature compatibility; nothing needs pinning now).
+    buckets = (
+        exploded.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
+        .where(F.size("ms") > 1)
     )
+    if max_bucket is not None:
+        # Drop hot buckets BEFORE pair fan-out — their members are by
+        # construction near-identical and handled by the exact-dup
+        # pass (same drop set as the old anti-join: identical buckets,
+        # identical sizes).
+        buckets = buckets.where(F.size("ms") <= max_bucket)
+    pairs = (
+        buckets
+        .select(F.posexplode("ms").alias("i", "doc_a"), F.col("ms"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))
+            ).alias("doc_b"),
+        )
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +657,8 @@ def lsh_near_dup(docs: DataFrame, n: int = 3,
                  threshold: float = LSH_NEAR_DUP_THRESHOLD,
                  rows_per_band: int = LSH_ROWS_PER_BAND,
                  max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                 sets: DataFrame | None = None,
+                 bands: DataFrame | None = None,
                  ) -> DataFrame:
     """The composed scale path: LSH candidates → exact Jaccard rescore.
 
@@ -661,10 +676,17 @@ def lsh_near_dup(docs: DataFrame, n: int = 3,
     ``max_bucket`` (the hot-bucket pair fan-out cap, see
     :func:`minhash_candidates`) is ON by default; the oracle-twin
     registration passes ``None`` explicitly.
+
+    ``sets`` / ``bands`` (round 12) inject caller-pinned shingle sets
+    and band rows so a planner that already materialized them for its
+    census shares the passes instead of re-deriving them (VERDICT r11
+    item 2) — values are deterministic, so the output is unchanged.
     """
-    sets = _shingle_sets(docs, n)
+    if sets is None:
+        sets = _shingle_sets(docs, n)
     cand = minhash_candidates(
-        docs, n, rows_per_band=rows_per_band, sets=sets, max_bucket=max_bucket
+        docs, n, rows_per_band=rows_per_band, sets=sets,
+        max_bucket=max_bucket, bands=bands,
     ).select("doc_a", "doc_b")
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
@@ -1286,6 +1308,7 @@ def lsh_near_dup_sketch(docs: DataFrame, n: int = 3,
                         threshold: float = SKETCH_THRESHOLD,
                         rows_per_band: int = LSH_ROWS_PER_BAND,
                         max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                        bands: DataFrame | None = None,
                         ) -> DataFrame:
     """Sketch-only near-dup scoring: LSH candidates scored by MinHash
     signature agreement — ZERO shingle-array transport.
@@ -1316,7 +1339,7 @@ def lsh_near_dup_sketch(docs: DataFrame, n: int = 3,
     min_bands = max(1, math.ceil(threshold * n_bands_total))
     cand = minhash_candidates(
         docs, n, rows_per_band=rows_per_band, sets=None,
-        max_bucket=max_bucket, pin=False,
+        max_bucket=max_bucket, pin=False, bands=bands,
     )
     return (
         cand.filter(F.col("n_bands") >= min_bands)
@@ -1515,17 +1538,35 @@ def lsh_near_dup_auto(docs: DataFrame, n: int = 3,
     the same corpus always picks the same branch — which is what makes
     the mode oracle-checkable (the DuckDB twin replays the census sum
     and gates each branch on the same comparison).
+
+    One band-rows subtree (round 12, VERDICT r11 item 2): the census
+    and the chosen branch previously each derived band rows from
+    scratch — two full tokenize+minhash passes per execution (4.2 s
+    warm at fixture scale, two corpus scans at 100 TB).  Now the
+    shingle sets are persisted and the band rows checkpointed ONCE;
+    the census aggregates over the checkpoint, the chosen branch's
+    candidate join reads the same checkpoint, and the exact branch's
+    rescore reads the same persisted sets.  Both pins use PIN_LEVEL
+    (PySpark's SERIALIZED memory+disk — guide §5: serialized blocks
+    reserve unroll memory incrementally and spill to disk instead of
+    dying).  The sketch branch never reads the sets again, so they
+    are unpersisted at decision time.  Values are md5-deterministic,
+    so sharing changes no output bit — the census sum here is
+    algebraically the census's ``sum(n_buckets · sz·(sz−1) DIV 2)``
+    regrouped per bucket (sz·(sz−1) is always even, so DIV 2 is exact
+    either way).
     """
-    census = band_volume_census(
-        docs, n, rows_per_band,
-        max_bucket=max_bucket if max_bucket is not None
-        else LSH_MAX_BUCKET_DEFAULT,
-    )
+    sets = _shingle_sets(docs, n, pin=False).persist(PIN_LEVEL)
+    bands = _band_rows(docs, n, rows_per_band, sets).localCheckpoint(
+        eager=False, storageLevel=PIN_LEVEL)
+    sizes = bands.groupBy("band_idx", "key").agg(F.count("*").alias("sz"))
     if max_bucket is not None:
         # The guarded chain drops hot buckets before pair generation,
         # so only in-guard buckets contribute rescore volume.
-        census = census.filter("in_guard")
-    total = census.agg(F.sum("cand_pairs").alias("t")).first()["t"] or 0
+        sizes = sizes.filter(F.col("sz") <= max_bucket)
+    total = sizes.agg(
+        F.coalesce(F.sum(F.expr("sz * (sz - 1) DIV 2")), F.lit(0)).alias("t")
+    ).first()["t"]
     if decision is not None:
         # Observer hook (round-11 review): the branch taken is also a
         # constant `used_sketch` column, but an EMPTY result carries no
@@ -1533,14 +1574,18 @@ def lsh_near_dup_auto(docs: DataFrame, n: int = 3,
         # choice directly instead of inferring it from output rows.
         decision.append(total > pair_budget)
     if total > pair_budget:
+        # Zero-transport branch: candidates re-read the checkpointed
+        # band rows; the shingle sets are never touched again.
+        sets.unpersist(blocking=False)
         out = lsh_near_dup_sketch(docs, n, threshold, rows_per_band,
-                                  max_bucket)
+                                  max_bucket, bands=bands)
         return out.select(
             "doc_a", "doc_b",
             F.col("est_jaccard").alias("score"),
             F.lit(True).alias("used_sketch"),
         )
-    out = lsh_near_dup(docs, n, threshold, rows_per_band, max_bucket)
+    out = lsh_near_dup(docs, n, threshold, rows_per_band, max_bucket,
+                       sets=sets, bands=bands)
     return out.select(
         "doc_a", "doc_b",
         F.col("jaccard").alias("score"),

@@ -474,16 +474,32 @@ _KMV_COLS = (
 
 
 def kmv_estimate(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
-    """One row: (column_name, est_distinct, exact_distinct, err_bp)."""
+    """One row: (column_name, est_distinct, exact_distinct, err_bp).
+
+    ONE scan (round 12, VERDICT r11 item 7): the declared exact-error
+    baseline used to ride a second full scan (``countDistinct`` next
+    to the sketch's own distinct-hash pass).  Both now derive from a
+    single pinned distinct-VALUES relation: ``count(*)`` over it IS
+    ``countDistinct(col)`` (distinct non-null values, bit-identical —
+    exactness is not weakened), and hashing after the distinct yields
+    the same hash set as hashing before it (md5 is a function of the
+    value; the follow-up ``distinct`` on ``h`` keeps the old
+    collision-fold semantics).  The distinct relation is tiny relative
+    to the base table, so the two consumers read pinned blocks."""
+    vals = (
+        df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
+    )
     h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    hs = df.select(h.alias("h")).where(F.col("h").isNotNull()).distinct()
+    hs = vals.select(h.alias("h")).where(F.col("h").isNotNull()).distinct()
     kth = (
         hs.orderBy("h").limit(k)
         .agg(F.max("h").alias("hk"), F.count("*").alias("n"))
     )
-    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+    exact = vals.agg(F.count("*").alias("exact_distinct"))
     est = F.when(F.col("n") < k, F.col("n")).otherwise(
         F.floor(
             F.lit(float(k - 1)) * (F.lit(float(1 << 60)) / F.col("hk"))
@@ -524,16 +540,26 @@ def kmv_merge_estimate(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
 
     Output: (column_name, est_merged, est_direct, merge_exact,
     exact_distinct)."""
+    # ONE scan (round 12, VERDICT r11 item 7): the exact-error
+    # baseline used to ride a second full scan (countDistinct).  The
+    # distinct-VALUES relation is pinned once; count(*) over it IS
+    # countDistinct(col), and the distinct-hash relation derives from
+    # it (same hash set — md5 is a function of the value).
+    vals = (
+        df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
+    )
     h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10
     ).cast("long")
     # The distinct-hash relation feeds THREE consumers (even shard,
     # odd shard, direct) — unpinned, the final plan recomputes the
-    # scan + distinct exchange three times (VERDICT r8's one genuine
-    # bench mover).  Lazy local-checkpoint pin: the first consumer
+    # distinct exchange three times (VERDICT r8's one genuine bench
+    # mover).  Lazy local-checkpoint pin: the first consumer
     # materializes it, the other two read pinned blocks.
     hs = (
-        df.select(h.alias("h")).where(F.col("h").isNotNull()).distinct()
+        vals.select(h.alias("h")).where(F.col("h").isNotNull()).distinct()
         .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
     )
 
@@ -547,7 +573,7 @@ def kmv_merge_estimate(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
     direct = kmin(hs).agg(
         F.max("h").alias("hk2"), F.count("*").alias("n2")
     )
-    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+    exact = vals.agg(F.count("*").alias("exact_distinct"))
 
     def est(hk, n):
         return F.when(F.col(n) < k, F.col(n)).otherwise(

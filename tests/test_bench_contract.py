@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 
 def test_bench_emits_one_valid_json_line_with_warm_mins():
     """Contract + methodology gate: the harness MUST warm up each
@@ -40,10 +42,14 @@ def test_bench_emits_one_valid_json_line_with_warm_mins():
     assert set(tail) == {
         "metric", "value", "unit", "sf", "n_queries", "repeats",
         "passes", "pass_totals", "spread_pct", "loadavg",
-        "cold_over_warm", "slowest", "regressed",
+        "cold_over_warm", "queries", "slowest", "regressed",
     }
-    assert len(lines[-1]) < 2000, "compact summary must fit the 2 KB tail"
     assert tail["n_queries"] == 2 and tail["sf"] == 0.001
+    # VERDICT r11 item 1: the FINAL line (the only one the driver's
+    # ~8 KB stdout tail reliably parses) must itself carry the full
+    # warm per-query map — rounds 10/11 printed it only on line 1 and
+    # PERF lost every per-query/geomean/scaling signal.
+    assert set(tail["queries"]) == {"wordcount", "inverted_index"}
     out = json.loads(lines[-2])
     assert set(out) == {
         "metric", "value", "unit", "queries", "queries_cold",
@@ -76,11 +82,15 @@ def test_bench_emits_one_valid_json_line_with_warm_mins():
     )
 
 
+@pytest.mark.slow
 def test_inventory_cold_total_within_budget():
     """VERDICT r5 item 5: nothing gated the cold signal — a per-query
     cold-cost regression (codegen explosion, plan-compile blowup)
     could hide behind the warm medians.  Run the FULL inventory once
-    (repeats=1, sf0.001) and gate cold total < 1.5x warm total."""
+    (repeats=1, sf0.001) and gate cold total < 1.5x warm total.
+
+    Slow tier (round 12): a full 175-query inventory run is minutes of
+    wall — part of what overran the driver's verify window."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -100,11 +110,17 @@ def test_inventory_cold_total_within_budget():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = proc.stdout.strip().splitlines()
     tail = json.loads(lines[-1])
-    # Full inventory: the compact tail must stay under the driver's
-    # 2 KB truncation window and carry the top-10 warm medians.
-    assert len(lines[-1]) < 2000
+    # Full inventory: the final line must stay under the driver's
+    # ~8 KB truncation window WITH the full per-query map aboard
+    # (round-12 contract) and carry the top-10 warm mins.
+    assert len(lines[-1]) < 8000, (
+        f"final bench line is {len(lines[-1])} B; the driver keeps "
+        "only the last ~8 KB of stdout"
+    )
     assert len(tail["slowest"]) == 10
     out = json.loads(lines[-2])
+    assert set(tail["queries"]) == set(out["queries"])
+    assert tail["queries"] == out["queries"]
     cold_total = sum(out["queries_cold"].values())
     assert out["cold_over_warm"] == round(cold_total / out["value"], 3)
     assert out["cold_over_warm"] < 1.5, (

@@ -254,3 +254,68 @@ def test_sketch_edge_clusters_are_a_total_consistent_assignment(spark, sf_dir):
         assert assign[e.src] == assign[e.dst], (
             f"edge ({e.src},{e.dst}) straddles clusters"
         )
+
+
+def test_star_window_rewrite_matches_groupby_join_formulation(spark):
+    """Round 12: _large_star/_small_star were rewritten from
+    groupBy+self-join to a window over the same partitioning (one
+    exchange per star instead of three, guide §2.4).  The rewrite must
+    be OUTPUT-SET identical to the original formulation — this pins
+    each star step against the old shape on random graphs, so a drift
+    in the per-round edge sets (and hence the convergence trajectory)
+    cannot hide behind an eventually-equal fixpoint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from grpc_map_reduce_spark.operators.clustering import (
+        _large_star,
+        _small_star,
+    )
+
+    def ref_large_star(edges):
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+        m = F.least(F.col("src"), F.col("min_nbr"))
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def ref_small_star(edges):
+        d = edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+        return (
+            d.join(mins, "src")
+            .select(F.col("dst").alias("v"), "m")
+            .union(mins.select(F.col("src").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    rng = random.Random(12)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long").filter(
+            F.col("src") != F.col("dst")
+        )
+        for new_fn, ref_fn in ((_large_star, ref_large_star),
+                               (_small_star, ref_small_star)):
+            got = {tuple(r) for r in new_fn(df).collect()}
+            want = {tuple(r) for r in ref_fn(df).collect()}
+            assert got == want, (new_fn.__name__, trial)
+        # and one full round of the composed step
+        got = {tuple(r) for r in _small_star(_large_star(df)).collect()}
+        want = {tuple(r) for r in ref_small_star(ref_large_star(df)).collect()}
+        assert got == want, trial

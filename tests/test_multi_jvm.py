@@ -30,6 +30,15 @@ import subprocess
 import sys
 import tempfile
 
+import pytest
+
+# Slow tier (round 12, VERDICT r11 item 5): each gate boots a
+# local-cluster pseudo-cluster (real executor JVMs) in a fresh
+# subprocess — minutes each, the single largest block of the suite's
+# ~28-min wall that overran the driver's verify window.  Run with
+# SPARK_GRAFT_SLOW_TESTS=1 (the builder's full gate does).
+pytestmark = pytest.mark.slow
+
 _PARITY_SCRIPT = r"""
 import json, sys
 sys.path.insert(0, sys.argv[1])

@@ -424,14 +424,18 @@ def test_sketch_rescore_has_zero_array_transport(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_lsh_neardup_sketch")
     # no exact-rescore machinery anywhere in the plan
     assert "array_intersect" not in plan, plan
-    # exactly ONE join node — the band-bucket self-join that generates
-    # candidates; the exact path has three (bands + two set re-joins).
+    # ZERO join nodes (round 12): candidate pairs are enumerated
+    # inside each bucket's sorted member array — the old band-bucket
+    # self-join (the one join this plan used to carry) exchanged the
+    # band rows twice; the bucket-array form exchanges them once and
+    # joins nothing.  The exact path keeps exactly its two set
+    # re-joins (the rescore), nothing else.
     # Count the numbered detail headers so each node counts once.
     join_re = r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
-    assert len(re.findall(join_re, plan)) == 1, plan
+    assert len(re.findall(join_re, plan)) == 0, plan
     exact = _plan(spark, sf_dir, "dedup_lsh_neardup")
     assert "array_intersect" in exact  # the twin still pays it
-    assert len(re.findall(join_re, exact)) == 3, exact
+    assert len(re.findall(join_re, exact)) == 2, exact
     plan = _plan(spark, sf_dir, "docs_lang_id")
     # round 11: the registered plan is ONE map-only Arrow pass — the
     # ≤ langs×K profile rides in the UDF closure, so there is no join
@@ -477,3 +481,60 @@ def test_aqe_final_plan_converts_smj(spark, sf_dir):
         assert rec["smj_final"] == 0, (name, rec)    # converted at runtime
         assert rec["bhj_final"] >= 1, (name, rec)
         assert rec["aqe_reads"] >= 1, (name, rec)
+
+
+def test_cc_star_round_plans_without_joins(spark):
+    """Round 12 (guide §2.4): one large-star+small-star round used to
+    plan 6 Exchanges and two self-joins; the window rewrite computes
+    each star's neighborhood min on the SAME exchange that the join
+    needed anyway.  Gate: a composed star round has ZERO join nodes
+    and at most 4 Exchanges (window + distinct per star)."""
+    from grpc_map_reduce_spark.operators.clustering import (
+        _large_star,
+        _small_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    plan = explain_str(_small_star(_large_star(df)))
+    join_re = r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+    assert not re.findall(join_re, plan), plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_lsh_auto_shares_one_band_rows_subtree(spark, sf_dir):
+    """Round 12 (VERDICT r11 item 2): the auto planner's census and
+    its chosen branch must share ONE band-rows pass.  The returned
+    (exact-branch) plan therefore reads the band rows from the
+    census's checkpoint (ExistingRDD) and the shingle sets from the
+    persisted relation (InMemoryTableScan) — so the branch must not
+    re-derive band rows: no ``array_min`` (the MinHash signature
+    projection) anywhere in the executed tree.  (ArrowEvalPython still
+    appears TEXTUALLY — formatted mode numbers the cached
+    InMemoryRelation's stored build plan — so the gate is on the
+    signature math and the two scan sources, not on the tokenizer's
+    name.)"""
+    plan = _plan(spark, sf_dir, "dedup_lsh_neardup_auto")
+    assert re.findall(r"\(\d+\) Scan ExistingRDD", plan), plan
+    assert re.findall(r"\(\d+\) InMemoryTableScan", plan), plan
+    assert "array_min" not in plan, plan
+
+
+def test_kmv_profile_single_scan_per_column(spark, sf_dir):
+    """Round 12 (VERDICT r11 item 7): the exact-error baseline rides
+    the SAME scan as the sketch — one pinned distinct-values relation
+    per column feeds both count(*) (== countDistinct, exactness
+    undiluted) and the k-min hash sketch.  Gate: the executed plan
+    reads ONLY the checkpointed distinct-values relations (2 consumers
+    per column branch); the one parquet scan per column happens inside
+    the checkpoint materialization, so ZERO parquet scans remain in
+    the final plan (before: two full scans per column)."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 8, plan
+    plan = _plan(spark, sf_dir, "kmv_merge_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 8, plan

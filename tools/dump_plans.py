@@ -48,7 +48,7 @@ def main() -> None:
         plan = explain_str(df, "formatted")
         header = (
             f"-- query: {name}"
-            + (f" (written as {alias}: its pre-sketch counterpart)" if alias != name else "")
+            + (f" (written as {alias}: captured from pre-existing counterpart {name})" if alias != name else "")
             + f"\n-- repo: {repo}\n-- sf_dir: {sf_dir}\n\n"
         )
         with open(path, "w") as fh:

@@ -47,18 +47,36 @@ def main() -> None:
 
     t = pq.read_table(os.path.join(args.sf_dir, "documents.parquet"),
                       columns=["text", "lang"])
-    texts = t.column("text").to_pylist() * args.mult
-    langs = sorted(set(t.column("lang").to_pylist()), reverse=True)
-    mb = sum(len(x.encode()) for x in set(texts)) * args.mult / 1e6
+    src_texts = t.column("text").to_pylist()
+    src_langs = t.column("lang").to_pylist()
+    texts = src_texts * args.mult
+    langs = sorted(set(src_langs), reverse=True)
+    # ADVICE r11: bytes over ONE source copy × mult — set(texts)
+    # dropped exact-duplicate docs (this is a dedup corpus) from the
+    # denominator while the loop still processed them, inflating
+    # kernel_sec_per_mb.
+    mb = sum(len(x.encode()) for x in src_texts) * args.mult / 1e6
     n = len(texts)
 
-    # Build a real profile the way lang_profile_codes does (top-K codes
-    # per lang over the whole corpus) so lookup selectivity is honest.
-    codes_all, _ = _batch_trigram_codes([x.lower() for x in texts[: n // args.mult]])
-    u, c = np.unique(codes_all, return_counts=True)
-    top = u[np.argsort(-c)][: LANG_PROFILE_K * len(langs)]
-    prof_codes = np.sort(top)
-    prof_mask = np.ones(len(prof_codes), dtype=np.int64)
+    # Build the profile the way classify_langs_codes does (ADVICE r11:
+    # per-language top-K with per-language mask bits — the old all-ones
+    # mask made every language's bincount but one run on an empty
+    # selection, understating that stage vs the real kernel).
+    li_of = {lang: i for i, lang in enumerate(langs)}
+    code_mask: dict[int, int] = {}
+    for lang in langs:
+        codes_l, _ = _batch_trigram_codes(
+            [x.lower() for x, lg in zip(src_texts, src_langs) if lg == lang]
+        )
+        if not codes_l.size:
+            continue
+        u, c = np.unique(codes_l, return_counts=True)
+        order = np.lexsort((u, -c))  # (count desc, code asc) like the window
+        for code in u[order][:LANG_PROFILE_K]:
+            code_mask[int(code)] = code_mask.get(int(code), 0) | (1 << li_of[lang])
+    prof_codes = np.array(sorted(code_mask), dtype=np.int64)
+    prof_mask = np.array([code_mask[c] for c in sorted(code_mask)],
+                         dtype=np.int64)
 
     best = {"lower": 9e9, "trigram_codes": 9e9, "searchsorted": 9e9,
             "bincount": 9e9}
