@@ -15,12 +15,15 @@ reduce).  Scale shape, in order:
   by the part CATALOG (dimension-sized — millions at worst), never
   by basket volume, so the probe is a broadcast hash join against
   the fact stream; the corpus never shuffles for the gate.
-* **One shuffle feeds both sides of the pair join.**  The gated
-  basket stream is repartitioned on ``l_orderkey`` once and lazily
-  checkpointed; the a×b self-join reads that ONE exchange twice
-  (plan shows a single shuffle + ExistingRDD reuse, no second scan).
-  Pair blow-up is bounded by basket size squared — baskets are small
-  by domain (TPC-H ~4 distinct parts/order), the same bounded-wedge
+* **Pairs are enumerated inside each basket's sorted array** (round
+  12, guide §2.2/§2.4 — the same bucket-array rewrite as
+  ``dedup.minhash_candidates``): one groupBy collects each order's
+  gated (part, count) structs, and posexplode+slice emits the C(k,2)
+  ordered pairs in-task.  The old a×b self-join exchanged the gated
+  stream twice (sort-merge over an unpartitioned checkpoint) and
+  sorted both sides; this exchanges it once and joins nothing.  Pair
+  blow-up is bounded by basket size squared — baskets are small by
+  domain (TPC-H ~4 distinct parts/order), the same bounded-wedge
   argument as ``clustering.dedup_triangles``.
 * **All rule metrics are exact integers.**  confidence and lift in
   basis points via int64 cross-multiplication (``pair_n * 10000 DIV
@@ -60,27 +63,37 @@ def market_basket(li: DataFrame,
     )
     item_n = items.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
     freq = item_n.filter(F.col("item_n") >= min_item)
-    gated = (
+    # Basket-array pair generation (round 12): collect each order's
+    # gated (part, count) structs into one array sorted by part key
+    # (unique within an order, so sort_array's struct ordering is the
+    # part ordering), then enumerate ordered pairs in-task — the
+    # output rows are exactly the old self-join's (part_a < part_b by
+    # construction; n_a/n_b ride in the structs, no join back).  The
+    # gated stream is traversed once, so the old repartition+pin is
+    # dead weight and dropped.
+    baskets = (
         items.join(F.broadcast(freq), "l_partkey")
-        .repartition("l_orderkey")
-        .localCheckpoint(eager=False, storageLevel=PIN_LEVEL)
-    )
-    a = gated.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_a"),
-        F.col("item_n").alias("n_a"),
-    )
-    b = gated.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_b"),
-        F.col("item_n").alias("n_b"),
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("l_partkey", "item_n"))
+        ).alias("ps"))
+        .where(F.size("ps") > 1)
     )
     pair_n = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets
+        .select(F.posexplode("ps").alias("i", "pa"), F.col("ps"))
+        .select(
+            "pa",
+            F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias("pb"),
+        )
         # n_a/n_b are functionally dependent on the part keys — riding
         # them through the grouping keys avoids a join back to item_n.
-        .groupBy("part_a", "part_b", "n_a", "n_b")
+        .groupBy(
+            F.col("pa.l_partkey").alias("part_a"),
+            F.col("pb.l_partkey").alias("part_b"),
+            F.col("pa.item_n").alias("n_a"),
+            F.col("pb.item_n").alias("n_b"),
+        )
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair)
     )

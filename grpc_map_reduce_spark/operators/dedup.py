@@ -855,6 +855,37 @@ def _side_is_corpus(doc_id_col) -> F.Column:
     return bucket < INCR_CORPUS_PCT
 
 
+def _cross_side_bucket_pairs(exploded: DataFrame) -> DataFrame:
+    """(doc_id, match_id) per shared band bucket, from side-tagged
+    band rows (doc_id, band_idx, key, is_corpus) — one row per
+    (incoming, corpus, bucket) collision.
+
+    Bucket-array form of the one-sided band join (round 12, same
+    rewrite as :func:`minhash_candidates`): ONE groupBy collects each
+    bucket's incoming and corpus members into two arrays
+    (``collect_list`` of a ``when`` drops the other side's NULLs) and
+    the incoming×corpus cross is enumerated in-task by two explodes —
+    the old inc⋈cor join exchanged the band rows twice (once per
+    filtered side); this exchanges them once, and buckets with only
+    one side present are dropped before any fan-out."""
+    grp = (
+        exploded.groupBy("band_idx", "key")
+        .agg(
+            F.collect_list(
+                F.when(~F.col("is_corpus"), F.col("doc_id"))
+            ).alias("inc"),
+            F.collect_list(
+                F.when(F.col("is_corpus"), F.col("doc_id"))
+            ).alias("cor"),
+        )
+        .where((F.size("inc") > 0) & (F.size("cor") > 0))
+    )
+    return (
+        grp.select(F.explode("inc").alias("doc_id"), "cor")
+        .select("doc_id", F.explode("cor").alias("match_id"))
+    )
+
+
 def incremental_scored_pairs(docs: DataFrame, n: int = 3,
                              threshold: float = LSH_NEAR_DUP_THRESHOLD,
                              rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
@@ -886,11 +917,8 @@ def incremental_scored_pairs(docs: DataFrame, n: int = 3,
             _side_is_corpus(F.col("doc_id")).alias("is_corpus"),
         )
     )
-    inc = exploded.filter(~F.col("is_corpus")).select("doc_id", "band_idx", "key")
-    cor = exploded.filter(F.col("is_corpus")).select(
-        F.col("doc_id").alias("match_id"), "band_idx", "key"
-    )
-    cand = inc.join(cor, ["band_idx", "key"]).select("doc_id", "match_id").distinct()
+    cand = _cross_side_bucket_pairs(exploded).select(
+        "doc_id", "match_id").distinct()
     a = sets.select(F.col("doc_id"), F.col("sh_set").alias("_sa"))
     b = sets.select(F.col("doc_id").alias("match_id"), F.col("sh_set").alias("_sb"))
     n_common = F.size(F.array_intersect("_sa", "_sb"))
@@ -941,12 +969,8 @@ def incremental_sketch_pairs(docs: DataFrame, n: int = 3,
     exploded = _band_rows(docs, n, rows_per_band, None, pin=False).withColumn(
         "is_corpus", _side_is_corpus(F.col("doc_id"))
     )
-    inc = exploded.filter(~F.col("is_corpus")).select("doc_id", "band_idx", "key")
-    cor = exploded.filter(F.col("is_corpus")).select(
-        F.col("doc_id").alias("match_id"), "band_idx", "key"
-    )
     return (
-        inc.join(cor, ["band_idx", "key"])
+        _cross_side_bucket_pairs(exploded)
         .groupBy("doc_id", "match_id")
         .agg(F.count("*").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
@@ -1546,19 +1570,24 @@ def lsh_near_dup_auto(docs: DataFrame, n: int = 3,
     shingle sets are persisted and the band rows checkpointed ONCE;
     the census aggregates over the checkpoint, the chosen branch's
     candidate join reads the same checkpoint, and the exact branch's
-    rescore reads the same persisted sets.  Both pins use PIN_LEVEL
-    (PySpark's SERIALIZED memory+disk — guide §5: serialized blocks
-    reserve unroll memory incrementally and spill to disk instead of
-    dying).  The sketch branch never reads the sets again, so they
+    rescore reads the same persisted sets.  Both pins are DISK_ONLY
+    (guide §5): even the SERIALIZED memory+disk level OOM'd the 8 GiB
+    cap at the 3125× tier in round 11 (the guard pin, ledger item 7 —
+    storage-pool unroll competing with 32 concurrent scan tasks), and
+    disk-only blocks never compete with execution memory, while at
+    fixture scale the page cache makes the re-read free.
+    The sketch branch never reads the sets again, so they
     are unpersisted at decision time.  Values are md5-deterministic,
     so sharing changes no output bit — the census sum here is
     algebraically the census's ``sum(n_buckets · sz·(sz−1) DIV 2)``
     regrouped per bucket (sz·(sz−1) is always even, so DIV 2 is exact
     either way).
     """
-    sets = _shingle_sets(docs, n, pin=False).persist(PIN_LEVEL)
+    from pyspark import StorageLevel
+
+    sets = _shingle_sets(docs, n, pin=False).persist(StorageLevel.DISK_ONLY)
     bands = _band_rows(docs, n, rows_per_band, sets).localCheckpoint(
-        eager=False, storageLevel=PIN_LEVEL)
+        eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sizes = bands.groupBy("band_idx", "key").agg(F.count("*").alias("sz"))
     if max_bucket is not None:
         # The guarded chain drops hot buckets before pair generation,

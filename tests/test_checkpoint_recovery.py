@@ -19,6 +19,13 @@ import subprocess
 import sys
 import tempfile
 
+import pytest
+
+# Slow tier (round 12, VERDICT r11 item 5): each recovery gate boots
+# its own local[4,3] session in a fresh subprocess (~25 s each) —
+# fault-injection probe tier, opt-in via SPARK_GRAFT_SLOW_TESTS=1.
+pytestmark = pytest.mark.slow
+
 _SCRIPT = r"""
 import glob, json, os, sys
 sys.path.insert(0, sys.argv[1])

@@ -71,14 +71,19 @@ def main() -> None:
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--threshold", type=float, default=None,
                     help="score threshold (default: each path's own)")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable) — e.g. "
+                         "spark.io.compression.codec=zstd for the "
+                         "disk-envelope experiments (guide §2.3)")
     args = ap.parse_args()
 
     from tools.scaling_probe import synthesize
 
-    spark = get_spark(
-        "sketch-probe",
-        extra_conf={"spark.driver.memory": args.driver_memory},
-    )
+    extra = {"spark.driver.memory": args.driver_memory}
+    for kv in args.conf:
+        k, v = kv.split("=", 1)
+        extra[k] = v
+    spark = get_spark("sketch-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     jvm = spark.sparkContext._jvm
     heap_max_mb = round(
