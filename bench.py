@@ -202,7 +202,14 @@ def main() -> None:
             # One System.gc() per few queries keeps late queries from
             # paying earlier queries' garbage (measured: the same query
             # is up to ~8x slower 60 queries into the session otherwise).
-            if n_done % int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1")) == 0:
+            # Cadence default 8 (round 12, VERDICT r11 item 6): a
+            # same-code A/B at sf0.1 measured every-8 a geomean 1.051x
+            # FASTER per query than every-1 — even starting under a
+            # worse 1-min load (4.18 vs 0.59) — and it removes ~350
+            # full-GC pauses (~2-4 min of wall) per inventory run; the
+            # per-run blocking unpersist above already bounds the
+            # state the old every-query cadence existed to flush.
+            if n_done % int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8")) == 0:
                 spark.sparkContext._jvm.System.gc()
             # JVM recycling (off by default): measured WORSE than per-query
             # GC alone — each fresh JVM re-pays cold-JIT on its first
